@@ -1,0 +1,89 @@
+"""Long→wide pivot — the reference's core transform (SURVEY.md §2.5, A1–A5;
+``src/Utilities/DatasetUtilities.py:166-205,296-341`` in /root/reference).
+
+Reference semantics: pivot DataValues on (VariableCode, MethodID) over a
+timestamp index, fill NULLs with each variable's sentinel NoDataValue, and
+disambiguate duplicate column names ('Temp', 'Temp-1', 'Temp-2', …) in
+catalog order.
+
+Scale notes (SURVEY.md §7.4 item 1): Spark's ``pivot(col)`` without explicit
+values runs a distinct-discovery job over the fact table first. We always
+supply the pivot values from the (tiny) series catalog instead — one scan
+saved, and the column set is deterministic, which the duplicate-column
+renaming contract requires anyway. The pivot itself is a single hash
+aggregate: partial map-side per (index, pivot) pair, one shuffle on the
+index columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pivot_column_names(pairs: list[tuple[str, int]]) -> dict[tuple[str, int], str]:
+    """Deterministic duplicate-column disambiguation (A3;
+    DatasetUtilities.py:296-335): first occurrence keeps the bare
+    VariableCode, later occurrences of the same code under a different
+    MethodID get '-1', '-2', … suffixes in catalog order."""
+    seen: dict[str, int] = {}
+    names: dict[tuple[str, int], str] = {}
+    for code, method in pairs:
+        n = seen.get(code, 0)
+        names[(code, method)] = code if n == 0 else f"{code}-{n}"
+        seen[code] = n + 1
+    return names
+
+
+def pivot_wide(
+    dv: DataFrame,
+    index_cols: list[str],
+    pairs: list[tuple[str, int]],
+    var_col: str = "VariableCode",
+    method_col: str = "MethodID",
+    value_col: str = "DataValue",
+    agg: str = "first",
+) -> DataFrame:
+    """A1 + A3 + A4: pivot on (variable, method) with explicit values and
+    flat, disambiguated output column names.
+
+    ``agg='first'`` reproduces the reference's ``pivot_table`` default for
+    the one-value-per-cell case; 'avg'/'sum' are exposed for rollup-style
+    wide exports.
+    """
+    names = pivot_column_names(pairs)
+    key = F.concat_ws("||", F.col(var_col), F.col(method_col).cast("string"))
+    keyed = dv.withColumn("__pivot_key", key)
+    values = [f"{code}||{method}" for code, method in pairs]
+    agg_col = {
+        "first": F.first(value_col, ignorenulls=True),
+        "avg": F.avg(value_col),
+        "sum": F.sum(value_col),
+    }[agg]
+    wide = keyed.groupBy(*index_cols).pivot("__pivot_key", values).agg(agg_col)
+    renames = [F.col(f"`{v}`").alias(names[pair]) for v, pair in zip(values, pairs)]
+    return wide.select(*[F.col(c) for c in index_cols], *renames)
+
+
+def fill_no_data(wide: DataFrame, no_data_by_column: dict[str, float]) -> DataFrame:
+    """Per-column sentinel fill (A2; DatasetUtilities.py:171-181).
+
+    Applied only at the sink boundary — internal frames keep NULL so QC math
+    never sees -9999 (SURVEY.md §7.4 item 5).
+    """
+    return wide.fillna({c: v for c, v in no_data_by_column.items() if c in wide.columns})
+
+
+def sort_matrix(wide: DataFrame, index_cols: list[str]) -> DataFrame:
+    """O3: sort the pivoted matrix by its time index (sort_index analog).
+
+    A global ``orderBy`` is a range-partition exchange; for file export the
+    caller typically coalesces to one partition afterwards (files are small
+    by construction — one per (site, source, QC, year) chunk).
+    """
+    return wide.orderBy(*index_cols)
+
+
+def unpivot_long(wide: DataFrame, index_cols: list[str], value_cols: list[str]) -> DataFrame:
+    """Inverse reshape (wide→long) via the built-in unpivot/melt — the engine
+    ingests wide CSVs back into the long DataValues form."""
+    return wide.unpivot(index_cols, value_cols, "VariableCode", "DataValue")

@@ -1,0 +1,115 @@
+"""Parquet sources for the driver test tables.
+
+Reference analog: the multi-dialect relational scan (S1/S2,
+``src/GAMUTRawData/odmservices/service_manager.py:121-171`` and
+``series_service.py:432-434`` in /root/reference). Here the storage layer is
+columnar parquet; Catalyst gives predicate pushdown + column pruning on every
+scan, which replaces the reference's hand-embedded SQL filters (SURVEY.md §4).
+
+Scale notes: at 100 TB the fact tables (``lineitem``, ``events``,
+``documents``) arrive as directory trees partitioned by date/key — the same
+``spark.read.parquet(path)`` call handles both, and partition pruning kicks in
+when queries filter on partition columns. Never infer schemas in production
+(we read parquet, whose footer carries the schema).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from functools import lru_cache
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Dimension tables small enough to always broadcast (reference always fetched
+# them whole and joined client-side — DatasetUtilities.py:183-189).
+BROADCAST_DIMS = {"region", "nation", "supplier", "customer", "part"}
+
+
+@lru_cache(maxsize=256)
+def _nanos_ts_columns(path: str) -> tuple[str, ...]:
+    """Columns stored as parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects. Detected from one file footer (cheap — metadata only)."""
+    import pyarrow.parquet as pq
+    import pyarrow.types as pt
+
+    sample = path
+    if os.path.isdir(path):
+        files = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if not files:
+            return ()
+        sample = files[0]
+    try:
+        schema = pq.read_schema(sample)
+    except Exception:
+        return ()
+    return tuple(f.name for f in schema if pt.is_timestamp(f.type) and f.type.unit == "ns")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = f"{sf_dir}/{name}.parquet"
+    ns_cols = _nanos_ts_columns(path)
+    if not ns_cols:
+        return spark.read.parquet(path)
+    # Read nanos as raw int64 and truncate to microsecond timestamps with
+    # integer division — bit-identical to how DuckDB surfaces the same file.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in (names or TABLES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
+    """Register each table as a temp view so operators can use spark.sql."""
+    for name, df in load_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(name)
+
+
+def load_jdbc(
+    spark: SparkSession,
+    url: str,
+    table_or_query: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 32,
+    properties: dict | None = None,
+) -> DataFrame:
+    """JDBC scan (S1–S3).
+
+    The reference built dialect-specific connection strings and read via
+    ``pandas.read_sql_query`` with a vestigial 250k-row chunk size
+    (``series_service.py:388,436-441``). Spark's partitioned JDBC read is the
+    scalable form of that chunking: ``numPartitions`` concurrent range scans
+    bounded by ``partitionColumn``. Untested in this container (no JDBC
+    driver jars) but kept as the production path for relational sources.
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table_or_query)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()

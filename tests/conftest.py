@@ -1,0 +1,14 @@
+from __future__ import annotations
+
+import pytest
+
+from h2outility_spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.001"
+SF_DIR_MED = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("h2outility-tests", shuffle_partitions=8)
+    yield s

@@ -1,0 +1,72 @@
+"""Local mirror of the driver's correctness gate: run every registered query
+in Spark AND its DuckDB oracle on the same parquet, compare row count, column
+names, and order-insensitive values.
+
+This is the test that matters most — if it is green here at sf0.001/sf0.01,
+CORRECTNESS_r{N}.json should be green too.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from h2outility_spark import workload
+from h2outility_spark.sources.parquet import TABLES
+
+from tests.conftest import SF_DIR
+
+
+def _duck(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _normalize(rows, columns):
+    """Sort columns by name, represent floats rounded to 9 sig-decimals,
+    sort rows — order-insensitive comparable form."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    vals.append("NaN")
+                else:
+                    vals.append(f"{v:.9g}")
+            else:
+                vals.append(str(v))
+        out.append(tuple(vals))
+    out.sort()
+    return [columns[i] for i in order], out
+
+
+SPECS = [(name, spec) for name, spec in workload.registry().items() if spec.oracle]
+
+
+@pytest.mark.parametrize("name", [n for n, _ in SPECS])
+def test_query_matches_oracle(spark, name):
+    spec = workload.registry()[name]
+    sdf = spec.fn(spark, SF_DIR)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    con = _duck(SF_DIR)
+    cur = con.execute(spec.oracle)
+    duck_cols = [d[0] for d in cur.description]
+    duck_rows = cur.fetchall()
+    con.close()
+
+    assert sorted(spark_cols) == sorted(duck_cols), f"{name}: column names differ"
+    assert len(spark_rows) == len(duck_rows), f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+
+    _, s_norm = _normalize(spark_rows, spark_cols)
+    _, d_norm = _normalize(duck_rows, duck_cols)
+    mismatches = [(a, b) for a, b in zip(s_norm, d_norm) if a != b]
+    assert not mismatches, f"{name}: first value mismatches: {mismatches[:3]}"
