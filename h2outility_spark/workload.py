@@ -448,5 +448,11 @@ def q_dedup_keep_first(spark, sf_dir):
     )
 
 
+# Register the other workload families (import side-effect; these modules
+# import back from this one, which is safe because everything they need is
+# defined above this line).
+from h2outility_spark import workload_qc  # noqa: E402,F401
+
+
 def registry() -> dict[str, QuerySpec]:
     return dict(REGISTRY)
