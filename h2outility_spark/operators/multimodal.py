@@ -1,0 +1,125 @@
+"""Multimodal column handling: image/audio/video as opaque ``binary``
+columns with typed metadata (extension surface; the reference is
+numeric-timeseries only).
+
+Design:
+  * A multimodal asset is ``struct<data: binary, mime: string, meta:
+    map<string,string>>`` — or a flat (data, mime) pair of columns. Bytes
+    stay opaque to the engine; Catalyst never interprets them.
+  * Decode / feature-extract / resize / frame-sample run as Arrow-batched
+    ``mapInPandas`` operators: one Python worker per partition, whole
+    column batches across the Arrow boundary, never row-at-a-time.
+  * The actual codec calls are STUBS in this container (no PIL/ffmpeg):
+    ``decode_fn=None`` raises NotImplementedError at the decode site,
+    and ``deterministic_fake_decoder`` provides a reproducible stand-in
+    so the Spark-side plumbing (schema, batching, partitioning) is fully
+    testable. Swap in a real decoder on a cluster with the libs installed.
+
+Scale notes: binary payloads dominate partition size — size partitions by
+bytes (``spark.sql.files.maxPartitionBytes``), never by row count; keep
+payloads out of shuffles (extract features first, shuffle the small
+feature vectors, join back by id if needed).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+ASSET_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("data", T.BinaryType(), True),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("n_bytes", T.IntegerType(), True),
+        T.StructField("sha1", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_luma", T.DoubleType(), True),
+    ]
+)
+
+
+def deterministic_fake_decoder(data: bytes) -> tuple[int, int, float]:
+    """Deterministic stand-in for an image decode: derives (width, height,
+    mean_luma) from the payload's sha1 so tests are reproducible. NOT a real
+    decoder — replace with PIL/turbojpeg on a real cluster."""
+    h = hashlib.sha1(data or b"").digest()
+    width = 64 + h[0] % 192
+    height = 64 + h[1] % 192
+    mean_luma = round(h[2] / 255.0, 6)
+    return width, height, mean_luma
+
+
+def extract_image_features(
+    assets: DataFrame,
+    decode_fn: Callable[[bytes], tuple[int, int, float]] | None = None,
+    id_col: str = "asset_id",
+    data_col: str = "data",
+) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    ``decode_fn=None`` means "no codec available here": the operator still
+    runs (bytes + digest features) but raises at the decode site if decode
+    features are requested — the stub contract for this container.
+    """
+    if decode_fn is None:
+        def decode_fn(_: bytes) -> tuple[int, int, float]:  # noqa: ANN001
+            raise NotImplementedError(
+                "image decode requires a codec library (PIL/turbojpeg) not present "
+                "in this container; pass decode_fn=deterministic_fake_decoder for tests"
+            )
+
+    fn = decode_fn
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            data = pdf[data_col]
+            decoded = [fn(b if b is not None else b"") for b in data]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "n_bytes": [len(b) if b is not None else 0 for b in data],
+                    "sha1": [hashlib.sha1(b or b"").hexdigest() for b in data],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "mean_luma": [d[2] for d in decoded],
+                }
+            )
+
+    return assets.select(F.col(id_col), F.col(data_col)).mapInPandas(batches, IMAGE_FEATURES_SCHEMA)
+
+
+def frame_sample_plan(assets: DataFrame, every_n: int = 30, id_col: str = "asset_id") -> DataFrame:
+    """Video frame-sampling *plan*: emits (asset_id, frame_index) rows for a
+    downstream decoder, derived from declared frame counts in metadata.
+    Pure Catalyst (sequence + explode) — the expensive decode happens later,
+    against only the sampled indices."""
+    n_frames = F.coalesce(F.element_at(F.col("meta"), "n_frames").cast("int"), F.lit(0))
+    return assets.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n))).alias("frame_index"),
+    )
+
+
+def binarize_text_fixture(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Build a multimodal asset fixture from the documents table (UTF-8
+    payload bytes + mime + meta) — this container has no image test data, so
+    tests exercise the binary plumbing with text payloads."""
+    return docs.select(
+        F.col(id_col).alias("asset_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("data"),
+        F.lit("text/plain").alias("mime"),
+        F.create_map(F.lit("origin"), F.lit("documents")).alias("meta"),
+    )

@@ -1,0 +1,98 @@
+"""Similarity search over embedding columns (array<float>).
+
+Extension surface (BASELINE.json north star) — brute-force cosine top-k as
+the exactness baseline, and an IVF-style (inverted-file / centroid-bucketed)
+variant as the scale path.
+
+Scale design:
+  * Brute force is a broadcast nested-loop: broadcast the (small) query set
+    against the (huge) candidate table — no shuffle of the candidates, one
+    TakeOrdered per query via window top-k. Cost O(|C|·|Q|·d) FLOPs but
+    embarrassingly parallel; it is the correct baseline and the verifier
+    for approximate methods.
+  * IVF: k centroids (from labels or k-means elsewhere) are broadcast;
+    each candidate is assigned to its nearest centroid once (narrow map);
+    a query probes only its top-n_probe centroid cells → the scan
+    touches |C|·n_probe/k rows. At 100 TB the candidate table is
+    partitioned by cell id so probing is partition pruning, not a scan.
+  * Arithmetic: dot products via ``F.zip_with`` + ``F.aggregate`` fold —
+    JVM-side, sequential accumulation (bit-identical to DuckDB's
+    list_inner_product on the same doubles, which the oracle exploits).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def as_double(vec: Column) -> Column:
+    return vec.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (left-to-right, like the oracle's)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / F.sqrt(dot(a, a) * dot(b, b))
+
+
+def brute_force_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of every query against all candidates (self-match
+    excluded). Queries are broadcast; ranking is a window top-k partitioned
+    by query id with a deterministic tie-break on candidate id."""
+    from pyspark.sql import Window as W
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    c = candidates.select(F.col(id_col).alias("cand_id"), as_double(F.col(vec_col)).alias("cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", cosine(F.col("qv"), F.col("cv")).alias("cos_sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).drop("rk")
+
+
+def centroids_by_label(
+    embeddings: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Element-wise mean vector per label — the IVF coarse quantizer when a
+    clustering (or class label) already exists. posexplode → groupBy
+    (label, pos) keeps the agg combiner-friendly at any dimensionality."""
+    exploded = embeddings.select(
+        F.col(label_col), F.posexplode(as_double(F.col(vec_col))).alias("pos", "x")
+    )
+    return exploded.groupBy(label_col, "pos").agg(F.avg("x").alias("centroid_val"))
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid by cosine (broadcast join
+    against the collected centroid vectors). Output: (id, cell)."""
+    packed = (
+        centroids.groupBy(label_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "centroid_val"))).alias("pairs"))
+        .select(F.col(label_col).alias("cell"), F.expr("transform(pairs, p -> p.centroid_val)").alias("cv"))
+    )
+    v = embeddings.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    scored = v.join(F.broadcast(packed)).select(
+        id_col, "cell", cosine(F.col("v"), F.col("cv")).alias("sim")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("cell"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1).select(id_col, "cell")

@@ -1,0 +1,212 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+token counting, quality scoring, language ID, fingerprinting, shingling.
+
+These extend the reference's surface (BASELINE.json north star) — the
+reference itself has no text ops. Everything here is built-in Catalyst
+expressions (JVM-side, whole-stage codegen); no Python UDFs. Each helper is
+written to have an exactly-mirrorable ANSI-SQL form for the DuckDB oracle
+(same normalize→split pipeline, same occurrence-count arithmetic).
+
+Scale notes: all per-document expressions are embarrassingly parallel (no
+shuffle). The only shuffles in this family are the groupBys in shingling
+consumers (dedup.py) — see there.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# ---------------------------------------------------------------------------
+# Normalization / tokenization
+# ---------------------------------------------------------------------------
+
+
+def normalize_ws(col: Column) -> Column:
+    """Collapse runs of whitespace to single spaces and trim."""
+    return F.trim(F.regexp_replace(col, r"\s+", " "))
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count; 0 for empty/blank text."""
+    norm = normalize_ws(col)
+    return F.when(F.length(norm) == 0, F.lit(0)).otherwise(F.size(F.split(norm, " ")))
+
+
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Sub-word-ish token count: alpha runs, digit runs, and single
+    punctuation marks each count as one token (a BPE-flavored regex split)."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), 0))
+
+
+def tokens(col: Column) -> Column:
+    return F.split(normalize_ws(col), " ")
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string>; empty if < n tokens."""
+    toks = tokens(col)
+    return F.expr(
+        f"transform(sequence(1, greatest(size({_sql_of(toks)}) - {n - 1}, 0)), "
+        f"i -> array_join(slice({_sql_of(toks)}, i, {n}), ' '))"
+    )
+
+
+def _sql_of(col: Column) -> str:
+    # build the SQL text of a tokens() expression for use inside F.expr
+    # (expr needs a string; keep a single canonical form)
+    return "split(trim(regexp_replace(text, '\\\\s+', ' ')), ' ')"
+
+
+def shingles_expr(text_col: str = "text", n: int = 3) -> Column:
+    """Shingles as a pure SQL expression over a named column (usable in
+    selects that need to stay inside codegen)."""
+    toks = f"split(trim(regexp_replace({text_col}, '\\\\s+', ' ')), ' ')"
+    return F.expr(
+        f"transform(sequence(1, greatest(size({toks}) - {n - 1}, 0)), "
+        f"i -> array_join(slice({toks}, i, {n}), ' '))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring
+# ---------------------------------------------------------------------------
+
+
+def quality_columns(text_col: str = "text") -> list[Column]:
+    """Length / alpha / digit / punctuation ratios + token stats.
+
+    All ratios guard the empty-string case to 0.0 so the columns are total
+    functions (keeps the oracle SQL total too).
+    """
+    c = F.col(text_col)
+    n = F.length(c).cast("double")
+    alpha = F.length(F.regexp_replace(c, "[^A-Za-z]", "")).cast("double")
+    digit = F.length(F.regexp_replace(c, "[^0-9]", "")).cast("double")
+    space = F.length(F.regexp_replace(c, "[^ ]", "")).cast("double")
+    safe_n = F.when(n > 0, n)
+    return [
+        F.length(c).alias("n_chars"),
+        token_count(c).alias("n_tokens"),
+        bpe_ish_token_count(c).alias("n_bpe_tokens"),
+        F.coalesce(alpha / safe_n, F.lit(0.0)).alias("alpha_ratio"),
+        F.coalesce(digit / safe_n, F.lit(0.0)).alias("digit_ratio"),
+        F.coalesce(space / safe_n, F.lit(0.0)).alias("space_ratio"),
+    ]
+
+
+def quality_sql_columns(text_col: str = "text") -> str:
+    """The DuckDB-mirror of quality_columns (identical arithmetic)."""
+    return f"""
+           length({text_col}) AS n_chars,
+           CASE WHEN length(trim(regexp_replace({text_col}, '\\s+', ' ', 'g'))) = 0 THEN 0
+                ELSE array_length(regexp_split_to_array(trim(regexp_replace({text_col}, '\\s+', ' ', 'g')), ' ')) END
+             AS n_tokens,
+           array_length(regexp_extract_all({text_col}, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+           coalesce(CAST(length(regexp_replace({text_col}, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                    / (CASE WHEN length({text_col}) > 0 THEN CAST(length({text_col}) AS DOUBLE) END), 0.0) AS alpha_ratio,
+           coalesce(CAST(length(regexp_replace({text_col}, '[^0-9]', '', 'g')) AS DOUBLE)
+                    / (CASE WHEN length({text_col}) > 0 THEN CAST(length({text_col}) AS DOUBLE) END), 0.0) AS digit_ratio,
+           coalesce(CAST(length(regexp_replace({text_col}, '[^ ]', '', 'g')) AS DOUBLE)
+                    / (CASE WHEN length({text_col}) > 0 THEN CAST(length({text_col}) AS DOUBLE) END), 0.0) AS space_ratio
+    """
+
+
+# ---------------------------------------------------------------------------
+# Language identification (stopword-hit heuristic)
+# ---------------------------------------------------------------------------
+
+# Marker words per language, scored by padded-occurrence counting. Order is
+# the deterministic tie-break (first wins on >=).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is"],
+    "de": ["der", "und", "die", "ist"],
+    "fr": ["le", "et", "les", "est"],
+    "es": ["el", "y", "los", "es"],
+    "zh": ["de", "shi", "le", "zai"],
+}
+
+
+def _occurrences(padded: Column, word: str) -> Column:
+    pat = f" {word} "
+    return (F.length(padded) - F.length(F.regexp_replace(padded, pat, ""))) / F.lit(len(pat))
+
+
+def langid_score_columns(text_col: str = "text") -> list[Column]:
+    """Marker-word hit scores, one column per language."""
+    padded = F.concat(F.lit(" "), normalize_ws(F.lower(F.col(text_col))), F.lit(" "))
+    return [
+        sum((_occurrences(padded, w) for w in words), F.lit(0.0)).alias(f"score_{lang}")
+        for lang, words in LANG_MARKERS.items()
+    ]
+
+
+def langid_pred_column() -> Column:
+    """Argmax over already-materialized score_{lang} columns with the
+    deterministic LANG_MARKERS-order tie-break.
+
+    Kept as a second projection stage on purpose: referencing the score
+    COLUMNS (not re-stating the expressions) keeps each heavy regex score
+    evaluated once — inlining them into the 20-comparison when-chain blows
+    the expression tree up ~20x (measured 40 s vs <1 s on 500 docs).
+    """
+    langs = list(LANG_MARKERS)
+    scores = {lang: F.col(f"score_{lang}") for lang in langs}
+    pred = None
+    # reversed when-chain so earlier langs win ties; last language is the
+    # unconditional fallback (mirrors the SQL CASE ... ELSE)
+    for lang in reversed(langs):
+        if pred is None:
+            pred = F.lit(lang)
+            continue
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return pred.alias("pred_lang")
+
+
+def langid_sql_columns(text_col: str = "text") -> str:
+    padded = f"' ' || trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g')) || ' '"
+    score_exprs = {}
+    for lang, words in LANG_MARKERS.items():
+        parts = [
+            f"(length({padded}) - length(regexp_replace({padded}, ' {w} ', '', 'g'))) / {len(w) + 2}.0"
+            for w in words
+        ]
+        score_exprs[lang] = "0.0 + " + " + ".join(parts)
+    langs = list(LANG_MARKERS)
+    whens = []
+    for lang in langs[:-1]:
+        conds = " AND ".join(
+            f"({score_exprs[lang]}) >= ({score_exprs[o]})" for o in langs if o != lang
+        )
+        whens.append(f"WHEN {conds} THEN '{lang}'")
+    case = "CASE " + " ".join(whens) + f" ELSE '{langs[-1]}' END"
+    cols = ",\n       ".join(f"({e}) AS score_{lang}" for lang, e in score_exprs.items())
+    return f"{cols},\n       {case} AS pred_lang"
+
+
+# ---------------------------------------------------------------------------
+# Fingerprinting
+# ---------------------------------------------------------------------------
+
+
+def fingerprint(col: Column) -> Column:
+    """Full-document content fingerprint: md5 of the lowercase normalized
+    text. Identical fingerprints == exact duplicates (after normalization)."""
+    return F.md5(F.encode(F.lower(normalize_ws(col)), "UTF-8"))
+
+
+def prefix_fingerprint(col: Column, n_tokens: int = 8) -> Column:
+    """Fingerprint of the first n tokens — catches shared-prefix near-dups
+    (boilerplate headers) cheaply."""
+    prefix = F.expr(
+        f"array_join(slice(split(trim(regexp_replace(text, '\\\\s+', ' ')), ' '), 1, {n_tokens}), ' ')"
+    )
+    return F.md5(F.encode(F.lower(prefix), "UTF-8"))

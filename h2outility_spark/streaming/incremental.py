@@ -1,0 +1,125 @@
+"""Incremental / streaming surface (SURVEY.md §2.10, I1–I3).
+
+The reference has no streaming runtime — its incremental path is
+batch + high-watermark + cron (``src/SilentUpdater.py``,
+``DatasetUtilities.py:537-565``, ``series_service.py:415-430``). Spark
+gives us both forms:
+
+  * **Batch watermark append** (`incremental_append`): the faithful
+    re-expression — read the bookmark, extract `ts > watermark`, dedup
+    within the new slice, append. Idempotent against re-runs when the sink
+    dedups on the logical key (I3's UNIQUE-constraint analog).
+  * **Structured Streaming** (`stream_*`): the native form —
+    `readStream` + event-time watermark + windowed aggregation, with
+    `Trigger.AvailableNow` as the cron-equivalent "drain what's there and
+    stop". Late/duplicate defense via `withWatermark` + `dropDuplicates`.
+
+Scale notes: file-source streaming tracks processed files in the checkpoint
+(no re-scan); aggregation state is bounded by the watermark horizon. At
+100 TB the source is a log/queue (Kafka) — same plan, different format
+string.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from h2outility_spark.operators.mutation import drop_logical_duplicates
+
+
+def incremental_extract(dv: DataFrame, watermark, ts_col: str = "LocalDateTime") -> DataFrame:
+    """I2: rows strictly after the bookmark (open-ended date filter P5)."""
+    if watermark is None:
+        return dv
+    return dv.filter(F.col(ts_col) > F.lit(watermark))
+
+
+def incremental_append(
+    dv: DataFrame,
+    existing: DataFrame,
+    keys: list[str] | None = None,
+    ts_col: str = "LocalDateTime",
+) -> DataFrame:
+    """I2+I3: compute the watermark from what is already exported, take the
+    strictly-newer slice, defend against duplicates on the logical key, and
+    return the union. The watermark aggregate is a metadata-only min/max on
+    parquet sources."""
+    wm = existing.agg(F.max(ts_col).alias("wm"))
+    fresh = (
+        dv.join(F.broadcast(wm))
+        .filter(F.col(ts_col) > F.col("wm"))
+        .drop("wm")
+    )
+    fresh = drop_logical_duplicates(fresh, keys)
+    return existing.unionByName(fresh, allowMissingColumns=True)
+
+
+def stream_events(spark: SparkSession, sf_dir: str, schema) -> DataFrame:
+    """File-source stream over the events table (for tests/local smoke the
+    parquet directory stands in for the queue)."""
+    return spark.readStream.schema(schema).format("parquet").load(sf_dir)
+
+
+def stream_windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Event-time tumbling window aggregation with late-data watermark —
+    the extension surface the reference's cron loop approximates."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window), key_col)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("window.start").alias("win_start"), key_col, "n", "sum_value")
+    )
+
+
+def stream_sessionized(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Native session windows (dynamic gap-close) — the streaming form of
+    the batch sessionization query."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap), key_col)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            key_col,
+            "n_events",
+        )
+    )
+
+
+def stream_deduped_append(
+    events: DataFrame,
+    keys: list[str],
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """I3: drop duplicate records within the watermark horizon — the
+    streaming analog of the reference's UNIQUE constraint."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def run_available_now(stream_df: DataFrame, query_name: str = "drain") -> list:
+    """Drain everything currently available (Trigger.AvailableNow), collect
+    from the in-memory sink, stop — the cron-equivalent one-shot run (I1)."""
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.sql(f"SELECT * FROM {query_name}").collect()

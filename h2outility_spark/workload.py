@@ -143,7 +143,6 @@ def q_distinct_series(spark, sf_dir):
                             AND TIMESTAMP '2024-01-03 18:00:00'
     """,
     description="P2-P6/O6: conjunctive predicate + IN lists + BETWEEN, wide column shape",
-    bench=True,
 )
 def q_extract_filtered(spark, sf_dir):
     dv = _dv(spark, sf_dir)
@@ -352,7 +351,6 @@ def q_tpch_q5(spark, sf_dir):
       AND l_quantity < 24
     """,
     description="P3/P4 + scalar agg: TPC-H Q6 forecast revenue",
-    bench=True,
 )
 def q_tpch_q6(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
@@ -452,6 +450,7 @@ def q_dedup_keep_first(spark, sf_dir):
 # import back from this one, which is safe because everything they need is
 # defined above this line).
 from h2outility_spark import workload_qc  # noqa: E402,F401
+from h2outility_spark import workload_text  # noqa: E402,F401
 
 
 def registry() -> dict[str, QuerySpec]:

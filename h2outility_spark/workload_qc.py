@@ -41,7 +41,6 @@ def _ev(spark, sf_dir):
     WHERE coalesce(gn >= 259200000000, FALSE) OR coalesce(gp >= 259200000000, FALSE)
     """,
     description="W1: data-gap detection — both endpoints of every >=3-day gap per series",
-    bench=True,
 )
 def q_qc_gaps(spark, sf_dir):
     ev = qc.select_data_gaps(_ev(spark, sf_dir), KEYS, amount=3, period="day", ts="ts")

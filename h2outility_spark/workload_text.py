@@ -1,0 +1,297 @@
+"""LLM-data-pipeline workload queries: text analysis, deduplication,
+similarity search — each with a DuckDB oracle (BASELINE.json north star;
+these extend the reference, which has no text/embedding surface).
+
+Portability notes: md5 is identical in Spark and DuckDB (the minhash /
+simhash / fingerprint trick); fixed-width hex strings compare like the
+integers they encode; shingling is the same normalize→split→slice pipeline
+on both sides; DuckDB needs the 'g' flag on regexp_replace to match Spark's
+replace-all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from h2outility_spark.operators import dedup, similarity, text
+from h2outility_spark.workload import _t, fround, query
+
+# Shared oracle CTE fragments --------------------------------------------------
+
+TOKS_CTE = """
+    toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS w,
+             generate_subscripts(regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '), 1) AS i
+      FROM documents
+      WHERE length(trim(text)) > 0
+    )
+"""
+
+SH_CTE = (
+    TOKS_CTE
+    + """,
+    sh AS (
+      SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+      FROM toks a
+      JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      JOIN toks c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+    )
+"""
+)
+
+MINHASH_K = 8
+
+MH_CTE = (
+    SH_CTE
+    + """,
+    mh AS (
+      SELECT doc_id, """
+    + ", ".join(f"min(substr(md5(shingle || '#{i}'), 1, 8)) AS mh{i}" for i in range(MINHASH_K))
+    + """
+      FROM sh GROUP BY doc_id
+    )
+"""
+)
+
+# Distinct shingles + set sizes + exact jaccard for a `cand` (id_a, id_b) CTE.
+JACCARD_TAIL = """
+    dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM dsh GROUP BY 1),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS ni
+      FROM cand c
+      JOIN dsh s1 ON s1.doc_id = c.id_a
+      JOIN dsh s2 ON s2.doc_id = c.id_b AND s2.shingle = s1.shingle
+      GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b,
+           floor((CAST(ni AS DOUBLE) / CAST(sa.sz + sb.sz - ni AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
+             AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE CAST(ni AS DOUBLE) / CAST(sa.sz + sb.sz - ni AS DOUBLE) >= 0.2
+"""
+
+
+def _docs(spark, sf_dir):
+    return _t(spark, sf_dir, "documents")
+
+
+def _emb(spark, sf_dir):
+    return _t(spark, sf_dir, "embeddings")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_stats",
+    oracle="SELECT doc_id, " + text.quality_sql_columns("text") + " FROM documents",
+    description="Text quality scoring: char/token counts (whitespace + BPE-ish), alpha/digit/space ratios",
+    bench=True,
+)
+def q_text_stats(spark, sf_dir):
+    return _docs(spark, sf_dir).select("doc_id", *text.quality_columns("text"))
+
+
+@query(
+    "text_langid",
+    oracle="SELECT doc_id, " + text.langid_sql_columns("text") + " FROM documents",
+    description="Language ID: marker-word occurrence scores per language + argmax prediction",
+)
+def q_text_langid(spark, sf_dir):
+    scored = _docs(spark, sf_dir).select("doc_id", *text.langid_score_columns("text"))
+    return scored.withColumn("pred_lang", text.langid_pred_column())
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+           md5(lower(array_to_string(list_slice(regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '), 1, 8), ' '))) AS prefix_fp
+    FROM documents
+    """,
+    description="Document fingerprinting: md5 of normalized text + 8-token prefix fingerprint",
+)
+def q_doc_fingerprint(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        text.fingerprint(F.col("text")).alias("fp"),
+        text.prefix_fingerprint(F.col("text"), 8).alias("prefix_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_exact_docs",
+    oracle="""
+    SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+           min(doc_id) AS keep_id,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents
+    GROUP BY 1
+    """,
+    description="Exact dedup via hash-groupBy on the content fingerprint (keep min id per group)",
+)
+def q_dedup_exact_docs(spark, sf_dir):
+    return dedup.exact_dedup_groups(_docs(spark, sf_dir))
+
+
+@query(
+    "minhash_signatures",
+    oracle="WITH "
+    + MH_CTE
+    + "SELECT doc_id, "
+    + ", ".join(f"mh{i}" for i in range(MINHASH_K))
+    + " FROM mh",
+    description="MinHash signatures (8 md5-derived permutations over 3-gram shingles)",
+    bench=True,
+)
+def q_minhash_signatures(spark, sf_dir):
+    return dedup.minhash_signatures(_docs(spark, sf_dir), num_hashes=MINHASH_K)
+
+
+@query(
+    "neardup_minhash_pairs",
+    oracle="WITH "
+    + MH_CTE
+    + """,
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM mh a JOIN mh b
+        ON a.doc_id < b.doc_id
+       AND ("""
+    + " OR ".join(f"a.mh{i} = b.mh{i}" for i in range(MINHASH_K))
+    + """)
+    ),
+"""
+    + JACCARD_TAIL,
+    description=(
+        "Near-dup detection: MinHash-LSH candidate pairs (8 one-row bands) verified by "
+        "exact 3-gram Jaccard >= 0.2"
+    ),
+)
+def q_neardup_minhash_pairs(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    sigs = dedup.minhash_signatures(docs, num_hashes=MINHASH_K)
+    pairs = dedup.lsh_candidate_pairs(sigs, bands=[[i] for i in range(MINHASH_K)])
+    jac = dedup.jaccard_for_pairs(pairs, docs)
+    return jac.filter(F.col("jaccard") >= 0.2).select(
+        "id_a", "id_b", fround(F.col("jaccard"), 4).alias("jaccard")
+    )
+
+
+@query(
+    "ngram_jaccard_blocked",
+    oracle="WITH "
+    + SH_CTE
+    + """,
+    cand AS (
+      SELECT d1.doc_id AS id_a, d2.doc_id AS id_b
+      FROM documents d1
+      JOIN documents d2
+        ON d1.lang = d2.lang AND d1.source = d2.source AND d1.doc_id < d2.doc_id
+    ),
+"""
+    + JACCARD_TAIL,
+    description=(
+        "n-gram Jaccard dedup with (lang, source) blocking: exact 3-gram Jaccard >= 0.2 "
+        "within each block"
+    ),
+)
+def q_ngram_jaccard_blocked(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    d1 = docs.select(F.col("doc_id").alias("id_a"), "lang", "source")
+    d2 = docs.select(F.col("doc_id").alias("id_b"), "lang", "source")
+    pairs = d1.join(d2, ["lang", "source"]).filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+    jac = dedup.jaccard_for_pairs(pairs, docs)
+    return jac.filter(F.col("jaccard") >= 0.2).select(
+        "id_a", "id_b", fround(F.col("jaccard"), 4).alias("jaccard")
+    )
+
+
+def _simhash_oracle() -> str:
+    votes = ", ".join(
+        f"{dedup.simhash_bit_vote_sql('th', b)} AS v{b}" for b in range(64)
+    )
+    sums = ", ".join(f"sum(v{b}) AS s{b}" for b in range(64))
+    digits = []
+    for d in range(16):
+        bits = [f"(CASE WHEN s{4 * d + i} > 0 THEN {2 ** (3 - i)} ELSE 0 END)" for i in range(4)]
+        digits.append(f"substr('0123456789abcdef', ({' + '.join(bits)}) + 1, 1)")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+      FROM documents
+    ),
+    h AS (SELECT doc_id, substr(md5(tok), 1, 16) AS th FROM toks WHERE length(tok) > 0),
+    v AS (SELECT doc_id, {votes} FROM h),
+    s AS (SELECT doc_id, {sums} FROM v GROUP BY doc_id)
+    SELECT doc_id, concat({", ".join(digits)}) AS simhash FROM s
+    """
+
+
+@query(
+    "simhash_signatures",
+    oracle=_simhash_oracle(),
+    description="SimHash: 64-bit per-bit majority-vote signature over token hashes, as 16 hex chars",
+)
+def q_simhash_signatures(spark, sf_dir):
+    return dedup.simhash_signatures(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+@query(
+    "embedding_knn",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    s AS (
+      SELECT query_id, cand_id,
+             list_inner_product(qv, cv)
+               / sqrt(list_inner_product(qv, qv) * list_inner_product(cv, cv)) AS cos_raw
+      FROM c, q WHERE cand_id <> query_id
+    ),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_raw DESC, cand_id) AS rk FROM s)
+    SELECT query_id, cand_id, floor(cos_raw * 10000.0 + 0.5) / 10000.0 AS cos_sim
+    FROM r WHERE rk <= 5
+    """,
+    description="Brute-force cosine top-5 neighbors for query vectors (vec_id < 10)",
+    bench=True,
+)
+def q_embedding_knn(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    topk = similarity.brute_force_topk(emb, queries, k=5)
+    return topk.select("query_id", "cand_id", fround(F.col("cos_sim"), 4).alias("cos_sim"))
+
+
+@query(
+    "embedding_centroids",
+    oracle="""
+    SELECT label, CAST(pos - 1 AS INT) AS pos,
+           floor((avg(x)) * 1000000.0 + 0.5) / 1000000.0 AS centroid_val
+    FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+                 generate_subscripts(embedding, 1) AS pos
+          FROM embeddings)
+    GROUP BY 1, 2
+    """,
+    description="IVF coarse quantizer: element-wise mean embedding per label (posexplode + groupBy)",
+)
+def q_embedding_centroids(spark, sf_dir):
+    cents = similarity.centroids_by_label(_emb(spark, sf_dir))
+    return cents.select("label", F.col("pos").cast("int").alias("pos"), fround(F.col("centroid_val"), 6).alias("centroid_val"))
