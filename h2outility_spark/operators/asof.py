@@ -1,0 +1,110 @@
+"""As-of and range joins — time-alignment operators Spark lacks natively.
+
+The reference aligns series by pivoting on shared timestamps (SURVEY.md
+§2.3: "time alignment across series is done by the pivot, not an as-of
+join") — which only works when sensors share a clock. These operators are
+the general alignment surface a timeseries engine needs.
+
+Implementations are pure DataFrame compositions (option (a) of the custom-
+operator ladder): no UDFs, no per-group pandas.
+
+As-of join (backward): for each left row, the newest right row with
+``right.ts <= left.ts`` (within the same key).
+  Strategy: union both sides tagged, sort by (key, ts, side) in ONE window
+  pass, carry the last-seen right payload forward with an ignore-nulls
+  window scan, keep left rows. One shuffle on the key columns — same cost
+  as a regular join, regardless of time skew. This is the classic
+  union-sort-carry formulation (vs. pandas merge_asof's per-group merge).
+
+Range join: equi-key + bounded time band. Bucketize the time dimension to
+the band width, equi-join on (key, bucket) for the 3 candidate buckets,
+then filter the exact band — turns an inequality join (BroadcastNestedLoop
+at worst) into a hash join with 3x fan-out, which scales.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    payload_cols: list[str] | None = None,
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """For each left row: columns of the newest right row at-or-before it.
+
+    ``payload_cols`` are the right-side columns to carry (NULL when no
+    right row precedes, or when outside ``tolerance_seconds``).
+    """
+    payload_cols = payload_cols or [c for c in right.columns if c not in keys and c != right_ts]
+    lt = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
+    rt = (
+        right.select(
+            *keys,
+            F.col(right_ts).alias("__rts"),
+            *[F.col(c).alias(f"__p_{c}") for c in payload_cols],
+        )
+        .withColumn("__side", F.lit(0))
+        .withColumn("__ts", F.col("__rts"))
+    )
+    both = lt.unionByName(rt, allowMissingColumns=True)
+    # right rows sort before left rows at equal timestamps → "<=" semantics
+    w = W.partitionBy(*keys).orderBy("__ts", "__side").rowsBetween(W.unboundedPreceding, 0)
+    carried = both.select(
+        "*",
+        F.last(F.when(F.col("__side") == 0, F.col("__rts")), ignorenulls=True).over(w).alias("__asof_ts"),
+        *[
+            F.last(F.when(F.col("__side") == 0, F.col(f"__p_{c}")), ignorenulls=True).over(w).alias(f"__a_{c}")
+            for c in payload_cols
+        ],
+    )
+    out = carried.filter(F.col("__side") == 1)
+    within = F.lit(True)
+    if tolerance_seconds is not None:
+        within = (F.unix_micros(F.col(left_ts)) - F.unix_micros(F.col("__asof_ts"))) <= int(
+            tolerance_seconds * 1_000_000
+        )
+    result = out.select(
+        *left.columns,
+        F.when(within, F.col("__asof_ts")).alias("asof_ts"),
+        *[F.when(within, F.col(f"__a_{c}")).alias(c) for c in payload_cols],
+    )
+    return result
+
+
+def range_join_count(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    band_seconds: int,
+    count_alias: str = "n_in_band",
+) -> DataFrame:
+    """Count right rows within ±band of each left row (same keys), via
+    bucketized equi-join: candidates come from the 3 adjacent buckets, the
+    exact band filter runs after the hash join."""
+    band_us = band_seconds * 1_000_000
+    lb = left.withColumn("__lb", F.expr(f"unix_micros({left_ts}) div {band_us}"))
+    rb = right.select(*keys, F.unix_micros(F.col(right_ts)).alias("__rus")).withColumn(
+        "__rb", F.expr(f"__rus div {band_us}")
+    )
+    shifted = None
+    for d in (-1, 0, 1):
+        cand = rb.withColumn("__bucket", F.col("__rb") + F.lit(d)).drop("__rb")
+        shifted = cand if shifted is None else shifted.unionByName(cand)
+    cond = None
+    for k in keys:
+        c = lb[k] == shifted[k]
+        cond = c if cond is None else cond & c
+    cond = cond & (lb["__lb"] == shifted["__bucket"])
+    joined = lb.join(shifted, cond, "left")
+    lus = F.unix_micros(lb[left_ts])
+    in_band = F.when(F.abs(lus - shifted["__rus"]) <= band_us, 1).otherwise(0)
+    group_cols = [lb[c] for c in left.columns]
+    return joined.groupBy(*group_cols).agg(F.sum(in_band).alias(count_alias)).fillna({count_alias: 0})

@@ -74,6 +74,67 @@ def centroids_by_label(
     return exploded.groupBy(label_col, "pos").agg(F.avg("x").alias("centroid_val"))
 
 
+def _round_half_up(col: Column, n: int) -> Column:
+    factor = float(10**n)
+    return F.floor(col * F.lit(factor) + F.lit(0.5)) / F.lit(factor)
+
+
+def pack_centroids(centroids: DataFrame, label_col: str = "label", round_dp: int | None = 6) -> DataFrame:
+    """(label, pos, centroid_val) rows → (cell, cvec array<double>).
+
+    Centroid components are rounded (default 6 dp) so that cell-assignment
+    comparisons are reproducible across engines — partial-aggregation order
+    makes raw averages differ in the last ulp.
+    """
+    val = F.col("centroid_val")
+    if round_dp is not None:
+        val = _round_half_up(val, round_dp)
+    return (
+        centroids.select(F.col(label_col).alias("cell"), "pos", val.alias("cv"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pairs"))
+        .select("cell", F.expr("transform(pairs, p -> p.cv)").alias("cvec"))
+    )
+
+
+def ivf_search(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """IVF-style ANN: each query probes only its nearest centroid cell
+    (n_probe=1); exact cosine top-k within the cell.
+
+    At scale the candidate table is partitioned by cell, so the in-cell
+    join is partition-pruned — the query never scans the full corpus. The
+    centroids (k rows) are always broadcast.
+    """
+    from pyspark.sql import Window as W
+
+    cents = pack_centroids(centroids_by_label(embeddings, label_col, vec_col))
+    q = queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv"))
+    scored_cells = q.join(F.broadcast(cents)).select(
+        "query_id", "qv", "cell", cosine(F.col("qv"), F.col("cvec")).alias("cell_sim")
+    )
+    wc = W.partitionBy("query_id").orderBy(F.col("cell_sim").desc(), F.col("cell"))
+    best_cell = (
+        scored_cells.withColumn("rk", F.row_number().over(wc)).filter(F.col("rk") == 1).select("query_id", "qv", "cell")
+    )
+    cands = embeddings.select(
+        F.col(id_col).alias("cand_id"), F.col(label_col).alias("cell"), as_double(F.col(vec_col)).alias("cv2")
+    )
+    scored = (
+        cands.join(F.broadcast(best_cell), "cell")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", cosine(F.col("qv"), F.col("cv2")).alias("cos_sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).drop("rk")
+
+
 def ivf_assign(
     embeddings: DataFrame,
     centroids: DataFrame,

@@ -1,0 +1,321 @@
+"""Extended workload: join variants (left-dim, self-alias, semi/anti are in
+core), as-of & range joins, rollup/unpivot/percentiles, set-op dedup, G3/G5
+catalog aggregates, and IVF similarity search — each with a DuckDB oracle.
+
+These fill out the SURVEY.md §2 inventory lines not covered by the core,
+QC, and text workloads, plus the "operators Spark users expect" layer
+(rollup, unpivot, percentiles, as-of) that Catalyst gives nearly for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W, functions as F
+
+from h2outility_spark.operators import asof, mutation, similarity
+from h2outility_spark.operators.catalog import derive_catalog, series_year_range
+from h2outility_spark.schema import events_as_datavalues
+from h2outility_spark.workload import DV_CTE, _t, fround, query
+
+
+# ---------------------------------------------------------------------------
+# J2: left join to a small dimension (inline qualifier dim)
+# ---------------------------------------------------------------------------
+
+QUALIFIER_DIM = [(1, "estimated"), (2, "suspect"), (3, "provisional")]
+
+
+@query(
+    "left_join_qualifiers",
+    oracle=DV_CTE
+    + """
+    SELECT coalesce(q.code, 'unqualified') AS qualifier,
+           CAST(count(*) AS BIGINT) AS n
+    FROM dv LEFT JOIN (VALUES (1, 'estimated'), (2, 'suspect'), (3, 'provisional'))
+                 AS q(QualifierID, code)
+        ON dv.QualifierID = q.QualifierID
+    GROUP BY 1
+    """,
+    description="J2: broadcast left join of the fact table to the qualifier dim, NULL-safe rollup",
+)
+def q_left_join_qualifiers(spark, sf_dir):
+    dv = events_as_datavalues(_t(spark, sf_dir, "events"))
+    dim = spark.createDataFrame(QUALIFIER_DIM, "QualifierID int, code string")
+    return (
+        dv.join(F.broadcast(dim), "QualifierID", "left")
+        .groupBy(F.coalesce(F.col("code"), F.lit("unqualified")).alias("qualifier"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "self_alias_join",
+    oracle="""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue
+    FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 2
+    """,
+    description="J6: the same dim joined twice under aliases (customer nation vs supplier nation)",
+)
+def q_self_alias_join(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00")) & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    cn = nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    sn = nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cn), cust.c_nationkey == cn.c_nk)
+        .join(F.broadcast(sn), supp.s_nationkey == sn.s_nk)
+    )
+    return joined.groupBy("cust_nation", "supp_nation").agg(
+        fround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of / range joins
+# ---------------------------------------------------------------------------
+
+@query(
+    "asof_join",
+    oracle="""
+    WITH purch AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         clicks AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, p.ts,
+           c.ts AS asof_ts, c.value AS asof_value
+    FROM purch p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    description=(
+        "As-of (backward) join: each purchase aligned to the user's latest click at-or-before "
+        "it — union-sort-carry formulation, one shuffle, no per-group pandas"
+    ),
+    bench=True,
+)
+def q_asof_join(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    out = asof.asof_join_backward(purch, clicks, keys=["user_id"], payload_cols=["value"])
+    return out.select("event_id", "user_id", "ts", "asof_ts", F.col("value").alias("asof_value"))
+
+
+@query(
+    "range_join_count",
+    oracle="""
+    WITH purch AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         clicks AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, p.ts,
+           CAST(count(c.ts) AS BIGINT) AS n_in_band
+    FROM purch p LEFT JOIN clicks c
+      ON p.user_id = c.user_id
+     AND abs(epoch_us(p.ts) - epoch_us(c.ts)) <= 86400000000
+    GROUP BY 1, 2, 3
+    """,
+    description=(
+        "Range join: clicks within ±1 day of each purchase (same user), bucketized to a hash "
+        "join with 3-bucket fan-out instead of an inequality nested loop"
+    ),
+)
+def q_range_join_count(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    return asof.range_join_count(purch, clicks, keys=["user_id"], left_ts="ts", right_ts="ts", band_seconds=86400)
+
+
+# ---------------------------------------------------------------------------
+# Rollup / unpivot / percentiles / approx
+# ---------------------------------------------------------------------------
+
+@query(
+    "rollup_revenue",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    description="Hierarchical rollup (subtotals + grand total) — free from Catalyst, absent in the reference",
+)
+def q_rollup_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        fround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "unpivot_part_metrics",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val FROM part
+    """,
+    description="Wide->long unpivot (melt) — inverse of the A1 pivot",
+)
+def q_unpivot_part_metrics(spark, sf_dir):
+    part = _t(spark, sf_dir, "part").withColumn("p_size", F.col("p_size").cast("double"))
+    return part.unpivot(["p_partkey"], ["p_size", "p_retailprice"], "metric", "val")
+
+
+@query(
+    "percentile_summary",
+    oracle="""
+    SELECT l_returnflag,
+           floor((quantile_cont(l_quantity, 0.25)) * 10000.0 + 0.5) / 10000.0 AS p25,
+           floor((quantile_cont(l_quantity, 0.50)) * 10000.0 + 0.5) / 10000.0 AS p50,
+           floor((quantile_cont(l_quantity, 0.75)) * 10000.0 + 0.5) / 10000.0 AS p75
+    FROM lineitem
+    GROUP BY 1
+    """,
+    description="Exact linear-interpolated percentiles per group",
+)
+def q_percentile_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        fround(F.percentile("l_quantity", F.lit(0.25)), 4).alias("p25"),
+        fround(F.percentile("l_quantity", F.lit(0.5)), 4).alias("p50"),
+        fround(F.percentile("l_quantity", F.lit(0.75)), 4).alias("p75"),
+    )
+
+
+@query(
+    "approx_distinct_parts",
+    oracle=None,  # HLL sketches are engine-specific; exactness asserted in tests
+    description="Approximate distinct (HLL) per group — the 100 TB cardinality-estimation path",
+)
+def q_approx_distinct_parts(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set ops (U1 + U5) and catalog aggregates (G3, G5)
+# ---------------------------------------------------------------------------
+
+@query(
+    "union_dedup",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1
+    """,
+    description="U1+U5: insert-by-union then logical-key dedup collapses the duplicates",
+)
+def q_union_dedup(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    doubled = mutation.add_points(ev, ev)
+    deduped = mutation.drop_logical_duplicates(doubled, ["event_id"])
+    return deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "series_year_range",
+    oracle=DV_CTE
+    + """
+    SELECT CAST(year(min(BeginDateTime)) AS INT) AS start_year,
+           CAST(year(max(EndDateTime)) AS INT) AS end_year,
+           CAST(year(max(EndDateTime)) - year(min(BeginDateTime)) + 1 AS INT) AS n_years
+    FROM (SELECT min(LocalDateTime) AS BeginDateTime, max(LocalDateTime) AS EndDateTime
+          FROM dv GROUP BY SiteID, VariableCode, MethodID, SourceID, QualityControlLevelID)
+    """,
+    description="G3: GetSeriesYearRange — year window over the selected series for chunk-by-year export",
+)
+def q_series_year_range(spark, sf_dir):
+    dv = events_as_datavalues(_t(spark, sf_dir, "events"))
+    keys = ["SiteID", "VariableCode", "MethodID", "SourceID", "QualityControlLevelID"]
+    catalog = derive_catalog(dv, keys=keys)
+    return series_year_range(catalog).select(
+        "start_year", "end_year", F.size("years").alias("n_years")
+    )
+
+
+@query(
+    "variable_census",
+    oracle="""
+    SELECT user_id,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_variables,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS variables
+    FROM events
+    GROUP BY 1
+    """,
+    description="G5: per-site key-set census (distinct variables + deterministic list) for chunk validation",
+)
+def q_variable_census(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count_distinct("event_type").alias("n_variables"),
+        F.concat_ws(",", F.array_sort(F.collect_set("event_type"))).alias("variables"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF similarity search
+# ---------------------------------------------------------------------------
+
+@query(
+    "ivf_search",
+    oracle="""
+    WITH cent AS (
+      SELECT label, pos,
+             floor((avg(x)) * 1000000.0 + 0.5) / 1000000.0 AS cv
+      FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings)
+      GROUP BY 1, 2
+    ),
+    centv AS (SELECT label AS cell, list(cv ORDER BY pos) AS cvec FROM cent GROUP BY 1),
+    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id < 10),
+    qcell AS (
+      SELECT query_id, cell FROM (
+        SELECT query_id, cell,
+               row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY list_inner_product(qv, cvec)
+                          / sqrt(list_inner_product(qv, qv) * list_inner_product(cvec, cvec)) DESC,
+                          cell) AS rk
+        FROM q, centv) WHERE rk = 1
+    ),
+    s AS (
+      SELECT q.query_id, e.vec_id AS cand_id,
+             list_inner_product(q.qv, CAST(e.embedding AS DOUBLE[]))
+               / sqrt(list_inner_product(q.qv, q.qv)
+                      * list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) AS cos_raw
+      FROM q JOIN qcell USING (query_id)
+             JOIN embeddings e ON e.label = qcell.cell AND e.vec_id <> q.query_id
+    ),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, cand_id) AS rk FROM s)
+    SELECT query_id, cand_id, floor(cos_raw * 10000.0 + 0.5) / 10000.0 AS cos_sim
+    FROM r WHERE rk <= 3
+    """,
+    description=(
+        "IVF ANN search: probe the nearest centroid cell only (rounded centroids for "
+        "engine-stable assignment), exact cosine top-3 within the cell"
+    ),
+)
+def q_ivf_search(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = similarity.ivf_search(emb, queries, k=3)
+    return out.select("query_id", "cand_id", fround(F.col("cos_sim"), 4).alias("cos_sim"))

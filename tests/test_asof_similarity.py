@@ -1,0 +1,81 @@
+"""Unit tests: as-of join edges, range join bands, approx-distinct sanity,
+IVF search invariants."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import Row, functions as F
+
+from h2outility_spark.operators import asof, similarity
+from h2outility_spark.sources.parquet import load_table
+from tests.conftest import SF_DIR
+
+T0 = datetime(2024, 1, 1)
+
+
+def ts(h):
+    return T0 + timedelta(hours=h)
+
+
+def test_asof_backward_basic(spark):
+    left = spark.createDataFrame([Row(k="a", ts=ts(5), lid=1), Row(k="a", ts=ts(1), lid=2)])
+    right = spark.createDataFrame(
+        [Row(k="a", ts=ts(0), v=10.0), Row(k="a", ts=ts(4), v=40.0), Row(k="a", ts=ts(6), v=60.0)]
+    )
+    out = {r["lid"]: r for r in asof.asof_join_backward(left, right, ["k"], payload_cols=["v"]).collect()}
+    assert out[1]["v"] == 40.0 and out[1]["asof_ts"] == ts(4)
+    assert out[2]["v"] == 10.0
+
+
+def test_asof_equal_ts_and_no_match(spark):
+    left = spark.createDataFrame([Row(k="a", ts=ts(2), lid=1), Row(k="b", ts=ts(2), lid=2)])
+    right = spark.createDataFrame([Row(k="a", ts=ts(2), v=1.0)])
+    out = {r["lid"]: r for r in asof.asof_join_backward(left, right, ["k"], payload_cols=["v"]).collect()}
+    assert out[1]["v"] == 1.0  # <= semantics: equal timestamps match
+    assert out[2]["v"] is None  # no right rows for key b
+
+
+def test_asof_tolerance(spark):
+    left = spark.createDataFrame([Row(k="a", ts=ts(10), lid=1)])
+    right = spark.createDataFrame([Row(k="a", ts=ts(0), v=1.0)])
+    out = asof.asof_join_backward(left, right, ["k"], payload_cols=["v"], tolerance_seconds=3600).collect()
+    assert out[0]["v"] is None  # 10h gap > 1h tolerance
+
+
+def test_range_join_count_band_edges(spark):
+    left = spark.createDataFrame([Row(k="a", ts=ts(10), lid=1)])
+    right = spark.createDataFrame(
+        [Row(k="a", ts=ts(9)), Row(k="a", ts=ts(11)), Row(k="a", ts=ts(12)), Row(k="b", ts=ts(10))]
+    )
+    out = asof.range_join_count(left, right, ["k"], "ts", "ts", band_seconds=3600).collect()
+    assert out[0]["n_in_band"] == 2  # ±1h: 9h and 11h qualify; 12h and key-b don't
+
+
+def test_approx_distinct_within_tolerance(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    row = (
+        li.agg(
+            F.approx_count_distinct("l_partkey").alias("approx"),
+            F.count_distinct("l_partkey").alias("exact"),
+        ).collect()[0]
+    )
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.1
+
+
+def test_ivf_search_stays_in_cell(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = similarity.ivf_search(emb, queries, k=3)
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    cents = similarity.pack_centroids(similarity.centroids_by_label(emb))
+    assert cents.count() == 10
+    rows = out.collect()
+    assert len(rows) > 0
+    for r in rows:
+        # every returned candidate shares one cell per query
+        pass
+    per_query = {}
+    for r in rows:
+        per_query.setdefault(r["query_id"], set()).add(labels[r["cand_id"]])
+    assert all(len(cells) == 1 for cells in per_query.values())
