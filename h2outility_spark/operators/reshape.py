@@ -47,21 +47,30 @@ def pivot_wide(
     flat, disambiguated output column names.
 
     ``agg='first'`` reproduces the reference's ``pivot_table`` default for
-    the one-value-per-cell case; 'avg'/'sum' are exposed for rollup-style
-    wide exports.
+    the one-value-per-cell case (order-dependent when a cell has several
+    values — same caveat as the reference); 'avg'/'sum' are exposed for
+    rollup-style wide exports.
+
+    Implementation note: this is conditional aggregation, NOT
+    ``DataFrame.pivot``. Spark's pivot lowers to a two-phase aggregate
+    (shuffle on (index, pivot_key), then shuffle on (index)); with the
+    pivot values known up front, one ``agg`` of per-pair conditionals does
+    the same work in a SINGLE shuffle with map-side partials — half the
+    exchange volume at 100 TB — and has no pivot-cardinality cap to trip.
     """
     names = pivot_column_names(pairs)
-    key = F.concat_ws("||", F.col(var_col), F.col(method_col).cast("string"))
-    keyed = dv.withColumn("__pivot_key", key)
-    values = [f"{code}||{method}" for code, method in pairs]
-    agg_col = {
-        "first": F.first(value_col, ignorenulls=True),
-        "avg": F.avg(value_col),
-        "sum": F.sum(value_col),
+    agg_fn = {
+        "first": lambda c: F.first(c, ignorenulls=True),
+        "avg": F.avg,
+        "sum": F.sum,
     }[agg]
-    wide = keyed.groupBy(*index_cols).pivot("__pivot_key", values).agg(agg_col)
-    renames = [F.col(f"`{v}`").alias(names[pair]) for v, pair in zip(values, pairs)]
-    return wide.select(*[F.col(c) for c in index_cols], *renames)
+    agg_cols = []
+    for code, method in pairs:
+        cell = F.when(
+            (F.col(var_col) == F.lit(code)) & (F.col(method_col) == F.lit(method)), F.col(value_col)
+        )
+        agg_cols.append(agg_fn(cell).alias(names[(code, method)]))
+    return dv.groupBy(*index_cols).agg(*agg_cols)
 
 
 def fill_no_data(wide: DataFrame, no_data_by_column: dict[str, float]) -> DataFrame:

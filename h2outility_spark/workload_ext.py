@@ -319,3 +319,32 @@ def q_ivf_search(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 10)
     out = similarity.ivf_search(emb, queries, k=3)
     return out.select("query_id", "cand_id", fround(F.col("cos_sim"), 4).alias("cos_sim"))
+
+
+# ---------------------------------------------------------------------------
+# Window running aggregates (O-family cumulative frames)
+# ---------------------------------------------------------------------------
+
+@query(
+    "running_totals",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           floor((sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                 * 100.0 + 0.5) / 100.0 AS running_value,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn
+    FROM events
+    WHERE user_id < 50
+    """,
+    description="Cumulative per-series frames: running sum + row index over event time",
+)
+def q_running_totals(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        fround(F.sum("value").over(w.rowsBetween(W.unboundedPreceding, 0)), 2).alias("running_value"),
+        F.row_number().over(w).cast("bigint").alias("rn"),
+    )

@@ -47,7 +47,7 @@ MH_CTE = (
     + """,
     mh AS (
       SELECT doc_id, """
-    + ", ".join(f"min(substr(md5(shingle || '#{i}'), 1, 8)) AS mh{i}" for i in range(MINHASH_K))
+    + ", ".join(f"min({dedup.minhash_hash_sql(i)}) AS mh{i}" for i in range(MINHASH_K))
     + """
       FROM sh GROUP BY doc_id
     )
@@ -181,7 +181,9 @@ def q_minhash_signatures(spark, sf_dir):
 )
 def q_neardup_minhash_pairs(spark, sf_dir):
     docs = _docs(spark, sf_dir)
-    sigs = dedup.minhash_signatures(docs, num_hashes=MINHASH_K)
+    # signatures feed the self-join twice and jaccard reuses the shingles —
+    # cache the small intermediates instead of re-deriving them per branch
+    sigs = dedup.minhash_signatures(docs, num_hashes=MINHASH_K).cache()
     pairs = dedup.lsh_candidate_pairs(sigs, bands=[[i] for i in range(MINHASH_K)])
     jac = dedup.jaccard_for_pairs(pairs, docs)
     return jac.filter(F.col("jaccard") >= 0.2).select(

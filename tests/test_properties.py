@@ -1,0 +1,50 @@
+"""Property tests (hypothesis) for the interpolation operator — SURVEY.md
+§5's recommended invariants: anchors preserved, interpolated values bounded
+by their anchors, edge runs untouched."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import Row, functions as F
+
+from h2outility_spark.operators import qc
+
+T0 = datetime(2024, 1, 1)
+
+series_strategy = st.lists(
+    st.tuples(
+        st.floats(min_value=-1000, max_value=1000, allow_nan=False, width=32),
+        st.booleans(),  # selected?
+    ),
+    min_size=2,
+    max_size=12,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(series_strategy)
+def test_interpolation_invariants(spark, data):
+    rows = [
+        Row(sid=1, ts=T0 + timedelta(hours=i), value=float(v), selected=sel, idx=i)
+        for i, (v, sel) in enumerate(data)
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r["idx"]: r["value"] for r in qc.interpolate_selected(df, ["sid"], ts="ts", value="value").collect()}
+
+    n = len(data)
+    for i, (v, sel) in enumerate(data):
+        if not sel:
+            # anchors never move
+            assert out[i] == float(v)
+            continue
+        prev_anchor = next((j for j in range(i - 1, -1, -1) if not data[j][1]), None)
+        next_anchor = next((j for j in range(i + 1, n) if not data[j][1]), None)
+        if prev_anchor is None or next_anchor is None:
+            # runs touching a series end are left unchanged
+            assert out[i] == float(v)
+        else:
+            lo = min(float(data[prev_anchor][0]), float(data[next_anchor][0]))
+            hi = max(float(data[prev_anchor][0]), float(data[next_anchor][0]))
+            assert lo - 1e-9 <= out[i] <= hi + 1e-9
