@@ -149,3 +149,109 @@ EVENTS_AS_DATAVALUES_SQL = """
            'nc' AS CensorCode
     FROM events
 """
+
+
+# --- Remaining ODM 1.1.1 dimension schemas (SURVEY.md §1.1; cited per table)
+METHODS_SCHEMA = T.StructType(
+    [
+        T.StructField("MethodID", T.IntegerType(), False),
+        T.StructField("MethodDescription", T.StringType(), False),
+        T.StructField("MethodLink", T.StringType(), True),
+    ]
+)  # odmdata/method.py:6-14
+
+SOURCES_SCHEMA = T.StructType(
+    [
+        T.StructField("SourceID", T.IntegerType(), False),
+        T.StructField("Organization", T.StringType(), False),
+        T.StructField("SourceDescription", T.StringType(), True),
+        T.StructField("SourceLink", T.StringType(), True),
+        T.StructField("ContactName", T.StringType(), True),
+        T.StructField("Phone", T.StringType(), True),
+        T.StructField("Email", T.StringType(), True),
+        T.StructField("Address", T.StringType(), True),
+        T.StructField("City", T.StringType(), True),
+        T.StructField("State", T.StringType(), True),
+        T.StructField("ZipCode", T.StringType(), True),
+        T.StructField("Citation", T.StringType(), True),
+        T.StructField("MetadataID", T.IntegerType(), True),
+    ]
+)  # odmdata/source.py:8-29
+
+UNITS_SCHEMA = T.StructType(
+    [
+        T.StructField("UnitsID", T.IntegerType(), False),
+        T.StructField("UnitsName", T.StringType(), False),
+        T.StructField("UnitsType", T.StringType(), True),
+        T.StructField("UnitsAbbreviation", T.StringType(), True),
+    ]
+)  # odmdata/unit.py:6-15 — referenced twice by variables (variable + time units)
+
+QUALIFIERS_SCHEMA = T.StructType(
+    [
+        T.StructField("QualifierID", T.IntegerType(), False),
+        T.StructField("QualifierCode", T.StringType(), True),
+        T.StructField("QualifierDescription", T.StringType(), True),
+    ]
+)  # odmdata/qualifier.py:6-14
+
+QUALITY_CONTROL_LEVELS_SCHEMA = T.StructType(
+    [
+        T.StructField("QualityControlLevelID", T.IntegerType(), False),
+        T.StructField("QualityControlLevelCode", T.StringType(), False),
+        T.StructField("Definition", T.StringType(), True),
+        T.StructField("Explanation", T.StringType(), True),
+    ]
+)  # odmdata/quality_control_level.py:6-15
+
+OFFSET_TYPES_SCHEMA = T.StructType(
+    [
+        T.StructField("OffsetTypeID", T.IntegerType(), False),
+        T.StructField("OffsetUnitsID", T.IntegerType(), True),
+        T.StructField("OffsetDescription", T.StringType(), True),
+    ]
+)  # odmdata/offset_type.py:8-19
+
+SAMPLES_SCHEMA = T.StructType(
+    [
+        T.StructField("SampleID", T.IntegerType(), False),
+        T.StructField("SampleType", T.StringType(), True),
+        T.StructField("LabSampleCode", T.StringType(), True),
+        T.StructField("LabMethodID", T.IntegerType(), True),
+    ]
+)  # odmdata/sample.py:9-21
+
+LAB_METHODS_SCHEMA = T.StructType(
+    [
+        T.StructField("LabMethodID", T.IntegerType(), False),
+        T.StructField("LabName", T.StringType(), True),
+        T.StructField("LabOrganization", T.StringType(), True),
+        T.StructField("LabMethodName", T.StringType(), True),
+        T.StructField("LabMethodLink", T.StringType(), True),
+    ]
+)  # odmdata/lab_method.py:6-17
+
+SPATIAL_REFERENCES_SCHEMA = T.StructType(
+    [
+        T.StructField("SpatialReferenceID", T.IntegerType(), False),
+        T.StructField("SRSID", T.IntegerType(), True),
+        T.StructField("SRSName", T.StringType(), True),
+        T.StructField("IsGeographic", T.BooleanType(), True),
+        T.StructField("Notes", T.StringType(), True),
+    ]
+)  # odmdata/spatial_reference.py:6-16 — referenced twice by sites
+
+# Controlled vocabularies: 11 two-column (Term, Definition) tables
+# (odmdata/__init__.py:1-29; read path cv_service.py:30-120). One schema
+# serves them all — they differ only by table name.
+CV_SCHEMA = T.StructType(
+    [
+        T.StructField("Term", T.StringType(), False),
+        T.StructField("Definition", T.StringType(), True),
+    ]
+)
+CV_TABLES = [
+    "CensorCodeCV", "DataTypeCV", "GeneralCategoryCV", "SampleMediumCV",
+    "SampleTypeCV", "SpeciationCV", "TopicCategoryCV", "ValueTypeCV",
+    "VariableNameCV", "VerticalDatumCV", "SiteTypeCV",
+]

@@ -348,3 +348,34 @@ def q_running_totals(spark, sf_dir):
         fround(F.sum("value").over(w.rowsBetween(W.unboundedPreceding, 0)), 2).alias("running_value"),
         F.row_number().over(w).cast("bigint").alias("rn"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-safe aggregation (semantics-preserving two-phase salted agg)
+# ---------------------------------------------------------------------------
+
+@query(
+    "salted_agg",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           floor((sum(value)) * 100.0 + 0.5) / 100.0 AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+    description=(
+        "Skew-safe two-phase salted aggregation over a hot key — identical results to the "
+        "plain groupBy (the oracle), with per-key volume split across 16 salted partials"
+    ),
+)
+def q_salted_agg(spark, sf_dir):
+    from h2outility_spark.operators import skew
+
+    ev = _t(spark, sf_dir, "events")
+    out = skew.salted_agg(
+        ev,
+        ["event_type"],
+        {"n": ("count", "value"), "sum_raw": ("sum", "value")},
+        salt_source=F.col("event_id"),
+        n_salts=16,
+    )
+    return out.select("event_type", F.col("n").cast("bigint").alias("n"), fround(F.col("sum_raw"), 2).alias("sum_value"))
