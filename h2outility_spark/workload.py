@@ -452,6 +452,7 @@ def q_dedup_keep_first(spark, sf_dir):
 from h2outility_spark import workload_qc  # noqa: E402,F401
 from h2outility_spark import workload_text  # noqa: E402,F401
 from h2outility_spark import workload_ext  # noqa: E402,F401
+from h2outility_spark import workload_tpch  # noqa: E402,F401
 
 
 def registry() -> dict[str, QuerySpec]:
