@@ -1,0 +1,74 @@
+"""Data layout for the 100 TB store: partitioned parquet and bucketed
+tables.
+
+The reference's "layout" was whatever the RDBMS did; its manual work
+partitioning (chunk by (site, source, QC), optionally by year —
+``H2OSeries.py:115-144``, ``H2OServices.py:176-190`` in /root/reference)
+is exactly the partition scheme the columnar store should bake in
+(SURVEY.md §4 "Ours to choose").
+
+  * **Partitioned layout** (`write_partitioned`): directory partitions on
+    low-cardinality chunk keys (+ year/date). Queries filtering on these
+    keys prune whole directories before any IO (`PartitionFilters` in the
+    scan node) — the distributed analog of the reference's per-chunk SQL.
+    Keep partition count sane: site×year is fine; never partition by a
+    high-cardinality key (millions of tiny dirs kill the driver/HMS).
+  * **Bucketed layout** (`write_bucketed`): hash buckets on the join/agg
+    key. Two tables bucketed the same way join WITHOUT a shuffle
+    (Exchange disappears from the plan); repeated aggregations on the
+    bucket key skip their exchange too. This is how the fact↔fact joins
+    (lineitem↔orders-scale) avoid reshuffling 100 TB per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    derive_year_from: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a directory-partitioned parquet layout; optionally derives a
+    ``year`` partition column from a timestamp column (the chunk-by-year
+    axis)."""
+    out = df
+    cols = list(partition_cols)
+    if derive_year_from is not None:
+        out = out.withColumn("year", F.year(F.col(derive_year_from)))
+        cols.append("year")
+    out.write.mode(mode).partitionBy(*cols).parquet(path)
+
+
+def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 16,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (and optionally sorted) managed table.
+
+    Bucket pruning + shuffle-free joins require reading back via
+    ``spark.table(table)`` (bucket metadata lives in the catalog, not the
+    files)."""
+    writer = df.write.mode(mode).format("parquet").bucketBy(num_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table)
+
+
+def is_shuffle_free_join(joined: DataFrame) -> bool:
+    """True if the join plan contains no shuffle exchange (bucketed
+    co-location worked). Broadcast exchanges don't count — they're the
+    small-side plan, not a data reshuffle."""
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    return "Exchange hashpartitioning" not in plan

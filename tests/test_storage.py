@@ -1,0 +1,48 @@
+"""Layout tests: partition pruning reaches the scan, bucketed joins run
+shuffle-free."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from h2outility_spark import storage
+from h2outility_spark.schema import events_as_datavalues
+from h2outility_spark.sources.parquet import load_table
+from tests.conftest import SF_DIR
+
+
+def test_partition_pruning(spark, tmp_path):
+    dv = events_as_datavalues(load_table(spark, SF_DIR, "events"))
+    path = str(tmp_path / "dv_part")
+    storage.write_partitioned(
+        dv, path, ["QualityControlLevelID"], derive_year_from="LocalDateTime"
+    )
+    back = storage.read_partitioned(spark, path)
+    q = back.filter((F.col("QualityControlLevelID") == 0) & (F.col("year") == 2024))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # pruned partitions are not even listed in the scan
+    assert q.count() == dv.filter(F.col("QualityControlLevelID") == 0).count()
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS buckets LOCATION '{tmp_path / 'warehouse'}'")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force non-broadcast
+    try:
+        orders = load_table(spark, SF_DIR, "orders")
+        li = load_table(spark, SF_DIR, "lineitem")
+        storage.write_bucketed(orders, "buckets.orders_b", "o_orderkey", 8)
+        storage.write_bucketed(li, "buckets.lineitem_b", "l_orderkey", 8)
+        ob, lb = spark.table("buckets.orders_b"), spark.table("buckets.lineitem_b")
+        joined = lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+        assert storage.is_shuffle_free_join(joined)
+        assert joined.count() == li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+        # the same join on plain frames DOES shuffle under these settings
+        plain = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        assert not storage.is_shuffle_free_join(plain)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS buckets.orders_b")
+        spark.sql("DROP TABLE IF EXISTS buckets.lineitem_b")
+        spark.sql("DROP DATABASE IF EXISTS buckets")
