@@ -1,0 +1,71 @@
+"""Headless CLI — the SilentUpdater analog (reference
+``src/SilentUpdater.py:10-21``: load job spec, run exports, exit; "e.g., as
+a regular cron job").
+
+Usage:
+    python -m h2outility_spark export --resources spec.json \
+        --data /root/testdata/sf0.001 --out ./out
+    python -m h2outility_spark qc-apply --plan plan.json \
+        --data /root/testdata/sf0.001 --out ./out_parquet
+    python -m h2outility_spark catalog --data /root/testdata/sf0.001
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="h2outility_spark")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_exp = sub.add_parser("export", help="run managed-resource exports (annotated wide CSVs)")
+    p_exp.add_argument("--resources", required=True, help="JSON list of ManagedResource specs")
+    p_exp.add_argument("--data", required=True, help="sf_dir with the parquet tables")
+    p_exp.add_argument("--out", required=True)
+
+    p_qc = sub.add_parser("qc-apply", help="apply a recorded QC op-list plan, write parquet")
+    p_qc.add_argument("--plan", required=True)
+    p_qc.add_argument("--data", required=True)
+    p_qc.add_argument("--out", required=True)
+
+    p_cat = sub.add_parser("catalog", help="print the derived series catalog")
+    p_cat.add_argument("--data", required=True)
+
+    args = parser.parse_args(argv)
+
+    from h2outility_spark.schema import events_as_datavalues
+    from h2outility_spark.session import get_spark
+    from h2outility_spark.sources.parquet import load_table
+
+    spark = get_spark("h2outility-cli")
+    dv = events_as_datavalues(load_table(spark, args.data, "events"))
+    keys = ["SiteID", "VariableCode", "MethodID", "SourceID", "QualityControlLevelID"]
+
+    if args.cmd == "export":
+        from h2outility_spark.jobs import ManagedResource, run_export
+
+        files: list[str] = []
+        for resource in ManagedResource.from_json(args.resources):
+            files.extend(run_export(dv, resource, args.out))
+        print(f"wrote {len(files)} files")
+        for f in files:
+            print(" ", f)
+    elif args.cmd == "qc-apply":
+        from h2outility_spark.plans import oplist
+
+        plan = oplist.load_plan(args.plan)
+        out = oplist.apply_plan(dv, plan, keys)
+        out.write.mode("overwrite").parquet(args.out)
+        print(f"applied {len(plan)} ops -> {args.out}")
+    elif args.cmd == "catalog":
+        from h2outility_spark.operators.catalog import derive_catalog
+
+        for row in derive_catalog(dv, keys=keys).orderBy(*keys).collect():
+            print(row.asDict())
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

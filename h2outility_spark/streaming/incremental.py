@@ -120,6 +120,12 @@ def run_available_now(stream_df: DataFrame, query_name: str = "drain") -> list:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    # processAllAvailable + stop rather than awaitTermination: stateful
+    # operators with processing-time timeouts keep an AvailableNow query
+    # alive after the data is drained (timeout batches), so a plain await
+    # never returns.
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
     spark = stream_df.sparkSession
     return spark.sql(f"SELECT * FROM {query_name}").collect()

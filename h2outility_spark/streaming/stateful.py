@@ -1,0 +1,83 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState`` —
+the extension point for QC logic that genuinely needs cross-batch state
+(running statistics per series), which neither plain watermarked windows
+nor the batch QC operators express.
+
+Operator: per-series running EMA + threshold-crossing detector. For every
+micro-batch it updates an exponential moving average per key held in
+GroupState and emits rows whose value deviates from the running EMA by
+more than ``threshold`` — the streaming analog of W2's value-change
+detection, but with memory across batches.
+
+Scale notes: state is one (ema, count) pair per series key — bounded by
+|series|, not by throughput. Eviction of abandoned series belongs in
+clock-triggered deployments via ProcessingTimeTimeout; with the
+one-shot AvailableNow trigger used here, a timeout conf makes Spark spin
+empty timeout micro-batches forever after the data drains, so the
+operator runs with NoTimeout (verified empirically on Spark 4.1).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StructType
+
+OUTPUT_SCHEMA = (
+    "user_id long, event_type string, ts timestamp, value double, "
+    "ema double, deviation double"
+)
+STATE_SCHEMA = "ema double, n long"
+
+
+def make_ema_detector(alpha: float = 0.3, threshold: float = 100.0):
+    """Build the per-group update function (closure over parameters)."""
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        ema, n = state.get if state.exists else (None, 0)
+        out_rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            for row in pdf.itertuples(index=False):
+                v = float(row.value)
+                if ema is None:
+                    ema = v
+                else:
+                    ema = alpha * v + (1 - alpha) * ema
+                n += 1
+                dev = abs(v - ema)
+                if dev >= threshold:
+                    out_rows.append(
+                        (key[0], key[1], row.ts, v, round(ema, 6), round(dev, 6))
+                    )
+        state.update((float(ema) if ema is not None else 0.0, int(n)))
+        if out_rows:
+            yield pd.DataFrame(
+                out_rows, columns=["user_id", "event_type", "ts", "value", "ema", "deviation"]
+            )
+
+    return update
+
+
+def streaming_ema_alerts(
+    events: DataFrame, alpha: float = 0.3, threshold: float = 100.0
+) -> DataFrame:
+    """Wire the detector into a streaming (or batch-test) grouped frame."""
+    return (
+        events.groupBy("user_id", "event_type")
+        .applyInPandasWithState(
+            make_ema_detector(alpha, threshold),
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,56 @@
+"""Tests: CLI surface end-to-end, stateful streaming EMA detector."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from h2outility_spark.sources.parquet import load_table
+from h2outility_spark.streaming import incremental, stateful
+from tests.conftest import SF_DIR
+
+
+def test_cli_export(spark, tmp_path):
+    from h2outility_spark.__main__ import main
+
+    spec = [{"name": "site13", "site_id": 13, "qc_id": 0, "single_file": True}]
+    spec_path = str(tmp_path / "resources.json")
+    with open(spec_path, "w") as f:
+        json.dump(spec, f)
+    out = str(tmp_path / "out")
+    rc = main(["export", "--resources", spec_path, "--data", SF_DIR, "--out", out])
+    assert rc == 0
+    files = os.listdir(out)
+    assert len(files) == 1 and files[0].endswith(".csv")
+
+
+def test_cli_qc_apply(spark, tmp_path):
+    from h2outility_spark.__main__ import main
+
+    plan = [
+        {"op": "select_value_threshold", "args": {"op": ">", "threshold": 150.0}},
+        {"op": "change_value", "args": {"op": "=", "operand": 150.0}},
+    ]
+    plan_path = str(tmp_path / "plan.json")
+    with open(plan_path, "w") as f:
+        json.dump(plan, f)
+    out = str(tmp_path / "capped")
+    rc = main(["qc-apply", "--plan", plan_path, "--data", SF_DIR, "--out", out])
+    assert rc == 0
+    capped = spark.read.parquet(out)
+    assert capped.agg(F.max("DataValue")).collect()[0][0] <= 150.0
+
+
+def test_stateful_ema_detector_streaming(spark, tmp_path):
+    src = str(tmp_path / "stream_src")
+    load_table(spark, SF_DIR, "events").write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = incremental.stream_events(spark, src, schema)
+    alerts = stateful.streaming_ema_alerts(stream, alpha=0.3, threshold=120.0)
+    rows = incremental.run_available_now(alerts, "ema_alerts")
+    assert len(rows) > 0
+    for r in rows[:50]:
+        assert r["deviation"] >= 120.0
+        assert abs(r["value"] - r["ema"]) - r["deviation"] < 1e-6
