@@ -135,6 +135,64 @@ def ivf_search(
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).drop("rk")
 
 
+def cosine_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a < b) with cosine ≥
+    threshold.
+
+    This is the exact O(n²) verifier, run as a broadcast nested-loop join
+    (one side broadcast, candidates streamed). At corpus scale it is never
+    run globally — candidates come from an LSH/IVF prefilter
+    (rp_lsh_signatures / ivf cells) and this join verifies within buckets,
+    exactly like the minhash→jaccard two-stage in dedup.py."""
+    a = embeddings.select(F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), as_double(F.col(vec_col)).alias("vb"))
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    return pairs.select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim")).filter(
+        F.col("cos_sim") >= threshold
+    )
+
+
+def random_hyperplanes(n_planes: int, dim: int, seed: str = "h") -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5 — plain Python
+    constants, so the SAME numbers can be inlined into the DuckDB oracle
+    (no cross-engine randomness)."""
+    import hashlib
+
+    planes = []
+    for j in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}{j}_{d}".encode()).hexdigest()
+            row.append(int(h[:2], 16) - 127.5)
+        planes.append(row)
+    return planes
+
+
+def rp_lsh_signatures(
+    embeddings: DataFrame,
+    n_planes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane (SimHash-for-vectors) LSH signature: one bit per
+    hyperplane = sign of the dot product. Vectors with high cosine land in
+    the same bucket with probability 1 − θ/π per bit — the bucket-join
+    prefilter for cosine near-dup at corpus scale. Narrow map, no shuffle."""
+    planes = random_hyperplanes(n_planes, dim)
+    v = as_double(F.col(vec_col))
+    bits = []
+    for row in planes:
+        plane = F.array(*[F.lit(x) for x in row])
+        bits.append(F.when(dot(v, plane) > 0, F.lit("1")).otherwise(F.lit("0")))
+    return embeddings.select(F.col(id_col), F.concat(*bits).alias("rp_sig"))
+
+
 def ivf_assign(
     embeddings: DataFrame,
     centroids: DataFrame,

@@ -297,3 +297,48 @@ def q_embedding_knn(spark, sf_dir):
 def q_embedding_centroids(spark, sf_dir):
     cents = similarity.centroids_by_label(_emb(spark, sf_dir))
     return cents.select("label", F.col("pos").cast("int").alias("pos"), fround(F.col("centroid_val"), 6).alias("centroid_val"))
+
+
+@query(
+    "neardup_embedding_pairs",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           floor((list_inner_product(a.v, b.v)
+                  / sqrt(list_inner_product(a.v, a.v) * list_inner_product(b.v, b.v)))
+                 * 10000.0 + 0.5) / 10000.0 AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_inner_product(a.v, b.v)
+          / sqrt(list_inner_product(a.v, a.v) * list_inner_product(b.v, b.v)) >= 0.45
+    """,
+    description=(
+        "Embedding-cosine near-dup pairs (threshold 0.45): exact verifier run global here; "
+        "at corpus scale it verifies within LSH/IVF buckets only"
+    ),
+)
+def q_neardup_embedding_pairs(spark, sf_dir):
+    out = similarity.cosine_neardup_pairs(_emb(spark, sf_dir), threshold=0.45)
+    return out.select("id_a", "id_b", fround(F.col("cos_sim"), 4).alias("cos_sim"))
+
+
+def _rp_lsh_oracle() -> str:
+    planes = similarity.random_hyperplanes(16, 64)
+    bits = []
+    for row in planes:
+        arr = "[" + ", ".join(f"{x:.1f}" for x in row) + "]::DOUBLE[]"
+        bits.append(
+            f"CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), {arr}) > 0 THEN '1' ELSE '0' END"
+        )
+    return f"SELECT vec_id, concat({', '.join(bits)}) AS rp_sig FROM embeddings"
+
+
+@query(
+    "rp_lsh_signatures",
+    oracle=_rp_lsh_oracle(),
+    description=(
+        "Random-hyperplane LSH (SimHash-for-vectors): 16 sign bits from deterministic "
+        "md5-derived hyperplanes — the bucket-join prefilter for cosine near-dup"
+    ),
+)
+def q_rp_lsh_signatures(spark, sf_dir):
+    return similarity.rp_lsh_signatures(_emb(spark, sf_dir), n_planes=16, dim=64)
