@@ -342,3 +342,18 @@ def _rp_lsh_oracle() -> str:
 )
 def q_rp_lsh_signatures(spark, sf_dir):
     return similarity.rp_lsh_signatures(_emb(spark, sf_dir), n_planes=16, dim=64)
+
+
+@query(
+    "kmeans_centroids",
+    oracle=None,  # iterative algorithm — no single-query SQL form; invariants tested in pytest
+    description=(
+        "Lloyd's k-means (k=8, 5 iters) over embeddings: broadcast-model iterations, "
+        "assignment as a narrow map, update as one k x dim shuffle"
+    ),
+)
+def q_kmeans_centroids(spark, sf_dir):
+    from h2outility_spark.operators.kmeans import kmeans
+
+    out = kmeans(_emb(spark, sf_dir), k=8, max_iter=5)
+    return out.select("cluster", "pos", fround(F.col("centroid_val"), 6).alias("centroid_val"))
