@@ -3,14 +3,17 @@ pattern (driver-side loop over a broadcast-size model, distributed
 assignment + re-estimation per iteration).
 
 Spark shape per iteration:
-  assign:   narrow map — each vector scores k broadcast centroids (no
-            shuffle, no UDF: zip_with/aggregate fold);
+  assign:   broadcast join against the k-row centroid frame, squared-L2
+            via zip_with/aggregate fold, argmin as groupBy(min(struct)) —
+            data-side expressions stay small and constant-size no matter
+            how large k or dim get (a literal-array when-chain variant
+            measured 20x slower purely in plan/codegen compilation);
   update:   posexplode + groupBy(cluster, pos) — one shuffle whose volume
             is k×dim partial sums (map-side combined), NOT the corpus.
 
 The model (k×dim doubles) lives on the driver between iterations — the
 only thing collected. Deterministic: seeds are the first k vectors by id,
-ties broken by cluster id.
+ties broken by cluster id (min-struct ordering).
 """
 
 from __future__ import annotations
@@ -20,21 +23,32 @@ from pyspark.sql import DataFrame, functions as F
 from h2outility_spark.operators.similarity import as_double, dot
 
 
+def _centroid_frame(spark, centroids: list[tuple[int, list[float]]]) -> DataFrame:
+    rows = [(cid, cvec, sum(x * x for x in cvec)) for cid, cvec in centroids]
+    return spark.createDataFrame(rows, "cluster int, cvec array<double>, cc double")
+
+
 def _assign(vectors: DataFrame, centroids: list[tuple[int, list[float]]], id_col: str, vec_col: str) -> DataFrame:
-    """Nearest centroid by squared L2 — argmin over k small literals."""
+    """Nearest centroid by squared L2 (v·v dropped — constant per row):
+    one broadcast join + one groupBy argmin."""
+    spark = vectors.sparkSession
+    cents = _centroid_frame(spark, centroids)
     v = as_double(F.col(vec_col))
-    best_id, best_d = None, None
-    for cid, cvec in centroids:
-        carr = F.array(*[F.lit(x) for x in cvec])
-        # ||v - c||^2 = v·v - 2 v·c + c·c ; v·v constant per row → drop it
-        d = F.lit(sum(x * x for x in cvec)) - F.lit(2.0) * dot(v, carr)
-        if best_id is None:
-            best_id, best_d = F.lit(cid), d
-        else:
-            cond = d < best_d
-            best_id = F.when(cond, F.lit(cid)).otherwise(best_id)
-            best_d = F.when(cond, d).otherwise(best_d)
-    return vectors.select(F.col(id_col), v.alias("__v"), best_id.alias("cluster"), best_d.alias("__part_d"))
+    scored = (
+        vectors.select(F.col(id_col), v.alias("__v"))
+        .join(F.broadcast(cents))
+        .select(
+            F.col(id_col),
+            "__v",
+            "cluster",
+            (F.col("cc") - F.lit(2.0) * dot(F.col("__v"), F.col("cvec"))).alias("__d"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.min(F.struct(F.col("__d"), F.col("cluster"))).alias("__m"), F.first("__v").alias("__v"))
+        .select(F.col(id_col), F.col("__m.cluster").alias("cluster"), "__v", F.col("__m.__d").alias("__part_d"))
+    )
 
 
 def kmeans(

@@ -348,12 +348,12 @@ def q_rp_lsh_signatures(spark, sf_dir):
     "kmeans_centroids",
     oracle=None,  # iterative algorithm — no single-query SQL form; invariants tested in pytest
     description=(
-        "Lloyd's k-means (k=8, 5 iters) over embeddings: broadcast-model iterations, "
+        "Lloyd's k-means (k=8, 3 iters) over embeddings: broadcast-model iterations, "
         "assignment as a narrow map, update as one k x dim shuffle"
     ),
 )
 def q_kmeans_centroids(spark, sf_dir):
     from h2outility_spark.operators.kmeans import kmeans
 
-    out = kmeans(_emb(spark, sf_dir), k=8, max_iter=5)
+    out = kmeans(_emb(spark, sf_dir), k=8, max_iter=3)
     return out.select("cluster", "pos", fround(F.col("centroid_val"), 6).alias("centroid_val"))
