@@ -379,3 +379,79 @@ def q_salted_agg(spark, sf_dir):
         n_salts=16,
     )
     return out.select("event_type", F.col("n").cast("bigint").alias("n"), fround(F.col("sum_raw"), 2).alias("sum_value"))
+
+
+# ---------------------------------------------------------------------------
+# SQL-API twin, array stats, bounded window frames
+# ---------------------------------------------------------------------------
+
+@query(
+    "sql_api_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    description="S2-analog: the spark.sql/view-registration surface (same Catalyst plan as the DataFrame form)",
+)
+def q_sql_api_q1(spark, sf_dir):
+    from h2outility_spark.sources.parquet import register_views
+
+    register_views(spark, sf_dir, ["lineitem"])
+    # NB: bare decimal literals are DecimalType in Spark SQL (unlike the
+    # DataFrame API) — the D suffix keeps the arithmetic in doubles so the
+    # result is bit-identical to the oracle's.
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               floor(sum(l_quantity) * 100.0D + 0.5D) / 100.0D AS sum_qty,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """)
+
+
+@query(
+    "embedding_stats",
+    oracle="""
+    SELECT vec_id,
+           floor((sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))))
+                 * 10000.0 + 0.5) / 10000.0 AS l2_norm,
+           floor((CAST(list_max(CAST(embedding AS DOUBLE[])) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS max_dim,
+           floor((CAST(list_min(CAST(embedding AS DOUBLE[])) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS min_dim
+    FROM embeddings
+    """,
+    description="Array-column scalar surface: L2 norm (fold dot), element max/min per vector",
+)
+def q_embedding_stats(spark, sf_dir):
+    from h2outility_spark.operators.similarity import as_double, dot
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = as_double(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        fround(F.sqrt(dot(v, v)), 4).alias("l2_norm"),
+        fround(F.array_max(v), 4).alias("max_dim"),
+        fround(F.array_min(v), 4).alias("min_dim"),
+    )
+
+
+@query(
+    "rolling_avg",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           floor((avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))
+                 * 10000.0 + 0.5) / 10000.0 AS avg_4
+    FROM events
+    WHERE user_id < 50
+    """,
+    description="Bounded window frames: trailing 4-point moving average per series",
+)
+def q_rolling_avg(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 0)
+    return ev.select("event_id", "user_id", "ts", fround(F.avg("value").over(w), 4).alias("avg_4"))
