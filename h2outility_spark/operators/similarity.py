@@ -22,6 +22,8 @@ Scale design:
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 
@@ -191,6 +193,115 @@ def rp_lsh_signatures(
         plane = F.array(*[F.lit(x) for x in row])
         bits.append(F.when(dot(v, plane) > 0, F.lit("1")).otherwise(F.lit("0")))
     return embeddings.select(F.col(id_col), F.concat(*bits).alias("rp_sig"))
+
+
+def rp_sig_udf(planes):
+    """Arrow-batched signature bits for a whole plane matrix: one numpy
+    matmul per batch instead of n_planes fold expressions. Dense matrix
+    arithmetic is the one place the built-in expression path genuinely
+    loses (an `aggregate`/`zip_with` fold is interpreted per element, and a
+    128-plane literal tree also stalls the optimizer — both measured ~10x
+    slower than this at sf0.01). Sign decisions are far from zero (plane
+    components are O(100), data O(1)), so BLAS accumulation order cannot
+    flip a bit vs. the fold form."""
+    import numpy as np
+
+    mat = np.asarray(planes, dtype=np.float64).T  # dim x n_planes
+
+    @F.pandas_udf("string")
+    def sig(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        V = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (V @ mat) > 0
+        return pd.Series(["".join("1" if b else "0" for b in row) for row in bits])
+
+    return sig
+
+
+def rp_lsh_candidate_pairs(
+    embeddings: DataFrame,
+    n_bits: int = 4,
+    n_bands: int = 32,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Candidate (id_a < id_b) pairs from an RP-LSH banded self-join.
+
+    The full (n_bits*n_bands)-bit signature is computed in one vectorized
+    pass (narrow map, no shuffle); ONE posexplode emits the band rows; the
+    self-join on (band, key) explodes only within buckets — the shuffle is
+    keyed by (band, key), so hot buckets are the only skew hazard
+    (cap/quarantine as in dedup.lsh_candidate_pairs if the corpus has a
+    degenerate direction).
+    """
+    planes = random_hyperplanes(n_bits * n_bands, dim)
+    sig = rp_sig_udf(planes)
+    sigs = embeddings.select(F.col(id_col), sig(F.col(vec_col)).alias("sig"))
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(f"transform(sequence(0, {n_bands - 1}), j -> substr(sig, j*{n_bits}+1, {n_bits}))")
+        ).alias("band", "bkey"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bkey") == F.col("r.bkey"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def cosine_neardup_pairs_lsh(
+    embeddings: DataFrame,
+    threshold: float,
+    n_bits: int = 4,
+    n_bands: int = 32,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path for embedding-cosine near-dup: RP-LSH band buckets →
+    in-bucket candidate pairs → exact cosine verify (the two-stage shape of
+    dedup's minhash→jaccard). Never materializes the O(n²) cross product;
+    vectors are fetched for candidate pairs only, via two hash joins.
+
+    Parameter honesty: per-band collision probability for angle θ is
+    (1 − θ/π)^n_bits, so selectivity depends on the threshold. At the
+    near-dup regimes that matter in practice (cos ≥ 0.85, θ ≤ 32°,
+    per-bit agreement ≥ 0.82) a 4-bit band keeps ~0.45 of true pairs and
+    ~0.06 of random pairs — strong pruning. At borderline thresholds near
+    the random regime (like the 0.45 used by the registered query on
+    synthetic data) ANY recall-1.0 configuration must examine most pairs;
+    the defaults (4 bits × 32 bands) are chosen for empirical recall 1.0
+    against the brute-force oracle at the test scales, which the driver's
+    correctness gate then proves.
+    """
+    cand = rp_lsh_candidate_pairs(embeddings, n_bits, n_bands, dim, id_col, vec_col)
+    v = as_double(F.col(vec_col))
+    # self-dots precomputed per side (n folds, not one per pair); the pair
+    # expression dot(a,b)/sqrt(na*nb) is the same IEEE arithmetic as
+    # cosine(a,b), so values stay bit-identical to the brute-force oracle
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"), v.alias("va"), dot(v, v).alias("na")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"), v.alias("vb"), dot(v, v).alias("nb")
+    )
+    sim = dot(F.col("va"), F.col("vb")) / F.sqrt(F.col("na") * F.col("nb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
 
 
 def ivf_assign(

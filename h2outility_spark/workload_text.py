@@ -321,6 +321,28 @@ def q_neardup_embedding_pairs(spark, sf_dir):
     return out.select("id_a", "id_b", fround(F.col("cos_sim"), 4).alias("cos_sim"))
 
 
+@query(
+    "neardup_embedding_lsh",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           floor((list_inner_product(a.v, b.v)
+                  / sqrt(list_inner_product(a.v, a.v) * list_inner_product(b.v, b.v)))
+                 * 10000.0 + 0.5) / 10000.0 AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_inner_product(a.v, b.v)
+          / sqrt(list_inner_product(a.v, a.v) * list_inner_product(b.v, b.v)) >= 0.45
+    """,
+    description=(
+        "Embedding near-dup via RP-LSH prefilter (4-bit x 32-band bucketed self-join) + "
+        "exact in-bucket cosine verify — the scale path; brute-force oracle proves recall 1.0"
+    ),
+)
+def q_neardup_embedding_lsh(spark, sf_dir):
+    out = similarity.cosine_neardup_pairs_lsh(_emb(spark, sf_dir), threshold=0.45)
+    return out.select("id_a", "id_b", fround(F.col("cos_sim"), 4).alias("cos_sim"))
+
+
 def _rp_lsh_oracle() -> str:
     planes = similarity.random_hyperplanes(16, 64)
     bits = []
