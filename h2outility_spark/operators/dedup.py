@@ -97,19 +97,17 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame, bands: list[list[int]], id_col: str = "doc_id"
-) -> DataFrame:
-    """Self-join signatures on per-band keys → distinct candidate (a, b)
-    pairs with a < b. ``bands`` lists the signature indices in each band.
-
-    Band rows come from ONE posexplode over an array of band keys — not a
-    per-band union, which would re-evaluate the whole signature DAG once
-    per band."""
+def _banded(signatures: DataFrame, bands: list[list[int]], id_col: str) -> DataFrame:
+    """(id, band, band_key) rows from ONE posexplode over an array of band
+    keys — not a per-band union, which would re-evaluate the whole signature
+    DAG once per band."""
     band_keys = [F.concat_ws("|", *[F.col(f"mh{i}") for i in cols]) for cols in bands]
-    banded = signatures.select(
+    return signatures.select(
         F.col(id_col), F.posexplode(F.array(*band_keys)).alias("band", "band_key")
     )
+
+
+def _pairs_from_banded(banded: DataFrame, id_col: str) -> DataFrame:
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -122,6 +120,64 @@ def lsh_candidate_pairs(
         .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
         .distinct()
     )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: list[list[int]],
+    id_col: str = "doc_id",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Self-join signatures on per-band keys → distinct candidate (a, b)
+    pairs with a < b. ``bands`` lists the signature indices in each band.
+
+    ``max_bucket`` caps the k²-pairs explosion of a boilerplate bucket
+    (one hot band key with k members turns the self-join cartesian within
+    that bucket): buckets wider than the cap contribute NO pairs. Use
+    ``lsh_candidate_pairs_quarantined`` to also get the skipped buckets for
+    upstream triage. None (default) disables the width scan entirely — no
+    extra shuffle."""
+    banded = _banded(signatures, bands, id_col)
+    if max_bucket is not None:
+        banded = _without_giant_buckets(banded, id_col, max_bucket)
+    return _pairs_from_banded(banded, id_col)
+
+
+def _bucket_widths(banded: DataFrame) -> DataFrame:
+    return banded.groupBy("band", "band_key").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def _without_giant_buckets(banded: DataFrame, id_col: str, max_bucket: int) -> DataFrame:
+    """Drop band rows belonging to over-wide buckets via a broadcast
+    anti-join against the (tiny) giant-bucket list — the width count is one
+    combiner-friendly aggregation, and the anti-join adds no shuffle of the
+    banded rows."""
+    giants = _bucket_widths(banded).filter(F.col("n_docs") > max_bucket).select("band", "band_key")
+    return banded.join(F.broadcast(giants), ["band", "band_key"], "left_anti")
+
+
+def lsh_candidate_pairs_quarantined(
+    signatures: DataFrame,
+    bands: list[list[int]],
+    id_col: str = "doc_id",
+    max_bucket: int = 1000,
+) -> tuple[DataFrame, DataFrame]:
+    """Capped LSH candidates plus the quarantine report.
+
+    Returns ``(pairs, quarantined_buckets)`` where the second frame is
+    (band, band_key, n_docs) for every bucket wider than ``max_bucket``.
+    Those buckets contribute no pairs; route their members to an upstream
+    triage (they are near-certain boilerplate clusters — at corpus scale a
+    single hot shingle-set otherwise costs k² pairs and one straggler
+    reducer). Pairs for docs that ALSO co-occur in a small bucket are
+    unaffected (recall outside quarantined buckets is unchanged)."""
+    banded = _banded(signatures, bands, id_col)
+    quarantined = _bucket_widths(banded).filter(F.col("n_docs") > F.lit(max_bucket))
+    pairs = _pairs_from_banded(
+        banded.join(F.broadcast(quarantined.select("band", "band_key")), ["band", "band_key"], "left_anti"),
+        id_col,
+    )
+    return pairs, quarantined
 
 
 def jaccard_for_pairs(

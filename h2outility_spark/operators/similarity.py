@@ -226,15 +226,18 @@ def rp_lsh_candidate_pairs(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate (id_a < id_b) pairs from an RP-LSH banded self-join.
 
     The full (n_bits*n_bands)-bit signature is computed in one vectorized
     pass (narrow map, no shuffle); ONE posexplode emits the band rows; the
     self-join on (band, key) explodes only within buckets — the shuffle is
-    keyed by (band, key), so hot buckets are the only skew hazard
-    (cap/quarantine as in dedup.lsh_candidate_pairs if the corpus has a
-    degenerate direction).
+    keyed by (band, key), so hot buckets are the only skew hazard. A
+    corpus with a degenerate direction (many near-identical vectors) makes
+    one bucket k-wide and its pairs k²; ``max_bucket`` drops such buckets
+    from pairing via a broadcast anti-join against the (tiny) giant-bucket
+    list, mirroring dedup.lsh_candidate_pairs_quarantined.
     """
     planes = random_hyperplanes(n_bits * n_bands, dim)
     sig = rp_sig_udf(planes)
@@ -245,6 +248,14 @@ def rp_lsh_candidate_pairs(
             F.expr(f"transform(sequence(0, {n_bands - 1}), j -> substr(sig, j*{n_bits}+1, {n_bits}))")
         ).alias("band", "bkey"),
     )
+    if max_bucket is not None:
+        giants = (
+            banded.groupBy("band", "bkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_bucket)
+            .select("band", "bkey")
+        )
+        banded = banded.join(F.broadcast(giants), ["band", "bkey"], "left_anti")
     left = banded.alias("l")
     right = banded.alias("r")
     return (

@@ -61,3 +61,71 @@ def test_kmeans_reduces_inertia(spark):
     i5 = inertia(emb, five_step)
     assert i5 <= i1 + 1e-6
     assert five_step.count() == 4 * 64
+
+
+def test_lsh_bucket_quarantine(spark):
+    """A boilerplate cluster (many docs sharing one band key) must be
+    quarantined, bounding pairs volume; pairs outside it are unchanged."""
+    from h2outility_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        lsh_candidate_pairs_quarantined,
+    )
+
+    # 30 boilerplate docs share signature "HOT" in band 0; 4 normal docs
+    # form two small colliding groups; nothing else collides.
+    rows = [Row(doc_id=i, mh0="HOT", mh1=f"u{i}") for i in range(30)]
+    rows += [
+        Row(doc_id=100, mh0="aa", mh1="x1"),
+        Row(doc_id=101, mh0="aa", mh1="x2"),
+        Row(doc_id=102, mh0="bb", mh1="y1"),
+        Row(doc_id=103, mh0="bb", mh1="y1"),
+    ]
+    sigs = spark.createDataFrame(rows)
+    bands = [[0], [1]]
+
+    uncapped = lsh_candidate_pairs(sigs, bands)
+    # HOT k^2 + (100,101) + (102,103) (distinct across its two bands)
+    assert uncapped.count() == 30 * 29 // 2 + 1 + 1
+
+    pairs, quarantined = lsh_candidate_pairs_quarantined(sigs, bands, max_bucket=10)
+    q = quarantined.collect()
+    assert [(r["band"], r["band_key"], r["n_docs"]) for r in q] == [(0, "HOT", 30)]
+    got = sorted((r["id_a"], r["id_b"]) for r in pairs.collect())
+    assert got == [(100, 101), (102, 103)]  # bounded, non-quarantined recall unchanged
+
+    # same cap through the single-return API
+    capped = lsh_candidate_pairs(sigs, bands, max_bucket=10)
+    assert sorted((r["id_a"], r["id_b"]) for r in capped.collect()) == got
+
+
+def test_rp_lsh_bucket_cap(spark):
+    """A degenerate direction (many near-identical vectors) is dropped from
+    pairing when max_bucket is set; distinct directions still pair."""
+    import numpy as np
+
+    from h2outility_spark.operators.similarity import rp_lsh_candidate_pairs
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=64)
+    rows = []
+    # 40 near-identical "boilerplate" vectors -> one giant bucket per band
+    for i in range(40):
+        rows.append((i, (base + rng.normal(scale=1e-3, size=64)).tolist()))
+    # 6 random vectors
+    for i in range(100, 106):
+        rows.append((i, rng.normal(size=64).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    uncapped = rp_lsh_candidate_pairs(emb)
+    capped = rp_lsh_candidate_pairs(emb, max_bucket=20)
+    boiler_pairs_un = uncapped.filter((F.col("id_a") < 100) & (F.col("id_b") < 100)).count()
+    boiler_pairs_cap = capped.filter((F.col("id_a") < 100) & (F.col("id_b") < 100)).count()
+    assert boiler_pairs_un == 40 * 39 // 2  # every boilerplate pair collides somewhere
+    # giant buckets contribute nothing; the few surviving pairs come from
+    # small variant buckets (borderline bits flipped by the noise), which
+    # the cap correctly leaves alone
+    assert boiler_pairs_cap <= 10
+    # pairs not involving the boilerplate cluster are identical
+    other_un = sorted((r["id_a"], r["id_b"]) for r in uncapped.filter(F.col("id_a") >= 100).collect())
+    other_cap = sorted((r["id_a"], r["id_b"]) for r in capped.filter(F.col("id_a") >= 100).collect())
+    assert other_un == other_cap
