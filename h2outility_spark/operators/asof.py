@@ -90,7 +90,13 @@ def range_join_count(
     bucketized equi-join: candidates come from the 3 adjacent buckets, the
     exact band filter runs after the hash join."""
     band_us = band_seconds * 1_000_000
-    lb = left.withColumn("__lb", F.expr(f"unix_micros({left_ts}) div {band_us}"))
+    # Per-row counting semantics: group on a synthetic unique row id so
+    # exact-duplicate left rows each keep their own count (matching a
+    # per-row left-join oracle) instead of collapsing.
+    lb = (
+        left.withColumn("__rid", F.monotonically_increasing_id())
+        .withColumn("__lb", F.expr(f"unix_micros({left_ts}) div {band_us}"))
+    )
     rb = right.select(*keys, F.unix_micros(F.col(right_ts)).alias("__rus")).withColumn(
         "__rb", F.expr(f"__rus div {band_us}")
     )
@@ -106,5 +112,10 @@ def range_join_count(
     joined = lb.join(shifted, cond, "left")
     lus = F.unix_micros(lb[left_ts])
     in_band = F.when(F.abs(lus - shifted["__rus"]) <= band_us, 1).otherwise(0)
-    group_cols = [lb[c] for c in left.columns]
-    return joined.groupBy(*group_cols).agg(F.sum(in_band).alias(count_alias)).fillna({count_alias: 0})
+    group_cols = [lb["__rid"]] + [lb[c] for c in left.columns]
+    return (
+        joined.groupBy(*group_cols)
+        .agg(F.sum(in_band).alias(count_alias))
+        .drop("__rid")
+        .fillna({count_alias: 0})
+    )

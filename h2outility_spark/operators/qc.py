@@ -32,8 +32,12 @@ SEL = "selected"
 _PERIOD_SECONDS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
 
 
-def _w(keys: list[str], ts: str) -> W:
-    return W.partitionBy(*keys).orderBy(ts)
+def _w(keys: list[str], ts: str, tiebreak: str | None = None) -> W:
+    # A deterministic tiebreak column (e.g. the value-id) makes results
+    # stable under duplicate timestamps within a series; mirror it in the
+    # oracle's ORDER BY.
+    order = [ts] if tiebreak is None else [ts, tiebreak]
+    return W.partitionBy(*keys).orderBy(*order)
 
 
 def _set_selection(df: DataFrame, pred: Column, compose: bool) -> DataFrame:
@@ -77,10 +81,10 @@ def select_points(df: DataFrame, id_list=None, datetime_list=None, id_col: str =
 
 # --- window detectors (W1, W2) ----------------------------------------------
 
-def select_data_gaps(df: DataFrame, keys: list[str], amount: int, period: str = "hour", ts: str = "LocalDateTime", compose: bool = False) -> DataFrame:
+def select_data_gaps(df: DataFrame, keys: list[str], amount: int, period: str = "hour", ts: str = "LocalDateTime", compose: bool = False, tiebreak: str | None = None) -> DataFrame:
     """Data-gap detection (W1; edit_service.py:112-145): select BOTH
     endpoints of every interval ≥ amount×period."""
-    w = _w(keys, ts)
+    w = _w(keys, ts, tiebreak)
     # Integer microsecond arithmetic: exact, and bit-identical to the DuckDB
     # oracle's epoch_us — no float rounding at the >= boundary.
     threshold_us = amount * _PERIOD_SECONDS[period] * 1_000_000
@@ -91,10 +95,10 @@ def select_data_gaps(df: DataFrame, keys: list[str], amount: int, period: str = 
     return _set_selection(df, F.coalesce(pred, F.lit(False)), compose)
 
 
-def select_value_change(df: DataFrame, keys: list[str], threshold: float, value: str = "DataValue", ts: str = "LocalDateTime", compose: bool = False) -> DataFrame:
+def select_value_change(df: DataFrame, keys: list[str], threshold: float, value: str = "DataValue", ts: str = "LocalDateTime", compose: bool = False, tiebreak: str | None = None) -> DataFrame:
     """Value-change threshold (W2; edit_service.py:147-164): select both rows
     of every consecutive pair with |Δvalue| ≥ threshold."""
-    w = _w(keys, ts)
+    w = _w(keys, ts, tiebreak)
     d_next = F.abs(F.col(value) - F.lead(value).over(w))
     d_prev = F.abs(F.col(value) - F.lag(value).over(w))
     pred = (d_next >= threshold) | (d_prev >= threshold)
@@ -103,12 +107,12 @@ def select_value_change(df: DataFrame, keys: list[str], threshold: float, value:
 
 # --- islands (W3) ------------------------------------------------------------
 
-def selection_groups(df: DataFrame, keys: list[str], ts: str = "LocalDateTime", out: str = "group_id") -> DataFrame:
+def selection_groups(df: DataFrame, keys: list[str], ts: str = "LocalDateTime", out: str = "group_id", tiebreak: str | None = None) -> DataFrame:
     """Consecutive-run grouping (W3; edit_service.py:341-360): classic
     gaps-and-islands — running count of unselected rows is constant within a
     selected run, so it numbers the islands. ``out`` is NULL on unselected
     rows; island ids are per-series, dense in time order starting at 0."""
-    w = _w(keys, ts)
+    w = _w(keys, ts, tiebreak)
     first_in_run = F.when(F.col(SEL) & ~F.coalesce(F.lag(SEL).over(w), F.lit(False)), 1).otherwise(0)
     run_idx = F.sum(first_in_run).over(w.rowsBetween(W.unboundedPreceding, 0)) - 1
     return df.withColumn(out, F.when(F.col(SEL), run_idx).otherwise(F.lit(None)).cast("long"))
@@ -116,7 +120,7 @@ def selection_groups(df: DataFrame, keys: list[str], ts: str = "LocalDateTime", 
 
 # --- corrections (W4, W5, W6, W7) -------------------------------------------
 
-def interpolate_selected(df: DataFrame, keys: list[str], ts: str = "LocalDateTime", value: str = "DataValue") -> DataFrame:
+def interpolate_selected(df: DataFrame, keys: list[str], ts: str = "LocalDateTime", value: str = "DataValue", tiebreak: str | None = None) -> DataFrame:
     """Linear interpolation over selected runs (W4;
     edit_service.py:279-309): each selected run is re-valued on the straight
     line between the nearest unselected anchors before and after the run.
@@ -126,7 +130,7 @@ def interpolate_selected(df: DataFrame, keys: list[str], ts: str = "LocalDateTim
     Formulated with ignore-null window scans instead of per-run loops: four
     window expressions and arithmetic, one shuffle, no UDF.
     """
-    w = _w(keys, ts)
+    w = _w(keys, ts, tiebreak)
     before = w.rowsBetween(W.unboundedPreceding, -1)
     after = w.rowsBetween(1, W.unboundedFollowing)
     # Microsecond integers → double: exactly representable (< 2^53), so the
@@ -143,7 +147,7 @@ def interpolate_selected(df: DataFrame, keys: list[str], ts: str = "LocalDateTim
     return df.withColumn(value, new_val)
 
 
-def drift_correct(df: DataFrame, keys: list[str], gap_width: float, ts: str = "LocalDateTime", value: str = "DataValue") -> DataFrame:
+def drift_correct(df: DataFrame, keys: list[str], gap_width: float, ts: str = "LocalDateTime", value: str = "DataValue", tiebreak: str | None = None) -> DataFrame:
     """Drift correction (W5; edit_service.py:311-339): within the selected
     run, y_i += gap_width * (x_i / x_l) where x_i is seconds since the run
     start and x_l the run's total seconds.
@@ -153,7 +157,7 @@ def drift_correct(df: DataFrame, keys: list[str], gap_width: float, ts: str = "L
     per island independently, which degenerates to the reference's behavior
     for a single island. Single-point islands (x_l = 0) are left unchanged.
     """
-    with_islands = selection_groups(df, keys, ts=ts, out="__island")
+    with_islands = selection_groups(df, keys, ts=ts, out="__island", tiebreak=tiebreak)
     iw = W.partitionBy(*keys, "__island")
     t = F.unix_micros(F.col(ts)).cast("double")
     x0 = F.min(t).over(iw)

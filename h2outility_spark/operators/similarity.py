@@ -106,13 +106,15 @@ def ivf_search(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    n_probe: int = 1,
 ) -> DataFrame:
-    """IVF-style ANN: each query probes only its nearest centroid cell
-    (n_probe=1); exact cosine top-k within the cell.
+    """IVF-style ANN: each query probes its ``n_probe`` nearest centroid
+    cells (default 1); exact cosine top-k within the probed cells.
 
     At scale the candidate table is partitioned by cell, so the in-cell
     join is partition-pruned — the query never scans the full corpus. The
-    centroids (k rows) are always broadcast.
+    centroids (k rows) are always broadcast. ``n_probe`` is the standard
+    recall/cost dial: probing p of c cells scans ~p/c of the corpus.
     """
     from pyspark.sql import Window as W
 
@@ -123,7 +125,9 @@ def ivf_search(
     )
     wc = W.partitionBy("query_id").orderBy(F.col("cell_sim").desc(), F.col("cell"))
     best_cell = (
-        scored_cells.withColumn("rk", F.row_number().over(wc)).filter(F.col("rk") == 1).select("query_id", "qv", "cell")
+        scored_cells.withColumn("rk", F.row_number().over(wc))
+        .filter(F.col("rk") <= n_probe)
+        .select("query_id", "qv", "cell")
     )
     cands = embeddings.select(
         F.col(id_col).alias("cand_id"), F.col(label_col).alias("cell"), as_double(F.col(vec_col)).alias("cv2")
@@ -135,6 +139,26 @@ def ivf_search(
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).drop("rk")
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame) -> float:
+    """Recall of an ANN result against the brute-force truth: both frames
+    carry (query_id, cand_id); recall = |approx ∩ exact| / |exact|.
+
+    Driver-side scalar (two counts) — the join is a semi join on the tiny
+    result sets, not the corpus.
+    """
+    hits = exact.join(approx, ["query_id", "cand_id"], "left_semi").count()
+    total = exact.count()
+    return hits / total if total else 1.0
+
+
+def pair_recall(candidates: DataFrame, truth: DataFrame) -> float:
+    """Recall of a candidate-pair prefilter against the true near-dup pair
+    set: both frames carry (id_a, id_b) with id_a < id_b."""
+    hits = truth.join(candidates, ["id_a", "id_b"], "left_semi").count()
+    total = truth.count()
+    return hits / total if total else 1.0
 
 
 def cosine_neardup_pairs(

@@ -45,21 +45,6 @@ def tokens(col: Column) -> Column:
     return F.split(normalize_ws(col), " ")
 
 
-def shingles(col: Column, n: int = 3) -> Column:
-    """Word n-gram shingles as an array<string>; empty if < n tokens."""
-    toks = tokens(col)
-    return F.expr(
-        f"transform(sequence(1, greatest(size({_sql_of(toks)}) - {n - 1}, 0)), "
-        f"i -> array_join(slice({_sql_of(toks)}, i, {n}), ' '))"
-    )
-
-
-def _sql_of(col: Column) -> str:
-    # build the SQL text of a tokens() expression for use inside F.expr
-    # (expr needs a string; keep a single canonical form)
-    return "split(trim(regexp_replace(text, '\\\\s+', ' ')), ' ')"
-
-
 def shingles_expr(text_col: str = "text", n: int = 3) -> Column:
     """Shingles as a pure SQL expression over a named column (usable in
     selects that need to stay inside codegen)."""
@@ -203,10 +188,10 @@ def fingerprint(col: Column) -> Column:
     return F.md5(F.encode(F.lower(normalize_ws(col)), "UTF-8"))
 
 
-def prefix_fingerprint(col: Column, n_tokens: int = 8) -> Column:
-    """Fingerprint of the first n tokens — catches shared-prefix near-dups
-    (boilerplate headers) cheaply."""
+def prefix_fingerprint(text_col: str = "text", n_tokens: int = 8) -> Column:
+    """Fingerprint of the first n tokens of the named column — catches
+    shared-prefix near-dups (boilerplate headers) cheaply."""
     prefix = F.expr(
-        f"array_join(slice(split(trim(regexp_replace(text, '\\\\s+', ' ')), ' '), 1, {n_tokens}), ' ')"
+        f"array_join(slice(split(trim(regexp_replace({text_col}, '\\\\s+', ' ')), ' '), 1, {n_tokens}), ' ')"
     )
     return F.md5(F.encode(F.lower(prefix), "UTF-8"))

@@ -1,7 +1,8 @@
 """JDBC append sink (SURVEY.md §2.1 S9; reference ``series_service.py:746-752``
 — ``df.to_sql("datavalues", if_exists='append')``).
 
-Untestable in this container (no JDBC driver jars); the production path for
+Smoke-tested against embedded Apache Derby (the JDBC driver that ships on
+Spark's own classpath) in tests/test_jdbc_derby.py; the production path for
 writing back to an ODM relational store. Partitioned writes: each executor
 opens its own connection and appends its partitions — set
 ``numPartitions``/``batchsize`` to respect the target DB's write throughput.

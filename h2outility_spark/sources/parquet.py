@@ -99,8 +99,9 @@ def load_jdbc(
     ``pandas.read_sql_query`` with a vestigial 250k-row chunk size
     (``series_service.py:388,436-441``). Spark's partitioned JDBC read is the
     scalable form of that chunking: ``numPartitions`` concurrent range scans
-    bounded by ``partitionColumn``. Untested in this container (no JDBC
-    driver jars) but kept as the production path for relational sources.
+    bounded by ``partitionColumn``. Smoke-tested end-to-end against
+    embedded Apache Derby (tests/test_jdbc_derby.py): full read,
+    partitioned read, and query-as-source pushdown.
     """
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table_or_query)
     if partition_column is not None:

@@ -47,7 +47,9 @@ def incremental_append(
     wm = existing.agg(F.max(ts_col).alias("wm"))
     fresh = (
         dv.join(F.broadcast(wm))
-        .filter(F.col(ts_col) > F.col("wm"))
+        # NULL watermark (empty/all-null existing) means -infinity: the
+        # bootstrap run must take everything, not silently drop it all.
+        .filter(F.col("wm").isNull() | (F.col(ts_col) > F.col("wm")))
         .drop("wm")
     )
     fresh = drop_logical_duplicates(fresh, keys)

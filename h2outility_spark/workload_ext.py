@@ -198,15 +198,28 @@ def q_percentile_summary(spark, sf_dir):
 
 @query(
     "approx_distinct_parts",
-    oracle=None,  # HLL sketches are engine-specific; exactness asserted in tests
-    description="Approximate distinct (HLL) per group — the 100 TB cardinality-estimation path",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS approx_ok
+    FROM lineitem
+    GROUP BY 1
+    """,
+    description=(
+        "Approximate distinct (HLL) per group — the 100 TB cardinality-estimation path. "
+        "The raw sketch value is engine-specific, so the oracle checks the exact count "
+        "plus a bounded-relative-error claim on the sketch (|approx-exact|/exact <= 20%, "
+        "~4x the default rsd=0.05)"
+    ),
 )
 def q_approx_distinct_parts(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.count_distinct("l_partkey").alias("exact_parts"),
     )
+    err = F.abs(F.col("approx_parts") - F.col("exact_parts")) / F.col("exact_parts")
+    return agg.select("l_returnflag", "exact_parts", (err <= 0.20).alias("approx_ok"))
 
 
 # ---------------------------------------------------------------------------

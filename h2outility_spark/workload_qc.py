@@ -20,7 +20,9 @@ from h2outility_spark.workload import _t, fround, query
 
 KEYS = ["user_id", "event_type"]
 
-SQL_WINDOW = "PARTITION BY user_id, event_type ORDER BY ts"
+# event_id is the deterministic tiebreak for duplicate timestamps within a
+# series — mirrored in every Spark window via tiebreak="event_id".
+SQL_WINDOW = "PARTITION BY user_id, event_type ORDER BY ts, event_id"
 
 
 def _ev(spark, sf_dir):
@@ -43,7 +45,7 @@ def _ev(spark, sf_dir):
     description="W1: data-gap detection — both endpoints of every >=3-day gap per series",
 )
 def q_qc_gaps(spark, sf_dir):
-    ev = qc.select_data_gaps(_ev(spark, sf_dir), KEYS, amount=3, period="day", ts="ts")
+    ev = qc.select_data_gaps(_ev(spark, sf_dir), KEYS, amount=3, period="day", ts="ts", tiebreak="event_id")
     return ev.filter(F.col(qc.SEL)).select("event_id", "user_id", "event_type", "ts")
 
 
@@ -63,7 +65,7 @@ def q_qc_gaps(spark, sf_dir):
     description="W2: value-change threshold — both rows of every |delta| >= 100 step",
 )
 def q_qc_value_change(spark, sf_dir):
-    ev = qc.select_value_change(_ev(spark, sf_dir), KEYS, threshold=100.0, value="value", ts="ts")
+    ev = qc.select_value_change(_ev(spark, sf_dir), KEYS, threshold=100.0, value="value", ts="ts", tiebreak="event_id")
     return ev.filter(F.col(qc.SEL)).select("event_id", "user_id", "event_type", "ts", "value")
 
 
@@ -106,7 +108,7 @@ _ISLANDS_CTE = f"""
 )
 def q_qc_islands(spark, sf_dir):
     ev = _ev(spark, sf_dir).withColumn(qc.SEL, F.col("value").between(20.0, 60.0))
-    grouped = qc.selection_groups(ev, KEYS, ts="ts", out="group_id")
+    grouped = qc.selection_groups(ev, KEYS, ts="ts", out="group_id", tiebreak="event_id")
     return (
         grouped.filter(F.col(qc.SEL))
         .groupBy("user_id", "event_type", "group_id")
@@ -153,7 +155,7 @@ def q_qc_islands(spark, sf_dir):
 )
 def q_qc_interpolate(spark, sf_dir):
     ev = _ev(spark, sf_dir).withColumn(qc.SEL, F.col("value").between(20.0, 60.0))
-    out = qc.interpolate_selected(ev, KEYS, ts="ts", value="value")
+    out = qc.interpolate_selected(ev, KEYS, ts="ts", value="value", tiebreak="event_id")
     return out.select(
         "event_id", "user_id", "event_type", "ts", fround(F.col("value"), 4).alias("value_interp")
     )
@@ -186,7 +188,7 @@ def q_qc_interpolate(spark, sf_dir):
 )
 def q_qc_drift(spark, sf_dir):
     ev = _ev(spark, sf_dir).withColumn(qc.SEL, F.col("value") > 50.0)
-    out = qc.drift_correct(ev, KEYS, gap_width=25.0, ts="ts", value="value")
+    out = qc.drift_correct(ev, KEYS, gap_width=25.0, ts="ts", value="value", tiebreak="event_id")
     return out.select(
         "event_id", "user_id", "event_type", "ts", fround(F.col("value"), 4).alias("value_drifted")
     )
@@ -246,14 +248,14 @@ def q_season_rollup(spark, sf_dir):
     "sessionization",
     oracle="""
     WITH t AS (
-      SELECT user_id, ts, epoch_us(ts) AS tu,
-             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS ptu
+      SELECT user_id, event_id, ts, epoch_us(ts) AS tu,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ptu
       FROM events
     ),
     s AS (
       SELECT *,
              sum(CASE WHEN ptu IS NULL OR tu - ptu > 21600000000 THEN 1 ELSE 0 END)
-               OVER (PARTITION BY user_id ORDER BY ts
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       FROM t
     )
@@ -268,7 +270,7 @@ def q_season_rollup(spark, sf_dir):
 )
 def q_sessionization(spark, sf_dir):
     ev = _ev(spark, sf_dir)
-    w = W.partitionBy("user_id").orderBy("ts")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
     tu = F.unix_micros(F.col("ts"))
     ptu = F.lag(tu).over(w)
     new_sess = F.when(ptu.isNull() | ((tu - ptu) > 21_600_000_000), 1).otherwise(0)

@@ -122,7 +122,7 @@ def q_doc_fingerprint(spark, sf_dir):
     return d.select(
         "doc_id",
         text.fingerprint(F.col("text")).alias("fp"),
-        text.prefix_fingerprint(F.col("text"), 8).alias("prefix_fp"),
+        text.prefix_fingerprint("text", 8).alias("prefix_fp"),
     )
 
 

@@ -1,0 +1,91 @@
+"""ANN quality evaluation: recall of the approximate similarity paths
+against their brute-force truths (VERDICT round-1 item 6).
+
+Measures, at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1):
+  * ivf_recall@10 for n_probe in {1, 2, 4}, with two coarse quantizers:
+    the ``label`` column (cheap, but the synthetic labels carry no
+    embedding-space structure, so recall ~= scan fraction — the honest
+    worst case) and k-means cells trained on the vectors themselves (the
+    real IVF composition: kmeans -> ivf_assign -> ivf_search);
+  * rp_lsh_pair_recall: rp_lsh_candidate_pairs vs the exact cosine>=0.45
+    near-dup pair set (0.45 is the registered near-dup threshold for this
+    synthetic corpus; the prefilter's job is to not lose true pairs).
+
+Prints ONE JSON line and writes it to RECALL.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from pyspark.sql import functions as F
+
+from h2outility_spark.operators import similarity as sim
+from h2outility_spark.session import get_spark
+from h2outility_spark.sources.parquet import load_table
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("ann-recall")
+    t0 = time.time()
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    emb.count()
+
+    queries = emb.filter(emb.vec_id < 50)
+    k = 10
+    exact = sim.brute_force_topk(emb, queries, k=k).select("query_id", "cand_id").cache()
+    exact.count()
+
+    out: dict[str, float] = {}
+    for n_probe in (1, 2, 4):
+        approx = sim.ivf_search(emb, queries, k=k, n_probe=n_probe).select("query_id", "cand_id")
+        out[f"ivf_label_recall_at_{k}_probe{n_probe}"] = round(sim.recall_at_k(approx, exact), 4)
+
+    # k-means coarse quantizer: train 16 cells on the vectors, re-cell the
+    # corpus, search with the same ivf_search machinery
+    from h2outility_spark.operators.kmeans import kmeans
+
+    cent = kmeans(emb, k=16, max_iter=3).withColumnRenamed("cluster", "label")
+    assign = sim.ivf_assign(emb, cent).withColumnRenamed("cell", "km_cell")
+    emb_km = (
+        emb.join(assign, "vec_id")
+        .select("vec_id", "embedding", F.col("km_cell").alias("label"))
+        .cache()
+    )
+    emb_km.count()
+    queries_km = emb_km.filter(emb_km.vec_id < 50)
+    for n_probe in (1, 2, 4):
+        approx = sim.ivf_search(emb_km, queries_km, k=k, n_probe=n_probe).select("query_id", "cand_id")
+        out[f"ivf_kmeans16_recall_at_{k}_probe{n_probe}"] = round(sim.recall_at_k(approx, exact), 4)
+
+    threshold = 0.45
+    truth = sim.cosine_neardup_pairs(emb, threshold).select("id_a", "id_b").cache()
+    n_truth = truth.count()
+    cand = sim.rp_lsh_candidate_pairs(emb, n_bits=4, n_bands=32).select("id_a", "id_b")
+    out["rp_lsh_pair_recall_cos045"] = round(sim.pair_recall(cand, truth), 4)
+    out["n_true_pairs_cos045"] = n_truth
+
+    result = {
+        "metric": "ann_recall",
+        "sf_dir": sf_dir,
+        "k": k,
+        "n_queries": 50,
+        "values": out,
+        "wall_sec": round(time.time() - t0, 1),
+    }
+    line = json.dumps(result)
+    print(line)
+    root = os.path.join(os.path.dirname(__file__), "..")
+    with open(os.path.join(root, "RECALL.json"), "w") as f:
+        f.write(line + "\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
