@@ -213,6 +213,86 @@ def jaccard_for_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Winnowing (rolling local-min fingerprints; Schleimer et al. 2003 / MOSS)
+# ---------------------------------------------------------------------------
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints: hash every word k-gram, slide a
+    w-wide window over the hash sequence, keep the minimum hash of each
+    window — the guaranteed-coverage selection of the winnowing paper
+    (any shared run of >= w+k-1 tokens shares at least one fingerprint).
+
+    Output: distinct (id, fp) rows; fp is an 8-hex-char md5 slice, so
+    lexicographic min == numeric min and DuckDB reproduces it exactly.
+
+    Scale shape: everything through fingerprint selection is a NARROW map
+    over per-document arrays (tokenize once into a materialized column,
+    then k-gram hash + sliding min as array transforms) — zero shuffles,
+    embarrassingly parallel at any corpus size. Documents shorter than k
+    tokens contribute nothing; shorter than w+k-1 tokens get one
+    fingerprint (the global min), the standard short-document degeneration.
+    """
+    d = docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col),
+        F.expr(f"split(trim(regexp_replace({text_col}, '\\\\s+', ' ')), ' ')").alias("__toks"),
+    )
+    # guard size < k explicitly: sequence(1, stop) flips to descending when
+    # stop < start, which would fabricate bogus window starts
+    kgram_hashes = F.expr(
+        f"transform(sequence(1, size(__toks) - {k - 1}), "
+        f"i -> substr(md5(array_join(slice(__toks, i, {k}), ' ')), 1, 8))"
+    )
+    d = d.select(
+        F.col(id_col),
+        F.when(F.size("__toks") >= k, kgram_hashes).otherwise(F.expr("array()")).alias("__h"),
+    ).filter(F.size("__h") > 0)
+    wins = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size(__h) - {w - 1}, 1)), "
+        f"i -> array_min(slice(__h, i, {w}))))"
+    )
+    return d.select(F.col(id_col), F.explode(wins).alias("fp"))
+
+
+def winnow_neardup_pairs(
+    fps: DataFrame,
+    min_shared: int = 2,
+    id_col: str = "doc_id",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-dup candidate pairs from shared winnowing fingerprints: join
+    documents on fp (bucketed by fingerprint — the shuffle is keyed by fp,
+    never O(n²)), count shared fingerprints per (a < b) pair, keep pairs
+    sharing >= ``min_shared``.
+
+    Same giant-bucket hazard as LSH banding (one boilerplate fingerprint
+    shared by m docs makes m² pairs): ``max_bucket`` drops over-wide
+    fingerprint buckets via a broadcast anti-join, exactly like
+    lsh_candidate_pairs.
+    """
+    if max_bucket is not None:
+        giants = (
+            fps.groupBy("fp").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > max_bucket).select("fp")
+        )
+        fps = fps.join(F.broadcast(giants), "fp", "left_anti")
+    a = fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash (portable 64-bit, emitted as 16 hex chars)
 # ---------------------------------------------------------------------------
 

@@ -220,6 +220,65 @@ def q_ngram_jaccard_blocked(spark, sf_dir):
     )
 
 
+# Winnowing: hash positions matter, so this CTE keeps the shingle index.
+# Window starts are shingle positions 1..max(n-w+1, 1); the min-hash of each
+# w-window (ROWS frame clamps at the partition end) is a fingerprint.
+_WINNOW_W = 4
+
+WINNOW_CTE = (
+    TOKS_CTE
+    + f""",
+    shp AS (
+      SELECT a.doc_id, a.i, a.w || ' ' || b.w || ' ' || c.w AS shingle
+      FROM toks a
+      JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      JOIN toks c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+    ),
+    h AS (SELECT doc_id, i, substr(md5(shingle), 1, 8) AS hv FROM shp),
+    wins AS (
+      SELECT doc_id, i,
+             min(hv) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS fp,
+             count(*) OVER (PARTITION BY doc_id) AS n
+      FROM h
+    ),
+    fps AS (SELECT DISTINCT doc_id, fp FROM wins WHERE i <= greatest(n - {_WINNOW_W - 1}, 1))
+"""
+)
+
+
+@query(
+    "winnow_fingerprints",
+    oracle="WITH " + WINNOW_CTE + "SELECT doc_id, fp FROM fps",
+    description=(
+        "Winnowing fingerprints (Schleimer/MOSS): sliding min over 3-gram hashes, window 4 — "
+        "guaranteed-coverage robust near-dup fingerprints, all narrow-map array ops"
+    ),
+)
+def q_winnow_fingerprints(spark, sf_dir):
+    return dedup.winnow_fingerprints(_docs(spark, sf_dir), k=3, w=_WINNOW_W)
+
+
+@query(
+    "neardup_winnow_pairs",
+    oracle="WITH "
+    + WINNOW_CTE
+    + """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+    description=(
+        "Near-dup pairs sharing >= 2 winnowing fingerprints — fingerprint-bucketed join "
+        "(shuffle keyed by fp, never all-pairs), the rolling-hash robust complement to MinHash"
+    ),
+)
+def q_neardup_winnow_pairs(spark, sf_dir):
+    fps = dedup.winnow_fingerprints(_docs(spark, sf_dir), k=3, w=_WINNOW_W)
+    return dedup.winnow_neardup_pairs(fps, min_shared=2)
+
+
 def _simhash_oracle() -> str:
     votes = ", ".join(
         f"{dedup.simhash_bit_vote_sql('th', b)} AS v{b}" for b in range(64)
