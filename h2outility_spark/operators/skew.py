@@ -51,6 +51,63 @@ def salted_agg(
     )
 
 
+def split_series_blocks(
+    df: DataFrame,
+    keys: list[str],
+    ts: str,
+    halo: int,
+    block_seconds: int,
+    tiebreak: str | None = None,
+    blk_col: str = "__blk",
+    halo_col: str = "__halo",
+) -> DataFrame:
+    """Split each series into time blocks for bounded-frame window ops, with
+    ``halo`` boundary rows replicated into the neighbor blocks so frames of
+    up to ``halo`` rows lag/lead see exactly the rows they would in the
+    unsplit series.
+
+    This materializes the qc.py hot-series advisory (one sensor with
+    billions of rows cannot be split by Spark for an unbounded window, but
+    bounded frames CAN be computed block-parallel): partition the follow-up
+    window by ``keys + [blk_col]`` instead of ``keys``, then drop rows where
+    ``halo_col`` is true. The only shuffle added is the row-number pass,
+    already keyed by the SPLIT key — no single reducer ever sees the whole
+    hot series.
+
+    Correctness contract: the downstream window frame must span at most
+    ``halo`` rows on each side (e.g. ``lag/lead(n<=halo)``,
+    ``rowsBetween(-halo, halo)``). Unbounded frames (cumulative sums,
+    islands) do NOT tolerate splitting — keep those on the full series key.
+    """
+    from pyspark.sql import Window as W
+
+    order = [ts] if tiebreak is None else [ts, tiebreak]
+    blk = F.floor(F.unix_micros(F.col(ts)) / F.lit(block_seconds * 1_000_000)).cast("long")
+    base = df.withColumn(blk_col, blk)
+    w = W.partitionBy(*keys, blk_col).orderBy(*order)
+    wd = W.partitionBy(*keys, blk_col).orderBy(*[F.col(c).desc() for c in order])
+    pos = base.select(
+        "*",
+        F.row_number().over(w).alias("__rn_a"),
+        F.row_number().over(wd).alias("__rn_d"),
+    )
+    own = pos.withColumn(halo_col, F.lit(False))
+    # last rows of block b serve lag-frames in b+1; first rows serve lead-frames in b-1
+    to_next = pos.filter(F.col("__rn_d") <= halo).withColumn(blk_col, F.col(blk_col) + 1).withColumn(
+        halo_col, F.lit(True)
+    )
+    to_prev = pos.filter(F.col("__rn_a") <= halo).withColumn(blk_col, F.col(blk_col) - 1).withColumn(
+        halo_col, F.lit(True)
+    )
+    return own.unionByName(to_next).unionByName(to_prev).drop("__rn_a", "__rn_d")
+
+
+def finish_series_blocks(df: DataFrame, blk_col: str = "__blk", halo_col: str = "__halo") -> DataFrame:
+    """Drop the replicated halo rows and helper columns after the blocked
+    window computation."""
+    return df.filter(~F.col(halo_col)).drop(blk_col, halo_col)
+
+
 def salted_broadcast_join(
     fact: DataFrame,
     dim: DataFrame,

@@ -275,7 +275,9 @@ def q_winnow_fingerprints(spark, sf_dir):
     ),
 )
 def q_neardup_winnow_pairs(spark, sf_dir):
-    fps = dedup.winnow_fingerprints(_docs(spark, sf_dir), k=3, w=_WINNOW_W)
+    # both sides of the fp self-join reuse one materialization of the
+    # fingerprint pipeline instead of re-tokenizing the corpus twice
+    fps = dedup.winnow_fingerprints(_docs(spark, sf_dir), k=3, w=_WINNOW_W).cache()
     return dedup.winnow_neardup_pairs(fps, min_shared=2)
 
 

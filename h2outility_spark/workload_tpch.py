@@ -152,6 +152,359 @@ def q_tpch_q10_returned(spark, sf_dir):
 
 
 @query(
+    "tpch_q7_nation_volume",
+    oracle="""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INT) AS l_year,
+           floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue
+    FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+       OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+    """,
+    description="Q7-style: bilateral trade volume between two nations per ship year",
+)
+def q_tpch_q7_nation_volume(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    cn = nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    sn = nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cn), cust.c_nationkey == cn.c_nk)
+        .join(F.broadcast(sn), supp.s_nationkey == sn.s_nk)
+    )
+    pair = ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        j.filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(fround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           floor((sum(CASE WHEN sn.n_name = 'NATION_3'
+                           THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+                  / sum(l_extendedprice * (1 - l_discount))) * 10000.0 + 0.5) / 10000.0 AS mkt_share
+    FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region ON cn.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE r_name = 'EUROPE' AND p_type = 'STANDARD'
+    GROUP BY 1
+    """,
+    description="Q8-style: one nation's market share of STANDARD-part revenue inside EUROPE per order year",
+)
+def q_tpch_q8_market_share(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cn = nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
+    sn = nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), cust.c_nationkey == cn.c_nk)
+        .join(F.broadcast(region), cn.c_rk == region.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), supp.s_nationkey == sn.s_nk)
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        fround(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(0.0)) / F.sum(rev), 4
+        ).alias("mkt_share")
+    )
+
+
+@query(
+    "tpch_q9_product_profit",
+    oracle="""
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+           floor((sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000.0 + 0.5) AS BIGINT))
+                  / 1000000.0) * 100.0 + 0.5) / 100.0 AS sum_profit
+    FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY 1, 2
+    """,
+    description=(
+        "Q9-style: per-supplier-nation yearly revenue on parts matching a name pattern. "
+        "Revenue is summed in exact integer micro-units (per-row round, then bigint sum) so "
+        "the group total is independent of partial-aggregation order — one group here lands "
+        "exactly on a 2dp rounding boundary, where float summation order flips the result"
+    ),
+)
+def q_tpch_q9_product_profit(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+    )
+    micros = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(1_000_000.0) + F.lit(0.5)
+    ).cast("bigint")
+    return j.groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")).agg(
+        fround(F.sum(micros) / F.lit(1_000_000.0), 2).alias("sum_profit")
+    )
+
+
+@query(
+    "tpch_q13_order_distribution",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey)
+    GROUP BY 1
+    """,
+    description="Q13-style: histogram of orders-per-customer incl. zero (left join preserves orderless customers)",
+)
+def q_tpch_q13_order_distribution(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle="""
+    WITH r AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(l_extendedprice * (1 - l_discount)) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY 1
+    )
+    SELECT s_suppkey, s_name,
+           floor(total_rev * 100.0 + 0.5) / 100.0 AS total_revenue
+    FROM supplier JOIN r ON s_suppkey = supplier_no
+    WHERE total_rev = (SELECT max(total_rev) FROM r)
+    """,
+    description="Q15-style: the supplier(s) with maximum quarterly revenue (scalar max subquery)",
+)
+def q_tpch_q15_top_supplier(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_rev"))
+    )
+    top = rev.agg(F.max("total_rev").alias("__mx"))
+    return (
+        rev.join(F.broadcast(top), rev.total_rev == F.col("__mx"))
+        .join(F.broadcast(supp), rev.supplier_no == supp.s_suppkey)
+        .select("s_suppkey", "s_name", fround(F.col("total_rev"), 2).alias("total_revenue"))
+    )
+
+
+@query(
+    "tpch_q16_supplier_cnt",
+    oracle="""
+    SELECT p_brand, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 5, 10, 15, 20, 25)
+    GROUP BY 1, 2
+    """,
+    description=(
+        "Q16-style: distinct suppliers per (brand, size) with NOT-pattern exclusions — "
+        "lineitem stands in for partsupp (absent from the slim schema)"
+    ),
+)
+def q_tpch_q16_supplier_cnt(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & ~F.col("p_type").like("PROMO%")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "tpch_q17_small_qty_revenue",
+    oracle="""
+    SELECT floor((sum(l_extendedprice) / 7.0) * 100.0 + 0.5) / 100.0 AS avg_yearly
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand = 'Brand#2'
+      AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+                        WHERE l2.l_partkey = lineitem.l_partkey)
+    """,
+    description=(
+        "Q17-style: revenue of below-one-fifth-of-average-quantity orders — correlated avg "
+        "subquery rewritten as a per-part aggregate join"
+    ),
+)
+def q_tpch_q17_small_qty_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2")
+    # correlated subquery -> per-part avg computed once, broadcast back
+    avg_qty = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("__qty_cap")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(avg_qty, li.l_partkey == F.col("__pk"))
+        .filter(F.col("l_quantity") < F.col("__qty_cap"))
+        .agg(fround(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "tpch_q18_large_orders",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS total_qty
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300)
+    GROUP BY 1, 2, 3, 4, 5
+    """,
+    description="Q18-style: customers behind the largest orders (HAVING-filtered IN subquery)",
+)
+def q_tpch_q18_large_orders(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("__s")).filter(F.col("__s") > 300)
+    return (
+        li.join(F.broadcast(big.select("l_orderkey")), "l_orderkey", "left_semi")
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(fround(F.sum("l_quantity"), 2).alias("total_qty"))
+    )
+
+
+@query(
+    "tpch_q21_waiting_supplier",
+    oracle="""
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier
+      JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY 1
+    """,
+    description=(
+        "Q21-style: suppliers solely responsible for late multi-supplier orders — "
+        "correlated EXISTS + NOT EXISTS as semi/anti joins (late = shipped >60d after order)"
+    ),
+)
+def q_tpch_q21_waiting_supplier(spark, sf_dir):
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    late_cut = F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+
+    l1 = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(F.col("l_shipdate") > late_cut)
+    l2 = li.select(F.col("l_orderkey").alias("__ok2"), F.col("l_suppkey").alias("__sk2"))
+    has_other = l1.join(
+        l2, (F.col("l_orderkey") == F.col("__ok2")) & (F.col("l_suppkey") != F.col("__sk2")), "left_semi"
+    )
+    l3 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > late_cut)
+        .select(F.col("l_orderkey").alias("__ok3"), F.col("l_suppkey").alias("__sk3"))
+    )
+    sole_late = has_other.join(
+        l3, (F.col("l_orderkey") == F.col("__ok3")) & (F.col("l_suppkey") != F.col("__sk3")), "left_anti"
+    )
+    return (
+        sole_late.join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@query(
+    "tpch_q22_idle_rich_customers",
+    oracle="""
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
+           floor((sum(c_acctbal)) * 100.0 + 0.5) / 100.0 AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY 1
+    """,
+    description=(
+        "Q22-style: above-average-balance customers with no recent orders — scalar avg "
+        "subquery + anti join, grouped by market segment"
+    ),
+)
+def q_tpch_q22_idle_rich_customers(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00"))
+        .select("o_custkey")
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("__avg"))
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("numcust"), fround(F.sum("c_acctbal"), 2).alias("totacctbal"))
+    )
+
+
+@query(
     "cube_orders",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
