@@ -37,6 +37,7 @@ def main() -> None:
     # (multi-second kernel stalls unrelated to the workload); min-of-N
     # measures the engine, not the neighbor noise.
     timings: dict[str, float] = {}
+    all_samples: dict[str, list[float]] = {}
     for name, spec in specs.items():
         samples = []
         for attempt in range(3):
@@ -47,6 +48,7 @@ def main() -> None:
             if attempt == 1 and max(samples) / max(min(samples), 1e-9) < 3.0:
                 break
         timings[name] = round(min(samples), 3)
+        all_samples[name] = [round(s, 3) for s in samples]
 
     total = round(sum(timings.values()), 3)
     print(
@@ -56,6 +58,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "samples": all_samples,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
