@@ -213,6 +213,82 @@ def jaccard_for_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Connected components: near-dup pairs -> dedup clusters
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve verified near-dup PAIRS into CLUSTERS: (node, cluster_id)
+    where cluster_id = min doc id reachable through any chain of pairs —
+    the last stage of a real dedup pipeline (A~B and B~C must collapse to
+    ONE keeper even when A~C was never emitted as a pair).
+
+    Algorithm: min-label propagation with pointer jumping. Each round
+    (1) takes the min label over the node's neighbors and itself (one
+    join + combiner-friendly groupBy min, both shuffles keyed by node id),
+    then (2) pointer-jumps ``lab = label[label[node]]`` so labels hop
+    across whole resolved chains at once. The jump makes convergence
+    ~O(log(longest chain)) rounds instead of O(chain length); each round
+    is a bounded number of node-keyed shuffles, nothing is ever collected
+    to the driver, and ``localCheckpoint`` truncates the per-round lineage
+    (the same iterative discipline as operators/kmeans.py). This is the
+    alternating-contraction shape of Kiveris et al., "Connected Components
+    in MapReduce and Beyond" (SOCC'14), simplified to min-label form.
+
+    Convergence is detected by counting changed labels (a count on a
+    |nodes|-sized frame per round — the only driver-visible value).
+    """
+    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")).unionByName(
+        pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    )
+    edges = edges.localCheckpoint()
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn("lab", F.col("node"))
+    for _ in range(max_iter):
+        nbr = edges.join(labels, edges.src == labels.node).select(
+            F.col("dst").alias("node"), F.col("lab")
+        )
+        stepped = (
+            labels.unionByName(nbr).groupBy("node").agg(F.min("lab").alias("lab"))
+        )
+        jump = stepped.select(F.col("node").alias("__jn"), F.col("lab").alias("__jl"))
+        jumped = (
+            stepped.join(jump, stepped.lab == jump["__jn"], "left")
+            .select("node", F.least(F.col("lab"), F.coalesce("__jl", "lab")).alias("lab"))
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lab") != F.col("o.lab"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("lab").alias("cluster_id"))
+
+
+def canonical_docs(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep one document per near-dup cluster (the min-id member) plus all
+    unclustered documents: a broadcastable anti-join against the (tiny
+    relative to the corpus) set of non-canonical cluster members."""
+    losers = clusters.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
 # Winnowing (rolling local-min fingerprints; Schleimer et al. 2003 / MOSS)
 # ---------------------------------------------------------------------------
 

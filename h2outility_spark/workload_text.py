@@ -16,21 +16,26 @@ from pyspark.sql import functions as F
 from h2outility_spark.operators import dedup, similarity, text
 from h2outility_spark.workload import _t, fround, query
 
-# Shared oracle CTE fragments --------------------------------------------------
+# Shared oracle CTE fragments (parameterizable by source table so the same
+# shingle/minhash pipeline can run over `documents` or a filtered CTE) -------
 
-TOKS_CTE = """
+
+def toks_cte(src: str = "documents") -> str:
+    return f"""
     toks AS (
       SELECT doc_id,
              unnest(regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS w,
              generate_subscripts(regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '), 1) AS i
-      FROM documents
+      FROM {src}
       WHERE length(trim(text)) > 0
     )
 """
 
-SH_CTE = (
-    TOKS_CTE
-    + """,
+
+def sh_cte(src: str = "documents") -> str:
+    return (
+        toks_cte(src)
+        + """,
     sh AS (
       SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
       FROM toks a
@@ -38,21 +43,74 @@ SH_CTE = (
       JOIN toks c ON a.doc_id = c.doc_id AND c.i = a.i + 2
     )
 """
-)
+    )
+
+
+TOKS_CTE = toks_cte()
+SH_CTE = sh_cte()
 
 MINHASH_K = 8
 
-MH_CTE = (
-    SH_CTE
-    + """,
+
+def mh_cte(src: str = "documents") -> str:
+    return (
+        sh_cte(src)
+        + """,
     mh AS (
       SELECT doc_id, """
-    + ", ".join(f"min({dedup.minhash_hash_sql(i)}) AS mh{i}" for i in range(MINHASH_K))
-    + """
+        + ", ".join(f"min({dedup.minhash_hash_sql(i)}) AS mh{i}" for i in range(MINHASH_K))
+        + """
       FROM sh GROUP BY doc_id
     )
 """
-)
+    )
+
+
+MH_CTE = mh_cte()
+
+# cand -> verified jpairs (id_a, id_b) as a CTE chain (the CTE form of
+# JACCARD_TAIL, for oracles that consume the pairs downstream).
+JPAIRS_CTE = """
+    dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM dsh GROUP BY 1),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS ni
+      FROM cand c
+      JOIN dsh s1 ON s1.doc_id = c.id_a
+      JOIN dsh s2 ON s2.doc_id = c.id_b AND s2.shingle = s1.shingle
+      GROUP BY 1, 2
+    ),
+    jpairs AS (
+      SELECT i.id_a, i.id_b
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.id_a
+      JOIN sizes sb ON sb.doc_id = i.id_b
+      WHERE CAST(ni AS DOUBLE) / CAST(sa.sz + sb.sz - ni AS DOUBLE) >= 0.2
+    )
+"""
+
+MH_CAND_CTE = """,
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM mh a JOIN mh b
+        ON a.doc_id < b.doc_id
+       AND (""" + " OR ".join(f"a.mh{i} = b.mh{i}" for i in range(MINHASH_K)) + """)
+    ),
+"""
+
+# jpairs -> connected components via transitive closure; `reach` is the
+# recursive min-label closure (UNION dedups, so it terminates).
+CLUSTERS_CTE = """,
+    edges AS (SELECT id_a AS src, id_b AS dst FROM jpairs
+              UNION ALL
+              SELECT id_b AS src, id_a AS dst FROM jpairs),
+    reach(node, lab) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.lab FROM edges e JOIN reach r ON r.node = e.dst
+    ),
+    clusters AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY 1)
+"""
 
 # Distinct shingles + set sizes + exact jaccard for a `cand` (id_a, id_b) CTE.
 JACCARD_TAIL = """
@@ -189,6 +247,81 @@ def q_neardup_minhash_pairs(spark, sf_dir):
     return jac.filter(F.col("jaccard") >= 0.2).select(
         "id_a", "id_b", fround(F.col("jaccard"), 4).alias("jaccard")
     )
+
+
+@query(
+    "neardup_clusters",
+    oracle="WITH RECURSIVE "
+    + MH_CTE
+    + MH_CAND_CTE
+    + JPAIRS_CTE
+    + CLUSTERS_CTE
+    + "SELECT node, cluster_id FROM clusters",
+    description=(
+        "Near-dup cluster resolution: MinHash-LSH pairs (Jaccard-verified >= 0.2) collapsed "
+        "into connected components via pointer-jumping min-label propagation — A~B~C becomes "
+        "ONE cluster even when A~C was never a pair; oracle is a recursive-CTE closure"
+    ),
+)
+def q_neardup_clusters(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    sigs = dedup.minhash_signatures(docs, num_hashes=MINHASH_K).cache()
+    pairs = dedup.lsh_candidate_pairs(sigs, bands=[[i] for i in range(MINHASH_K)])
+    verified = dedup.jaccard_for_pairs(pairs, docs).filter(F.col("jaccard") >= 0.2)
+    return dedup.connected_components(verified.select("id_a", "id_b"))
+
+
+_N_TOKENS_SQL = (
+    "CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0 THEN 0 "
+    "ELSE array_length(regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) END"
+)
+_ALPHA_RATIO_SQL = (
+    "coalesce(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) "
+    "/ (CASE WHEN length(text) > 0 THEN CAST(length(text) AS DOUBLE) END), 0.0)"
+)
+
+
+@query(
+    "corpus_clean",
+    oracle="WITH RECURSIVE "
+    + f"""
+    q AS (SELECT doc_id, text FROM documents
+          WHERE ({_N_TOKENS_SQL}) >= 25 AND ({_ALPHA_RATIO_SQL}) >= 0.8),
+    g AS (SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+                 min(doc_id) AS keep_id
+          FROM q GROUP BY 1),
+    kept AS (SELECT q.doc_id, q.text FROM q JOIN g ON q.doc_id = g.keep_id),
+"""
+    + mh_cte("kept").lstrip()
+    + MH_CAND_CTE
+    + JPAIRS_CTE
+    + CLUSTERS_CTE
+    + f"""
+    SELECT doc_id, {_N_TOKENS_SQL} AS n_tokens
+    FROM kept
+    WHERE doc_id NOT IN (SELECT node FROM clusters WHERE node <> cluster_id)
+""",
+    description=(
+        "End-to-end corpus cleaning flagship: quality filter (>=25 tokens, alpha ratio >=0.8) "
+        "-> exact dedup (keep min id per content fingerprint) -> MinHash-LSH near-dup clusters "
+        "-> keep one canonical doc per cluster. Every stage is the scale-path operator"
+    ),
+)
+def q_corpus_clean(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    scored = docs.select("doc_id", "text", *text.quality_columns("text"))
+    q = scored.filter((F.col("n_tokens") >= 25) & (F.col("alpha_ratio") >= 0.8)).select(
+        "doc_id", "text", "n_tokens"
+    )
+    groups = dedup.exact_dedup_groups(q)
+    kept = q.join(
+        groups.select(F.col("keep_id").alias("doc_id")), "doc_id", "left_semi"
+    ).cache()
+    sigs = dedup.minhash_signatures(kept, num_hashes=MINHASH_K)
+    pairs = dedup.lsh_candidate_pairs(sigs, bands=[[i] for i in range(MINHASH_K)])
+    verified = dedup.jaccard_for_pairs(pairs, kept).filter(F.col("jaccard") >= 0.2)
+    clusters = dedup.connected_components(verified.select("id_a", "id_b"))
+    return dedup.canonical_docs(kept, clusters).select("doc_id", "n_tokens")
 
 
 @query(
