@@ -56,6 +56,67 @@ def shingles_expr(text_col: str = "text", n: int = 3) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# Corpus n-gram statistics (LM training counts)
+# ---------------------------------------------------------------------------
+
+
+def corpus_ngram_counts(
+    docs, n: int = 3, id_col: str = "doc_id", text_col: str = "text", min_count: int = 1
+):
+    """Corpus-wide n-gram occurrence and document-frequency counts — the
+    count-collection pass of n-gram LM estimation / contamination checks.
+
+    Scale shape: n-grams are built as a per-document ARRAY transform
+    (narrow map, no shuffle, stays in codegen) and exploded; the single
+    shuffle is the combiner-friendly groupBy(ngram), so shuffle volume is
+    |distinct n-grams|, not |token positions|. ``n_docs`` (document
+    frequency) rides the same aggregation via count(distinct id) partials.
+    """
+    from pyspark.sql import functions as F
+
+    grams = docs.select(
+        F.col(id_col), F.explode(shingles_expr(text_col, n)).alias("ngram")
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.count_distinct(id_col).alias("n_docs"),
+        )
+        .filter(F.col("n_occ") >= min_count)
+    )
+
+
+def bigram_conditional_probs(
+    docs, id_col: str = "doc_id", text_col: str = "text", min_pair: int = 1
+):
+    """Bigram conditional probabilities P(w2 | w1) = c(w1 w2) / c(w1) over
+    the corpus — maximum-likelihood LM estimation. Two combiner-friendly
+    aggregations (bigram counts, unigram counts) joined on w1. Both join
+    inputs are count tables (|distinct bigrams| and |vocab| rows, far
+    smaller than token positions); the join key w1 is skewed toward
+    stopwords, but per-key fan-out is bounded by |vocab| and AQE's skew
+    split handles the hot keys — no broadcast assumption about vocab size.
+    """
+    from pyspark.sql import functions as F
+
+    toks = docs.select(F.col(id_col), F.explode(shingles_expr(text_col, 1)).alias("w"))
+    uni = toks.groupBy(F.col("w").alias("w1")).agg(F.count(F.lit(1)).alias("c1"))
+    big = (
+        docs.select(F.explode(shingles_expr(text_col, 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= min_pair)
+        .withColumn("w1", F.split(F.col("bigram"), " ")[0])
+    )
+    return big.join(uni, "w1").select(
+        "bigram",
+        "c12",
+        (F.col("c12").cast("double") / F.col("c1").cast("double")).alias("p"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Quality scoring
 # ---------------------------------------------------------------------------
 

@@ -185,6 +185,77 @@ def q_doc_fingerprint(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Corpus n-gram statistics (LM counts / vocab)
+# ---------------------------------------------------------------------------
+
+@query(
+    "ngram_counts",
+    oracle="WITH "
+    + SH_CTE
+    + """
+    SELECT shingle AS ngram, CAST(count(*) AS BIGINT) AS n_occ,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM sh GROUP BY 1 HAVING count(*) >= 2
+    """,
+    description=(
+        "Corpus trigram occurrence + document-frequency counts (>= 2 occurrences): narrow-map "
+        "array n-grams, one combiner-friendly shuffle keyed by ngram — LM count collection"
+    ),
+)
+def q_ngram_counts(spark, sf_dir):
+    return text.corpus_ngram_counts(_docs(spark, sf_dir), n=3, min_count=2)
+
+
+@query(
+    "vocab_topk",
+    oracle="WITH "
+    + TOKS_CTE
+    + """,
+    c AS (SELECT w AS token, CAST(count(*) AS BIGINT) AS n_occ FROM toks GROUP BY 1)
+    SELECT token, n_occ, CAST(rk AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (ORDER BY n_occ DESC, token) AS rk FROM c)
+    WHERE rk <= 100
+    """,
+    description=(
+        "Vocabulary building: top-100 tokens by corpus frequency with deterministic rank — "
+        "global top-k runs on the aggregated count table, and the rank window only on the "
+        "100 surviving rows (never a single-reducer pass over the vocab)"
+    ),
+)
+def q_vocab_topk(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    toks = _docs(spark, sf_dir).select(F.explode(text.shingles_expr("text", 1)).alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_occ"))
+    top = counts.orderBy(F.col("n_occ").desc(), "token").limit(100)
+    w = W.orderBy(F.col("n_occ").desc(), "token")
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+@query(
+    "bigram_condprob",
+    oracle="WITH "
+    + TOKS_CTE
+    + """,
+    uni AS (SELECT w AS w1, count(*) AS c1 FROM toks GROUP BY 1),
+    big AS (SELECT a.w AS w1, a.w || ' ' || b.w AS bigram, count(*) AS c12
+            FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+            GROUP BY 1, 2 HAVING count(*) >= 3)
+    SELECT bigram, CAST(c12 AS BIGINT) AS c12,
+           floor((CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS p
+    FROM big JOIN uni USING (w1)
+    """,
+    description=(
+        "Maximum-likelihood bigram LM: P(w2|w1) = c(w1,w2)/c(w1) for pairs seen >= 3 times — "
+        "two count aggregations joined on w1 (count tables, not token positions)"
+    ),
+)
+def q_bigram_condprob(spark, sf_dir):
+    out = text.bigram_conditional_probs(_docs(spark, sf_dir), min_pair=3)
+    return out.select("bigram", "c12", fround(F.col("p"), 6).alias("p"))
+
+
+# ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
 
