@@ -286,7 +286,7 @@ def q_tpch_q3(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-03-15 00:00:00"))
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1997-03-15 00:00:00"))
     joined = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
-        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        cust, orders.o_custkey == cust.c_custkey
     )
     return (
         joined.groupBy("l_orderkey", "o_orderdate")
@@ -327,9 +327,9 @@ def q_tpch_q5(spark, sf_dir):
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
         )
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)

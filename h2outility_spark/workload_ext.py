@@ -76,8 +76,8 @@ def q_self_alias_join(spark, sf_dir):
     sn = nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(cn), cust.c_nationkey == cn.c_nk)
         .join(F.broadcast(sn), supp.s_nationkey == sn.s_nk)
     )

@@ -2,6 +2,15 @@
 star schema) — broadens the G/J/O/P coverage with correlated-exists,
 conditional bucketing, ratio-of-sums, OR-of-ANDs pushdown, cube, and regex
 extraction, each oracle-checked.
+
+Broadcast policy (100 TB rule): ``F.broadcast`` hints are reserved for
+tables whose size is BOUNDED by the schema — nation (25 rows), region (5),
+and derived scalar/top-k aggregates — never for tables that scale with the
+data (customer, supplier, part, orders, lineitem, data-dependent keysets).
+Those joins are left unhinted: AQE auto-broadcasts them while they fit
+(including at this repo's test scales) and falls back to shuffle joins at
+cluster scale, where a forced broadcast of a billion-row "dim" would OOM
+the driver.
 """
 
 from __future__ import annotations
@@ -82,7 +91,7 @@ def q_tpch_q14_promo_share(spark, sf_dir):
     )
     part = _t(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    joined = li.join(part, li.l_partkey == part.p_partkey)
     return joined.agg(
         fround(
             F.lit(100.0) * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)) / F.sum(rev), 4
@@ -104,7 +113,7 @@ def q_tpch_q14_promo_share(spark, sf_dir):
 def q_tpch_q19_or_of_ands(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     b = lambda brand, smax, qlo, qhi: (  # noqa: E731
         (F.col("p_brand") == brand)
         & F.col("p_size").between(1, smax)
@@ -140,7 +149,7 @@ def q_tpch_q10_returned(spark, sf_dir):
     nation = _t(spark, sf_dir, "nation")
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
     )
     return (
@@ -179,8 +188,8 @@ def q_tpch_q7_nation_volume(spark, sf_dir):
     sn = nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
     j = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(cn), cust.c_nationkey == cn.c_nk)
         .join(F.broadcast(sn), supp.s_nationkey == sn.s_nk)
     )
@@ -225,12 +234,12 @@ def q_tpch_q8_market_share(spark, sf_dir):
     cn = nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
     sn = nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
     j = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(cn), cust.c_nationkey == cn.c_nk)
         .join(F.broadcast(region), cn.c_rk == region.r_regionkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(sn), supp.s_nationkey == sn.s_nk)
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -269,8 +278,8 @@ def q_tpch_q9_product_profit(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     nation = _t(spark, sf_dir, "nation")
     j = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
     )
@@ -335,7 +344,7 @@ def q_tpch_q15_top_supplier(spark, sf_dir):
     top = rev.agg(F.max("total_rev").alias("__mx"))
     return (
         rev.join(F.broadcast(top), rev.total_rev == F.col("__mx"))
-        .join(F.broadcast(supp), rev.supplier_no == supp.s_suppkey)
+        .join(supp, rev.supplier_no == supp.s_suppkey)
         .select("s_suppkey", "s_name", fround(F.col("total_rev"), 2).alias("total_revenue"))
     )
 
@@ -362,7 +371,7 @@ def q_tpch_q16_supplier_cnt(spark, sf_dir):
         & F.col("p_size").isin(1, 5, 10, 15, 20, 25)
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -390,7 +399,7 @@ def q_tpch_q17_small_qty_revenue(spark, sf_dir):
         (F.lit(0.2) * F.avg("l_quantity")).alias("__qty_cap")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(avg_qty, li.l_partkey == F.col("__pk"))
         .filter(F.col("l_quantity") < F.col("__qty_cap"))
         .agg(fround(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
@@ -416,9 +425,9 @@ def q_tpch_q18_large_orders(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     big = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("__s")).filter(F.col("__s") > 300)
     return (
-        li.join(F.broadcast(big.select("l_orderkey")), "l_orderkey", "left_semi")
+        li.join(big.select("l_orderkey"), "l_orderkey", "left_semi")
         .join(orders, F.col("l_orderkey") == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(fround(F.sum("l_quantity"), 2).alias("total_qty"))
     )
@@ -464,7 +473,7 @@ def q_tpch_q21_waiting_supplier(spark, sf_dir):
         l3, (F.col("l_orderkey") == F.col("__ok3")) & (F.col("l_suppkey") != F.col("__sk3")), "left_anti"
     )
     return (
-        sole_late.join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        sole_late.join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
