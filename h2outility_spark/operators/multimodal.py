@@ -113,6 +113,84 @@ def frame_sample_plan(assets: DataFrame, every_n: int = 30, id_col: str = "asset
     )
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("data", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+
+def deterministic_fake_resizer(data: bytes, max_side: int) -> tuple[bytes, int, int]:
+    """Deterministic resize stand-in: derives source dims like the fake
+    decoder, scales them to fit ``max_side``, and emits a payload digest as
+    the 'resized bytes'. Replace with PIL ``Image.thumbnail`` on a real
+    cluster."""
+    w, h, _ = deterministic_fake_decoder(data)
+    scale = min(1.0, max_side / max(w, h))
+    out_w, out_h = max(1, int(w * scale)), max(1, int(h * scale))
+    payload = hashlib.sha1((data or b"") + f"{out_w}x{out_h}".encode()).digest()
+    return payload, out_w, out_h
+
+
+def resize_images(
+    assets: DataFrame,
+    max_side: int = 256,
+    resize_fn: Callable[[bytes, int], tuple[bytes, int, int]] | None = None,
+    id_col: str = "asset_id",
+    data_col: str = "data",
+) -> DataFrame:
+    """Arrow-batched image resize (bounding-box to ``max_side``): the
+    standard normalization pass before vision-model training.
+
+    Same stub contract as ``extract_image_features``: ``resize_fn=None``
+    raises at the codec site; ``deterministic_fake_resizer`` exercises the
+    full plumbing. The output keeps payloads in the SELECT path only —
+    downstream writers partition by bytes; nothing here shuffles the
+    binary column.
+    """
+    if resize_fn is None:
+        def resize_fn(_: bytes, __: int) -> tuple[bytes, int, int]:  # noqa: ANN001
+            raise NotImplementedError(
+                "image resize requires a codec library (PIL/turbojpeg) not present "
+                "in this container; pass resize_fn=deterministic_fake_resizer for tests"
+            )
+
+    fn, side = resize_fn, max_side
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            resized = [fn(b if b is not None else b"", side) for b in pdf[data_col]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "data": [r[0] for r in resized],
+                    "width": [r[1] for r in resized],
+                    "height": [r[2] for r in resized],
+                }
+            )
+
+    return assets.select(F.col(id_col), F.col(data_col)).mapInPandas(batches, RESIZED_SCHEMA)
+
+
+def audio_chunk_plan(
+    assets: DataFrame, chunk_ms: int = 10_000, id_col: str = "asset_id"
+) -> DataFrame:
+    """Audio chunking *plan*: (asset_id, chunk_start_ms) rows covering the
+    declared ``duration_ms`` metadata in ``chunk_ms`` strides — like
+    ``frame_sample_plan``, pure Catalyst (sequence + explode); the decoder
+    later touches only the planned chunks."""
+    dur = F.coalesce(F.element_at(F.col("meta"), "duration_ms").cast("long"), F.lit(0))
+    return assets.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(dur - 1, F.lit(0)), F.lit(chunk_ms))
+        ).alias("chunk_start_ms"),
+    )
+
+
 def binarize_text_fixture(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Build a multimodal asset fixture from the documents table (UTF-8
     payload bytes + mime + meta) — this container has no image test data, so

@@ -517,6 +517,39 @@ def q_simhash_signatures(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Multimodal (binary-asset plumbing; Catalyst-only plan stage)
+# ---------------------------------------------------------------------------
+
+@query(
+    "frame_sample",
+    oracle="""
+    SELECT asset_id, CAST(frame_index AS INT) AS frame_index
+    FROM (SELECT doc_id AS asset_id,
+                 unnest(generate_series(0, greatest((n_chars % 300 + 30) - 1, 0), 30)) AS frame_index
+          FROM documents)
+    """,
+    description=(
+        "Video frame-sampling plan: every-30th frame index per asset from declared "
+        "n_frames metadata (sequence + explode, pure Catalyst) — the decode stage later "
+        "touches only these (asset, frame) pairs"
+    ),
+)
+def q_frame_sample(spark, sf_dir):
+    from h2outility_spark.operators import multimodal
+
+    docs = _docs(spark, sf_dir)
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit(None).cast("binary").alias("data"),
+        F.lit("video/mp4").alias("mime"),
+        F.create_map(
+            F.lit("n_frames"), ((F.col("n_chars") % 300) + 30).cast("string")
+        ).alias("meta"),
+    )
+    return multimodal.frame_sample_plan(assets, every_n=30)
+
+
+# ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
 
