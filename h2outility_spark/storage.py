@@ -66,6 +66,32 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def write_sized(
+    df: DataFrame,
+    path: str,
+    range_cols: list[str] | None = None,
+    target_rows_per_file: int = 1_000_000,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet with controlled output-file geometry — the knob that
+    keeps a 100 TB sink from degenerating into millions of tiny files (or
+    a handful of unsplittable giants).
+
+    ``range_cols`` range-repartitions first so each file covers a
+    contiguous key range (range-clustered files give min/max footer stats
+    real pruning power for time/key-range scans — the poor man's Z-order
+    for a single sort axis); ``maxRecordsPerFile`` caps file size without
+    forcing one file per partition. Writers that skip the repartition keep
+    the upstream partitioning and only apply the per-file cap.
+    """
+    out = (
+        df.repartitionByRange(*range_cols).sortWithinPartitions(*range_cols)
+        if range_cols
+        else df
+    )
+    out.write.mode(mode).option("maxRecordsPerFile", target_rows_per_file).parquet(path)
+
+
 def is_shuffle_free_join(joined: DataFrame) -> bool:
     """True if the join plan contains no shuffle exchange (bucketed
     co-location worked). Broadcast exchanges don't count — they're the

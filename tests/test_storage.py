@@ -26,6 +26,31 @@ def test_partition_pruning(spark, tmp_path):
     assert q.count() == dv.filter(F.col("QualityControlLevelID") == 0).count()
 
 
+def test_write_sized_controls_file_geometry(spark, tmp_path):
+    import glob
+
+    dv = events_as_datavalues(load_table(spark, SF_DIR, "events"))
+    n = dv.count()
+    path = str(tmp_path / "sized")
+    storage.write_sized(dv, path, range_cols=["LocalDateTime"], target_rows_per_file=2000)
+    files = glob.glob(f"{path}/*.parquet")
+    # per-file cap respected: every file <= 2000 rows, none empty
+    sizes = [spark.read.parquet(f).count() for f in files]
+    assert sum(sizes) == n
+    assert max(sizes) <= 2000
+    # range clustering: file min/max LocalDateTime ranges must not interleave
+    # (each file covers a contiguous slice of the sort axis)
+    spans = sorted(
+        tuple(r)
+        for f in files
+        for r in spark.read.parquet(f)
+        .agg(F.min("LocalDateTime"), F.max("LocalDateTime"))
+        .collect()
+    )
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2 or lo1 == lo2  # ties may straddle, ranges may not cross
+
+
 def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     spark.sql(f"CREATE DATABASE IF NOT EXISTS buckets LOCATION '{tmp_path / 'warehouse'}'")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force non-broadcast
