@@ -112,6 +112,55 @@ def stream_deduped_append(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def stream_upsert_to_parquet(
+    stream_df: DataFrame,
+    target_path: str,
+    keys: list[str],
+    order_col: str,
+    checkpoint_path: str,
+    query_name: str = "upsert",
+):
+    """Continuous incremental materialization: each micro-batch is MERGEd
+    into a parquet target via ``foreachBatch`` — the streaming form of the
+    reference's SilentUpdater cron loop (read new rows, upsert into the
+    store, repeat), with the checkpoint giving exactly-once batch replay.
+
+    Each batch applies ``mutation.upsert`` (newest-per-key wins by
+    ``order_col``) against the current target and atomically swaps via
+    write-to-temp + overwrite. Plain parquet has no transactional MERGE —
+    on a Delta/Iceberg cluster the body becomes a one-line ``MERGE INTO``
+    and the rewrite cost drops to the touched files. The rewrite here is
+    the documented trade, not a scale claim; the pattern (foreachBatch +
+    idempotent merge + checkpoint) is the load-bearing part.
+
+    Returns the started StreamingQuery (caller stops/awaits).
+    """
+    from h2outility_spark.operators.mutation import upsert
+
+    spark = stream_df.sparkSession
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            current = spark.read.parquet(target_path)
+        except Exception:
+            current = None
+        if current is None:
+            merged = drop_logical_duplicates(batch_df, keys)
+        else:
+            merged = upsert(current, batch_df, keys, order_col)
+        tmp = f"{target_path}__staging"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(target_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_available_now(stream_df: DataFrame, query_name: str = "drain") -> list:
     """Drain everything currently available (Trigger.AvailableNow), collect
     from the in-memory sink, stop — the cron-equivalent one-shot run (I1)."""

@@ -47,6 +47,46 @@ def test_canonical_docs_keeps_min_and_unclustered(spark):
     assert kept.columns == docs.columns
 
 
+def _union_find_components(edges):
+    """20-line pure-Python reference: min id per component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_random_graphs_match_union_find(spark):
+    # deterministic pseudo-random graphs (seeded) across several shapes:
+    # sparse, dense, star-heavy — all must equal the union-find reference
+    import random
+
+    rng = random.Random(41)
+    for trial, (n_nodes, n_edges) in enumerate([(30, 12), (25, 60), (50, 30)]):
+        edges = []
+        for _ in range(n_edges):
+            a, b = rng.randrange(n_nodes), rng.randrange(n_nodes)
+            if a != b:
+                edges.append((min(a, b), max(a, b)))
+        if not edges:
+            continue
+        want = _union_find_components(edges)
+        got = {
+            r["node"]: r["cluster_id"]
+            for r in dedup.connected_components(_pairs(spark, edges)).collect()
+        }
+        assert got == want, f"trial {trial}"
+
+
 def test_pair_order_does_not_matter(spark):
     # same graph, ids presented large-first in the pair columns
     out = dedup.connected_components(_pairs(spark, [(9, 2), (7, 9), (2, 7)]))

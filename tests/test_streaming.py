@@ -59,6 +59,40 @@ def test_stream_dedup_within_watermark(spark, stream_dir):
     assert len(rows) == distinct
 
 
+def test_stream_upsert_foreachbatch(spark, tmp_path):
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k long, ts timestamp, v double"
+
+    first = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1.0), (2, "2024-01-01 00:10:00", 2.0)],
+        "k long, ts string, v double",
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) AS ts", "v")
+    first.write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).format("parquet").load(src)
+    q = incremental.stream_upsert_to_parquet(stream, target, ["k"], "ts", ckpt)
+    q.processAllAvailable(); q.stop(); q.awaitTermination(30)
+    got = {r["k"]: r["v"] for r in spark.read.parquet(target).collect()}
+    assert got == {1: 1.0, 2: 2.0}
+
+    # second drain: an update for k=2 (newer ts) and a new k=3; the
+    # checkpoint must skip the already-processed first file
+    second = spark.createDataFrame(
+        [(2, "2024-01-01 01:00:00", 20.0), (3, "2024-01-01 01:05:00", 3.0)],
+        "k long, ts string, v double",
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) AS ts", "v")
+    second.write.mode("append").parquet(src)
+
+    stream2 = spark.readStream.schema(schema).format("parquet").load(src)
+    q2 = incremental.stream_upsert_to_parquet(stream2, target, ["k"], "ts", ckpt)
+    q2.processAllAvailable(); q2.stop(); q2.awaitTermination(30)
+    got2 = {r["k"]: r["v"] for r in spark.read.parquet(target).collect()}
+    assert got2 == {1: 1.0, 2: 20.0, 3: 3.0}
+    assert spark.read.parquet(target).count() == 3  # newest-per-key, no dups
+
+
 def test_batch_incremental_append(spark):
     ev = load_table(spark, SF_DIR, "events")
     old = ev.filter(F.col("event_id") < 500)
