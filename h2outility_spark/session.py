@@ -25,6 +25,12 @@ def get_spark(app_name: str = "h2outility-spark", shuffle_partitions: int | None
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Spark ≥4 reads tz-less parquet timestamps as TIMESTAMP_NTZ by
+        # default; our data model treats them as UTC instants (as does the
+        # DuckDB oracle). load_table additionally casts any surviving NTZ
+        # column, but reading them as TIMESTAMP directly keeps predicate
+        # pushdown on timestamp filters.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # NOTE: a too-large local heap causes multi-second kernel stalls in
         # this VM (lazy heap expansion → page zeroing bursts); 12g is ample
@@ -43,7 +49,10 @@ def ensure_utc(spark: SparkSession) -> SparkSession:
 
     Called at the top of every registered query so results are identical no
     matter which session the driver hands us (timestamps in the test parquet
-    are UTC instants; DuckDB treats them as naive UTC).
+    are UTC instants; DuckDB treats them as naive UTC). Also pins the
+    parquet NTZ-inference flag so tz-less timestamps scan as TIMESTAMP even
+    in a driver-owned session (load_table casts defensively on top).
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     return spark

@@ -59,18 +59,44 @@ def _nanos_ts_columns(path: str) -> tuple[str, ...]:
     return tuple(f.name for f in schema if pt.is_timestamp(f.type) and f.type.unit == "ns")
 
 
+def _denullify_ntz(df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ column to TIMESTAMP (session tz is pinned UTC,
+    so the naive values become the UTC instants they represent).
+
+    Spark ≥4 infers tz-less parquet timestamps as TIMESTAMP_NTZ
+    (``spark.sql.parquet.inferTimestampNTZ.enabled`` defaults true), which
+    breaks ``unix_micros`` and friends at analysis time. The engine's data
+    model (like the reference's — timestamps are typed DB columns,
+    ``odmdata/data_value.py:43-45``) owns type normalization at the scan
+    boundary: everything downstream sees TIMESTAMP, matching the DuckDB
+    oracle's naive-UTC read of the same files.
+    """
+    from pyspark.sql.types import TimestampNTZType
+
+    ntz_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
+    # Defense-in-depth for the NTZ quirk: prefer reading tz-less parquet
+    # timestamps directly as TIMESTAMP (keeps filters pushed down to the
+    # scan — a cast on top of the scan column would block pushdown)...
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     ns_cols = _nanos_ts_columns(path)
     if not ns_cols:
-        return spark.read.parquet(path)
+        # ...and cast any NTZ column that still surfaced (caller overrode
+        # the conf, or the file carries explicit NTZ annotation).
+        return _denullify_ntz(spark.read.parquet(path))
     # Read nanos as raw int64 and truncate to microsecond timestamps with
     # integer division — bit-identical to how DuckDB surfaces the same file.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
-    return df
+    return _denullify_ntz(df)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
