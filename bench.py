@@ -25,44 +25,57 @@ from h2outility_spark.session import get_spark  # noqa: E402
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    spark = get_spark("h2outility-bench")
-
-    specs = {n: s for n, s in workload.registry().items() if s.bench}
-
-    # Warmup: run the cheapest action once to absorb session/codegen startup.
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    try:
+        spark = get_spark("h2outility-bench")
+        specs = {n: s for n, s in workload.registry().items() if s.bench}
+        # Warmup: run the cheapest action once to absorb session/codegen startup.
+        spark.range(1_000_000).selectExpr("sum(id)").collect()
+    except Exception as e:  # noqa: BLE001
+        # Even a dead session emits the JSON line the driver parses.
+        print(json.dumps({
+            "metric": "headline_queries_total_wall", "value": 0.0, "unit": "sec",
+            "queries": {}, "sf": sf, "errors": {"__startup__": str(e).splitlines()[0][:300]},
+        }))
+        return
 
     # Two timed passes per query, keep the min — plus a third pass when the
     # two disagree wildly: this VM has episodic host-level slowdowns
     # (multi-second kernel stalls unrelated to the workload); min-of-N
     # measures the engine, not the neighbor noise.
+    # Fault isolation: one failing query must never zero the whole artifact
+    # (r02 lesson — a single analysis exception killed the bench run). Each
+    # query runs under try/except; failures land in "errors" and the JSON
+    # line is ALWAYS printed.
     timings: dict[str, float] = {}
     all_samples: dict[str, list[float]] = {}
+    errors: dict[str, str] = {}
     for name, spec in specs.items():
-        samples = []
-        for attempt in range(3):
-            df = spec.fn(spark, sf_dir)
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            samples.append(time.perf_counter() - t0)
-            if attempt == 1 and max(samples) / max(min(samples), 1e-9) < 3.0:
-                break
-        timings[name] = round(min(samples), 3)
-        all_samples[name] = [round(s, 3) for s in samples]
+        try:
+            samples = []
+            for attempt in range(3):
+                df = spec.fn(spark, sf_dir)
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                samples.append(time.perf_counter() - t0)
+                if attempt == 1 and max(samples) / max(min(samples), 1e-9) < 3.0:
+                    break
+            timings[name] = round(min(samples), 3)
+            all_samples[name] = [round(s, 3) for s in samples]
+        except Exception as e:  # noqa: BLE001
+            errors[name] = str(e).splitlines()[0][:300] if str(e) else repr(e)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "samples": all_samples,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "samples": all_samples,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
