@@ -455,5 +455,49 @@ from h2outility_spark import workload_ext  # noqa: E402,F401
 from h2outility_spark import workload_tpch  # noqa: E402,F401
 
 
+# The driver's correctness gate hashes only the FIRST 50 registered queries.
+# This list makes that window a deliberate choice instead of an import-order
+# accident: full SURVEY.md §2 family coverage first (catalog/extract/pivot/
+# TPC-H core/join-variants/QC/window/as-of), then one strongest
+# representative per LLM-pipeline family (text stats, langid, fingerprint,
+# n-gram LM, exact dedup, minhash→cluster chain, winnowing, simhash,
+# multimodal frame-sample, brute-force kNN, embedding-LSH near-dup, RP-LSH,
+# k-means), then the two heaviest TPC-H joins. Everything else stays
+# registered AFTER the window (driver still smoke-runs nothing there, but
+# tests/test_oracle_parity.py oracle-checks the full registry every run).
+CHECKED_WINDOW = [
+    # §2 catalog / extraction / pivot flagship (G, P, A, O families)
+    "series_catalog", "distinct_series", "extract_filtered",
+    "extract_incremental", "wide_export",
+    # TPC-H core joins/aggs (G1, J1, J5)
+    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
+    # join variants (J2, J3, J6) + top-k / dedup (O4/O5, U5)
+    "semi_join_suppliers", "anti_join_customers", "last_per_series",
+    "dedup_keep_first",
+    # QC / window family (W1-W11)
+    "qc_gaps", "qc_value_change", "qc_islands", "qc_interpolate", "qc_drift",
+    "qc_change_value", "qc_flag", "season_rollup", "sessionization",
+    "event_time_windows",
+    # extension joins / time alignment
+    "left_join_qualifiers", "self_alias_join", "asof_join",
+    "range_join_count", "rollup_revenue",
+    # formerly evidence-orphaned §2 rows (U1, G3, G5, S2-SQL) + IVF ANN
+    "union_dedup", "series_year_range", "variable_census", "sql_api_q1",
+    "ivf_search",
+    # LLM-pipeline families, one strongest representative each
+    "text_stats", "text_langid", "doc_fingerprint", "ngram_counts",
+    "dedup_exact_docs", "minhash_signatures", "neardup_clusters",
+    "corpus_clean", "winnow_fingerprints", "simhash_signatures",
+    "frame_sample", "embedding_knn", "neardup_embedding_lsh",
+    "rp_lsh_signatures", "kmeans_centroids",
+    # heaviest TPC-H joins (multi-way + correlated exists)
+    "tpch_q9_product_profit", "tpch_q21_waiting_supplier",
+]
+
+
 def registry() -> dict[str, QuerySpec]:
-    return dict(REGISTRY)
+    ordered = {name: REGISTRY[name] for name in CHECKED_WINDOW if name in REGISTRY}
+    for name, spec in REGISTRY.items():
+        if name not in ordered:
+            ordered[name] = spec
+    return ordered

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from h2outility_spark.operators import dedup, similarity, text
-from h2outility_spark.workload import _t, fround, query
+from h2outility_spark.workload import _t, fround, query, sql_round
 
 # Shared oracle CTE fragments (parameterizable by source table so the same
 # shingle/minhash pipeline can run over `documents` or a filtered CTE) -------
@@ -664,9 +664,58 @@ def q_rp_lsh_signatures(spark, sf_dir):
     return similarity.rp_lsh_signatures(_emb(spark, sf_dir), n_planes=16, dim=64)
 
 
+def _kmeans_oracle(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """Lloyd's k-means unrolled as chained CTEs — one (assign, update) pair
+    per iteration, mirroring operators/kmeans.py step for step:
+
+      seeds   = first k vectors by vec_id (cluster id = rank order);
+      assign  = arg-min over the k squared-L2 distances, computed as
+                c·c − 2·v·c exactly like ``_assign`` (v·v dropped — constant
+                per row), ties broken by cluster id;
+      update  = per-cluster per-position average; an empty cluster keeps its
+                previous centroid (the LEFT JOIN + coalesce).
+
+    ``list_inner_product`` accumulates left-to-right like the Spark-side
+    ``dot`` fold, so distances agree bit-for-bit; centroid averages can
+    differ in the last ulp (accumulation order) but both sides round to
+    6 dp at the end, exactly as the Spark query does.
+    """
+    parts = [
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        (
+            "c0 AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cluster, v AS cvec "
+            f"FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k}))"
+        ),
+    ]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f"a{i} AS (SELECT vec_id, v, cluster FROM ("
+            "SELECT e.vec_id, e.v, c.cluster, row_number() OVER (PARTITION BY e.vec_id ORDER BY "
+            "list_inner_product(c.cvec, c.cvec) - 2.0 * list_inner_product(e.v, c.cvec), c.cluster) AS rn "
+            f"FROM e CROSS JOIN {prev} c) WHERE rn = 1)"
+        )
+        parts.append(
+            f"p{i} AS (SELECT cluster, r.range AS pos, avg(v[CAST(r.range AS INT) + 1]) AS cv "
+            f"FROM a{i} CROSS JOIN range({dim}) r GROUP BY 1, 2)"
+        )
+        parts.append(f"g{i} AS (SELECT cluster, list(cv ORDER BY pos) AS cvec FROM p{i} GROUP BY cluster)")
+        parts.append(
+            f"c{i} AS (SELECT c.cluster, coalesce(g.cvec, c.cvec) AS cvec "
+            f"FROM {prev} c LEFT JOIN g{i} g USING (cluster))"
+        )
+        prev = f"c{i}"
+    final = (
+        f"SELECT CAST(cluster AS INT) AS cluster, CAST(p.range AS INT) AS pos, "
+        f"{sql_round('cvec[CAST(p.range AS INT) + 1]', 6)} AS centroid_val "
+        f"FROM {prev} CROSS JOIN range({dim}) p"
+    )
+    return ",\n".join(parts) + "\n" + final
+
+
 @query(
     "kmeans_centroids",
-    oracle=None,  # iterative algorithm — no single-query SQL form; invariants tested in pytest
+    oracle=_kmeans_oracle(),
     description=(
         "Lloyd's k-means (k=8, 3 iters) over embeddings: broadcast-model iterations, "
         "assignment as a narrow map, update as one k x dim shuffle"
