@@ -85,16 +85,30 @@ def range_join_count(
     right_ts: str,
     band_seconds: int,
     count_alias: str = "n_in_band",
+    id_col: str | None = None,
 ) -> DataFrame:
     """Count right rows within ±band of each left row (same keys), via
     bucketized equi-join: candidates come from the 3 adjacent buckets, the
-    exact band filter runs after the hash join."""
+    exact band filter runs after the hash join.
+
+    Per-row counting semantics: group on a unique per-row id so exact-
+    duplicate left rows each keep their own count (matching a per-row
+    left-join oracle) instead of collapsing. ``id_col`` names the caller's
+    unique key; when absent, a ``row_number()`` over every left column is
+    used. Either way the id is DETERMINISTIC — ``monotonically_increasing_id``
+    would change across task retries/repartitions, which at cluster scale
+    silently mis-groups a recomputed partition.
+    """
     band_us = band_seconds * 1_000_000
-    # Per-row counting semantics: group on a synthetic unique row id so
-    # exact-duplicate left rows each keep their own count (matching a
-    # per-row left-join oracle) instead of collapsing.
+    if id_col is not None:
+        rid = F.col(id_col)
+    else:
+        # Deterministic fallback: number rows within a full ordering of the
+        # left columns. Costs one extra shuffle (window over all columns) —
+        # callers with a real key should pass id_col.
+        rid = F.row_number().over(W.orderBy(*[F.col(c) for c in left.columns]))
     lb = (
-        left.withColumn("__rid", F.monotonically_increasing_id())
+        left.withColumn("__rid", rid)
         .withColumn("__lb", F.expr(f"unix_micros({left_ts}) div {band_us}"))
     )
     rb = right.select(*keys, F.unix_micros(F.col(right_ts)).alias("__rus")).withColumn(

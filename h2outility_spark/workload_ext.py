@@ -135,7 +135,9 @@ def q_range_join_count(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     purch = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
     clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
-    return asof.range_join_count(purch, clicks, keys=["user_id"], left_ts="ts", right_ts="ts", band_seconds=86400)
+    return asof.range_join_count(
+        purch, clicks, keys=["user_id"], left_ts="ts", right_ts="ts", band_seconds=86400, id_col="event_id"
+    )
 
 
 # ---------------------------------------------------------------------------

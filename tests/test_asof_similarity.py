@@ -52,6 +52,32 @@ def test_range_join_count_band_edges(spark):
     assert out[0]["n_in_band"] == 2  # ±1h: 9h and 11h qualify; 12h and key-b don't
 
 
+def test_range_join_count_deterministic_across_repartition(spark):
+    """The per-row group id must be stable under repartitioning (and thus
+    task retry/recompute): identical output for 1-partition and 16-partition
+    layouts of the same left side, with and without an explicit id_col.
+    Exact-duplicate left rows must each keep their own row."""
+    ev = load_table(spark, SF_DIR, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+
+    def run(l, **kw):
+        rows = asof.range_join_count(l, clicks, ["user_id"], "ts", "ts", band_seconds=86400, **kw).collect()
+        return sorted(tuple(r) for r in rows)
+
+    base = run(purch.coalesce(1), id_col="event_id")
+    assert run(purch.repartition(16), id_col="event_id") == base
+    assert run(purch.repartition(16)) == base  # deterministic fallback agrees
+
+    # Fallback keeps exact-duplicate left rows as separate rows (row_number
+    # is unique even on ties); a caller-supplied id assumes a unique key.
+    dup = purch.limit(1)
+    left = purch.unionByName(dup)
+    dup_out = run(left.repartition(16))
+    assert len(dup_out) == purch.count() + 1
+    assert run(left.coalesce(1)) == dup_out
+
+
 def test_approx_distinct_within_tolerance(spark):
     li = load_table(spark, SF_DIR, "lineitem")
     row = (
