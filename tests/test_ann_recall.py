@@ -1,10 +1,13 @@
-"""ANN recall thresholds (VERDICT round-1 item 6): the approximate paths
-must provably beat chance, and the LSH prefilter must not lose true pairs.
+"""ANN recall thresholds: the approximate paths must provably beat chance,
+the production configuration must reach recall@10 >= 0.9, and the LSH
+prefilter must not lose true pairs.
 
 Measured at sf0.1 (scripts/ann_recall.py -> RECALL.json): kmeans16-IVF
 recall@10 = 0.428/0.526/0.676 at probe 1/2/4 (scan fraction 1/16 = 0.0625,
-so ~7x chance); RP-LSH pair recall = 1.0 over 144 true pairs at cos>=0.45.
-Thresholds here are set with margin below the sf0.01 measurements.
+so ~7x chance); kmeans64-IVF reaches 0.922 at probe 16 (25% scan) — the
+production config; RP-LSH pair recall = 1.0 over 144 true pairs at
+cos>=0.45. Everything here is deterministic (fixed-seed k-means, exact
+brute force), so thresholds are stable, not flaky.
 """
 
 from __future__ import annotations
@@ -65,3 +68,33 @@ def test_ivf_kmeans_recall_beats_chance_and_probe_scales(spark, emb):
     assert r1 >= 0.25, r1
     assert r4 >= r1
     assert r4 >= 0.45, r4
+
+
+def test_ivf_production_config_reaches_090(spark, emb):
+    """The production IVF configuration (64 cells, 5 Lloyd's iterations,
+    multiprobe) must hit recall@10 >= 0.9. At this corpus size (500
+    vectors, ~8/cell) that takes probe=24; at sf0.1 (2000 vectors) probe=16
+    of 64 suffices (RECALL.json). Deterministic, so exact thresholds."""
+    k = 10
+    queries = emb.filter(F.col("vec_id") < 30)
+    exact = sim.brute_force_topk(emb, queries, k=k).select("query_id", "cand_id").cache()
+    exact.count()
+
+    cent = kmeans(emb, k=64, max_iter=5).withColumnRenamed("cluster", "label")
+    assign = sim.ivf_assign(emb, cent).withColumnRenamed("cell", "km_cell")
+    emb_km = (
+        emb.join(assign, "vec_id")
+        .select("vec_id", "embedding", F.col("km_cell").alias("label"))
+        .cache()
+    )
+    emb_km.count()
+    q_km = emb_km.filter(F.col("vec_id") < 30)
+
+    r16 = sim.recall_at_k(
+        sim.ivf_search(emb_km, q_km, k=k, n_probe=16).select("query_id", "cand_id"), exact
+    )
+    r24 = sim.recall_at_k(
+        sim.ivf_search(emb_km, q_km, k=k, n_probe=24).select("query_id", "cand_id"), exact
+    )
+    assert r16 >= 0.85, r16
+    assert r24 >= 0.90, r24
