@@ -57,6 +57,25 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Environment pinning (r02 postmortem: PySpark 4 changed parquet
+    # timestamp inference and the first diagnostic was a wall of red query
+    # rows). Fail FAST with a named hint on any future type-inference drift.
+    import pyspark
+    from pyspark.sql.types import TimestampType
+
+    print(f"pyspark {pyspark.__version__}, python {sys.version.split()[0]}")
+    from h2outility_spark.session import ensure_utc
+    from h2outility_spark.sources.parquet import load_table
+
+    ensure_utc(spark)
+    ts_field = [f for f in load_table(spark, sf_dir, "events").schema.fields if f.name == "ts"][0]
+    assert isinstance(ts_field.dataType, TimestampType), (
+        f"events.ts resolved to {ts_field.dataType} after ensure_utc — parquet timestamp "
+        "type inference drifted again (see sources/parquet._denullify_ntz and "
+        "spark.sql.parquet.inferTimestampNTZ.enabled); every unix_micros-based operator "
+        "will fail analysis until the scan boundary normalizes this"
+    )
+
     df = mod.entry(spark)
     rows = df.collect()
     print(f"entry(): {len(rows)} rows, schema: {[f.name for f in df.schema.fields]}")
