@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from h2outility_spark.workload import _t, fround, query
+from h2outility_spark.workload import _t, fround, query, sql_round
 
 
 @query(
@@ -549,4 +549,144 @@ def q_regexp_extract_props(spark, sf_dir):
         ev.filter(F.col("props").rlike(r'"k":\s*\d{2}'))
         .groupBy((k % 10).alias("k_bucket"))
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# The test schema carries no partsupp table, so TPC-H Q2/Q11/Q20 cannot be
+# ported literally; the per-(part, supplier) aggregate of lineitem stands in
+# for it. What matters is the operator SHAPE each query exercises —
+# arg-min-per-group with join-back (Q2), HAVING against a global scalar
+# (Q11), and a nested quantity-threshold semi-join chain (Q20) — each absent
+# from the rest of the registry.
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             floor((avg(l_extendedprice / l_quantity)) * 100.0 + 0.5) / 100.0 AS cost
+      FROM lineitem GROUP BY 1, 2
+    ),
+    minc AS (SELECT partkey, min(cost) AS min_cost FROM ps GROUP BY 1)
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_brand, ps.cost
+    FROM ps
+      JOIN minc ON ps.partkey = minc.partkey AND ps.cost = minc.min_cost
+      JOIN part p ON p.p_partkey = ps.partkey AND p.p_size <= 10
+      JOIN supplier s ON s.s_suppkey = ps.suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+    LIMIT 100
+    """,
+    description=(
+        "Q2-shape: min-cost supplier per part (arg-min per group via min-aggregate "
+        "join-back, ties kept like the original), star lookups, deterministic top-100"
+    ),
+)
+def q_tpch_q2_min_cost_supplier(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(fround(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 2).alias("cost"))
+    minc = ps.groupBy("partkey").agg(F.min("cost").alias("min_cost"))
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        ps.join(minc, (ps.partkey == minc.partkey) & (ps.cost == minc.min_cost))
+        .drop(minc.partkey)
+        .join(part, F.col("partkey") == part.p_partkey)
+        .join(supp, F.col("suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "cost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q11_value_share",
+    oracle="""
+    WITH pv AS (
+      SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS part_value
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_partkey,
+           floor((part_value) * 100.0 + 0.5) / 100.0 AS part_value
+    FROM pv
+    WHERE part_value > (SELECT avg(part_value) * 1.2 FROM pv)
+    ORDER BY part_value DESC, l_partkey
+    """,
+    description=(
+        "Q11-shape: per-part revenue kept only when above a multiple of the GLOBAL "
+        "average — aggregate filtered against a broadcast scalar subquery (the "
+        "avg-relative threshold keeps the selection meaningful at every scale "
+        "factor, unlike Q11's fixed fraction-of-total, which empties as |part| grows)"
+    ),
+)
+def q_tpch_q11_value_share(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("part_value")
+    )
+    total = pv.agg((F.avg("part_value") * F.lit(1.2)).alias("threshold"))
+    return (
+        pv.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", fround(F.col("part_value"), 2).alias("part_value"))
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+@query(
+    "tpch_q20_excess_suppliers",
+    oracle="""
+    WITH sq AS (
+      SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1, 2
+    ),
+    pt AS (
+      SELECT l_partkey, sum(l_quantity) AS total_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE EXISTS (
+      SELECT 1
+      FROM sq JOIN pt ON sq.l_partkey = pt.l_partkey
+              JOIN part ON p_partkey = sq.l_partkey AND p_name LIKE 'small%'
+      WHERE sq.l_suppkey = s_suppkey AND sq.qty > 0.3 * pt.total_qty
+    )
+    ORDER BY s_suppkey
+    """,
+    description=(
+        "Q20-shape: suppliers holding an outsized share (>30%) of a year's shipments "
+        "of any 'small%' part — nested aggregate-vs-aggregate threshold feeding a semi join"
+    ),
+)
+def q_tpch_q20_excess_suppliers(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00"))
+    )
+    sq = li.groupBy("l_suppkey", "l_partkey").agg(F.sum("l_quantity").alias("qty"))
+    pt = li.groupBy("l_partkey").agg(F.sum("l_quantity").alias("total_qty"))
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%")).select("p_partkey")
+    excess = (
+        sq.join(pt, "l_partkey")
+        .join(part, sq.l_partkey == part.p_partkey, "left_semi")
+        .filter(F.col("qty") > F.lit(0.3) * F.col("total_qty"))
+        .select("l_suppkey")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        supp.join(excess, supp.s_suppkey == excess.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
     )
