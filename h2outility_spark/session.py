@@ -31,6 +31,10 @@ def get_spark(app_name: str = "h2outility-spark", shuffle_partitions: int | None
         # column, but reading them as TIMESTAMP directly keeps predicate
         # pushdown on timestamp filters.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # Write timestamps as INT64 micros, not legacy INT96: INT96 carries
+        # no parquet column statistics, which blinds min/max file pruning
+        # (storage_tx merge pruning, range-clustered scan pruning).
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # NOTE: a too-large local heap causes multi-second kernel stalls in
         # this VM (lazy heap expansion → page zeroing bursts); 12g is ample

@@ -1,0 +1,324 @@
+"""Snapshot-isolated transactional tables on plain parquet — manifest
+commits, copy-on-write MERGE, time travel, rollback.
+
+Reference analog: the RDBMS commit/rollback the reference leans on for its
+edit sessions (``odmservices/edit_service.py:371-373`` in /root/reference —
+``self._session.commit()`` / ``rollback()``) and the exists-check save
+(M1/M2, W8/W9 in SURVEY.md §2). This container has no Delta/Iceberg jars,
+so this module implements the same guarantees with the primitives those
+formats are built from:
+
+  * **Immutable data files.** Writers only ever ADD parquet files under
+    ``data/``; nothing is modified in place. A data file is invisible until
+    a manifest references it, so readers never observe partial writes.
+  * **Manifest = snapshot.** ``_manifests/v{N}.json`` lists the exact data
+    files (with row counts and per-file key min/max) that make up version
+    N. Reading a table = reading one manifest, then only its files.
+  * **Atomic commit = one file creation.** A writer stages its manifest to
+    a temp name and publishes with ``os.link(tmp, vN.json)`` — on POSIX a
+    hard link to an existing name fails with EEXIST, so exactly ONE of two
+    racing writers wins version N; the loser re-reads the new snapshot and
+    retries (optimistic concurrency). On an object store the same step is
+    a conditional PUT (S3 ``If-None-Match``) or a commit service; the
+    protocol is unchanged.
+  * **MERGE is copy-on-write with file pruning.** Only parent files whose
+    [min, max] range of the merge key overlaps the updates are rewritten;
+    the rest carry over by reference. At 100 TB with range-clustered files
+    (storage.write_sized) an upsert touching one day rewrites one day's
+    files, not the table.
+  * **Time travel / rollback.** Every version stays readable;
+    ``restore(v)`` commits a NEW version whose file list equals v's — an
+    audit-preserving rollback (the reference's W9 discard-working-copy,
+    but with history).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST_DIR = "_manifests"
+_DATA_DIR = "data"
+
+
+def _norm_stat(v):
+    """JSON-serializable, ORDER-PRESERVING form of a min/max statistic.
+    Datetimes/dates become ISO strings (space separator, zero-padded), whose
+    lexicographic order equals chronological order, so range-pruning
+    comparisons stay correct across the JSON round-trip."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    return v
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed the version this writer was about to."""
+
+
+def _manifest_path(table_dir: str, version: int) -> str:
+    return os.path.join(table_dir, _MANIFEST_DIR, f"v{version:08d}.json")
+
+
+def _file_stats(path: str, key_cols: list[str]) -> dict:
+    """Row count + per-key min/max from the parquet footer (metadata-only
+    read — no data IO). min/max power file pruning in merge_upsert."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(path)
+    stats: dict = {"rows": md.num_rows, "min": {}, "max": {}}
+    name_to_idx = {md.schema.column(i).name: i for i in range(len(md.schema))}
+    for key in key_cols:
+        idx = name_to_idx.get(key)
+        if idx is None:
+            continue
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                mins, maxs = [], []
+                break
+            mins.append(st.min)
+            maxs.append(st.max)
+        if mins:
+            stats["min"][key] = _norm_stat(min(mins))
+            stats["max"][key] = _norm_stat(max(maxs))
+    return stats
+
+
+class TxTable:
+    """A transactional parquet table rooted at ``table_dir``.
+
+    ``key_cols`` are the logical-row-identity columns (the merge keys);
+    their per-file min/max is recorded at write time for pruning.
+    """
+
+    def __init__(self, spark: SparkSession, table_dir: str, key_cols: list[str]):
+        self.spark = spark
+        self.table_dir = table_dir
+        self.key_cols = list(key_cols)
+        os.makedirs(os.path.join(table_dir, _MANIFEST_DIR), exist_ok=True)
+        os.makedirs(os.path.join(table_dir, _DATA_DIR), exist_ok=True)
+
+    # -- snapshot state ----------------------------------------------------
+
+    def latest_version(self) -> int | None:
+        versions = [
+            int(os.path.basename(p)[1:-5])
+            for p in glob.glob(os.path.join(self.table_dir, _MANIFEST_DIR, "v*.json"))
+        ]
+        return max(versions) if versions else None
+
+    def manifest(self, version: int | None = None) -> dict | None:
+        v = self.latest_version() if version is None else version
+        if v is None:
+            return None
+        with open(_manifest_path(self.table_dir, v)) as f:
+            return json.load(f)
+
+    def snapshot(self, version: int | None = None) -> DataFrame:
+        """The table as of ``version`` (default: latest). Empty manifests
+        (or a table with no commits) read as an empty frame if a schema was
+        ever recorded; otherwise raise."""
+        m = self.manifest(version)
+        if m is None:
+            raise FileNotFoundError(f"no committed version in {self.table_dir}")
+        paths = [os.path.join(self.table_dir, f["path"]) for f in m["files"]]
+        if not paths:
+            return self.spark.createDataFrame([], m["schema"])
+        return self.spark.read.schema(m["schema"]).parquet(*paths)
+
+    def history(self) -> list[dict]:
+        out = []
+        for p in sorted(glob.glob(os.path.join(self.table_dir, _MANIFEST_DIR, "v*.json"))):
+            with open(p) as f:
+                m = json.load(f)
+            out.append({k: m[k] for k in ("version", "op", "parent")} | {"n_files": len(m["files"])})
+        return out
+
+    # -- write path --------------------------------------------------------
+
+    def _stage_files(self, df: DataFrame) -> list[dict]:
+        """Write ``df`` as immutable data files; return manifest entries.
+
+        Spark writes to a scratch dir; each part file is MOVED (same-fs
+        rename) into ``data/`` under a fresh uuid name. Files in data/ are
+        unreferenced until a manifest commit publishes them, so a crash
+        mid-stage leaves garbage (reclaimed by vacuum), never corruption.
+        """
+        scratch = tempfile.mkdtemp(prefix="txstage-", dir=self.table_dir)
+        try:
+            # INT96 timestamps carry no column statistics; micros do. The
+            # manifest's min/max pruning depends on them.
+            self.spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+            df.write.mode("overwrite").parquet(os.path.join(scratch, "out"))
+            entries = []
+            for part in sorted(glob.glob(os.path.join(scratch, "out", "*.parquet"))):
+                name = f"{uuid.uuid4().hex}.parquet"
+                dest = os.path.join(self.table_dir, _DATA_DIR, name)
+                os.rename(part, dest)
+                st = _file_stats(dest, self.key_cols)
+                if st["rows"] == 0:
+                    os.remove(dest)
+                    continue
+                entries.append({"path": f"{_DATA_DIR}/{name}", **st})
+            return entries
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+
+    def _commit(self, files: list[dict], schema: str, op: str) -> int:
+        """Publish a new manifest atomically; raises CommitConflict if a
+        concurrent writer took the version first."""
+        parent = self.latest_version()
+        version = 0 if parent is None else parent + 1
+        manifest = {
+            "version": version,
+            "parent": parent,
+            "op": op,
+            "schema": schema,
+            "files": files,
+        }
+        tmp = os.path.join(self.table_dir, _MANIFEST_DIR, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        try:
+            os.link(tmp, _manifest_path(self.table_dir, version))  # atomic check-and-put
+        except FileExistsError as e:
+            raise CommitConflict(f"version {version} was committed concurrently") from e
+        finally:
+            os.remove(tmp)
+        return version
+
+    @staticmethod
+    def _ddl(df: DataFrame) -> str:
+        return ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
+
+    def append(self, df: DataFrame, _retries: int = 3) -> int:
+        new = self._stage_files(df)
+        for _ in range(_retries):
+            m = self.manifest()
+            base = m["files"] if m else []
+            try:
+                return self._commit(base + new, self._ddl(df), "append")
+            except CommitConflict:
+                continue  # new snapshot appeared; re-read parent file list and retry
+        raise CommitConflict(f"append lost the commit race {_retries} times")
+
+    def overwrite(self, df: DataFrame) -> int:
+        new = self._stage_files(df)
+        while True:
+            try:
+                return self._commit(new, self._ddl(df), "overwrite")
+            except CommitConflict:
+                continue  # overwrite replaces whatever won; just take the next version
+
+    def merge_upsert(self, updates: DataFrame, _retries: int = 3) -> int:
+        """MERGE (upsert on ``key_cols``): rows matching an update's key are
+        replaced; others are kept; unmatched updates are inserted.
+
+        Copy-on-write: parent files are split by their recorded key range
+        into untouched (carried over by reference — zero IO) and
+        overlapping (read, matching keys anti-joined out, survivors
+        rewritten together with the updates). Pruning uses the FIRST merge
+        key's min/max, which matches range-clustered layouts
+        (storage.write_sized on the same key); extra keys still participate
+        in the anti-join, only the pruning is single-axis.
+        """
+        m = self.manifest()
+        if m is None:
+            new = self._stage_files(updates)
+            return self._commit(new, self._ddl(updates), "merge")
+
+        # Conform updates to the TABLE schema (column order + types): the
+        # committed manifest keeps the table's schema, and carried-over
+        # files were written with it — an int-literal update against a
+        # bigint column must cast, not fork the schema.
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        target = StructType.fromDDL(m["schema"])
+        updates = updates.select([F.col(f.name).cast(f.dataType) for f in target.fields])
+
+        k0 = self.key_cols[0]
+        bounds = updates.selectExpr(f"min(`{k0}`) AS lo", f"max(`{k0}`) AS hi").collect()[0]
+        lo, hi = _norm_stat(bounds["lo"]), _norm_stat(bounds["hi"])
+
+        untouched, overlapping = [], []
+        for entry in m["files"]:
+            fmin, fmax = entry["min"].get(k0), entry["max"].get(k0)
+            if lo is None or (fmin is not None and (fmax < lo or fmin > hi)):
+                untouched.append(entry)
+            else:
+                overlapping.append(entry)
+
+        if overlapping:
+            paths = [os.path.join(self.table_dir, e["path"]) for e in overlapping]
+            current = self.spark.read.schema(m["schema"]).parquet(*paths)
+            survivors = current.join(
+                updates.select(*self.key_cols).distinct(), self.key_cols, "left_anti"
+            )
+            merged = survivors.unionByName(updates)
+        else:
+            merged = updates
+        new = self._stage_files(merged)
+
+        for _ in range(_retries):
+            try:
+                return self._commit(untouched + new, m["schema"], "merge")
+            except CommitConflict:
+                # A real lakehouse revalidates that the concurrent commit
+                # didn't touch the overlapping files before retrying; here
+                # we surface the conflict to the caller instead of silently
+                # re-merging against a moved snapshot.
+                raise
+        raise AssertionError("unreachable")
+
+    def restore(self, version: int) -> int:
+        """Roll back BY MOVING FORWARD: commit a new version with the file
+        list of ``version``. History stays intact and auditable."""
+        m = self.manifest(version)
+        if m is None:
+            raise FileNotFoundError(f"version {version} does not exist")
+        while True:
+            try:
+                return self._commit(m["files"], m["schema"], "restore")
+            except CommitConflict:
+                continue
+
+    # -- maintenance -------------------------------------------------------
+
+    def vacuum(self, keep_versions: int = 10) -> list[str]:
+        """Delete data files referenced by NO retained manifest (older
+        manifests beyond ``keep_versions`` are dropped first). Returns the
+        deleted file names. Readers of retained versions are unaffected —
+        a live reader of a dropped version is the same hazard Delta/Iceberg
+        document for their vacuum."""
+        latest = self.latest_version()
+        if latest is None:
+            return []
+        cutoff = latest - keep_versions + 1
+        for p in glob.glob(os.path.join(self.table_dir, _MANIFEST_DIR, "v*.json")):
+            if int(os.path.basename(p)[1:-5]) < cutoff:
+                os.remove(p)
+        referenced = set()
+        for p in glob.glob(os.path.join(self.table_dir, _MANIFEST_DIR, "v*.json")):
+            with open(p) as f:
+                referenced.update(e["path"] for e in json.load(f)["files"])
+        deleted = []
+        for p in glob.glob(os.path.join(self.table_dir, _DATA_DIR, "*.parquet")):
+            rel = f"{_DATA_DIR}/{os.path.basename(p)}"
+            if rel not in referenced:
+                os.remove(p)
+                deleted.append(rel)
+        return sorted(deleted)

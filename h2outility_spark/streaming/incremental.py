@@ -126,12 +126,11 @@ def stream_upsert_to_parquet(
     store, repeat), with the checkpoint giving exactly-once batch replay.
 
     Each batch applies ``mutation.upsert`` (newest-per-key wins by
-    ``order_col``) against the current target and atomically swaps via
-    write-to-temp + overwrite. Plain parquet has no transactional MERGE —
-    on a Delta/Iceberg cluster the body becomes a one-line ``MERGE INTO``
-    and the rewrite cost drops to the touched files. The rewrite here is
-    the documented trade, not a scale claim; the pattern (foreachBatch +
-    idempotent merge + checkpoint) is the load-bearing part.
+    ``order_col``) against the current target and swaps via write-to-temp
+    + overwrite — a full rewrite, and the swap itself is not atomic. Kept
+    for bare-directory targets; ``stream_upsert_to_txtable`` below is the
+    transactional upgrade (atomic manifest commit, copy-on-write merge of
+    only the touched files) and the one to use.
 
     Returns the started StreamingQuery (caller stops/awaits).
     """
@@ -151,6 +150,53 @@ def stream_upsert_to_parquet(
         tmp = f"{target_path}__staging"
         merged.write.mode("overwrite").parquet(tmp)
         spark.read.parquet(tmp).write.mode("overwrite").parquet(target_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_upsert_to_txtable(
+    stream_df: DataFrame,
+    table_dir: str,
+    keys: list[str],
+    order_col: str,
+    checkpoint_path: str,
+    query_name: str = "tx-upsert",
+):
+    """Continuous incremental materialization into a TRANSACTIONAL target:
+    each micro-batch is reduced to its newest row per logical key and
+    MERGEd into a storage_tx.TxTable.
+
+    This upgrades ``stream_upsert_to_parquet``'s documented trade (full
+    rewrite + non-atomic directory swap) with the real thing: the merge is
+    copy-on-write over only the data files whose key range overlaps the
+    batch, published by an atomic manifest commit — readers see the old or
+    the new snapshot, never a half-written directory. The checkpoint
+    replays a failed batch; re-merging the same batch is idempotent
+    (same keys → same replacement), so exactly-once materialization holds
+    end to end. Batch rows are assumed CDC-style newer-than-target;
+    within-batch ordering is resolved by ``order_col``.
+    """
+    from h2outility_spark.storage_tx import TxTable
+
+    spark = stream_df.sparkSession
+    table = TxTable(spark, table_dir, key_cols=keys)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy(*keys).orderBy(F.col(order_col).desc())
+        newest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        table.merge_upsert(newest)
 
     return (
         stream_df.writeStream.foreachBatch(merge_batch)

@@ -1,0 +1,135 @@
+"""Transactional parquet table (storage_tx.TxTable): snapshot isolation,
+atomic manifest commits, copy-on-write MERGE with file pruning, time
+travel, rollback, conflict detection, vacuum."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from h2outility_spark.storage_tx import CommitConflict, TxTable, _manifest_path
+
+
+def rows_of(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def kv(spark, pairs):
+    return spark.createDataFrame([Row(k=k, v=v) for k, v in pairs], "k int, v string")
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return TxTable(spark, str(tmp_path / "t"), key_cols=["k"])
+
+
+def test_append_overwrite_snapshot_and_history(spark, table):
+    v0 = table.append(kv(spark, [(1, "a"), (2, "b")]))
+    v1 = table.append(kv(spark, [(3, "c")]))
+    assert (v0, v1) == (0, 1)
+    assert rows_of(table.snapshot()) == [(1, "a"), (2, "b"), (3, "c")]
+    assert rows_of(table.snapshot(version=0)) == [(1, "a"), (2, "b")]  # time travel
+    v2 = table.overwrite(kv(spark, [(9, "z")]))
+    assert rows_of(table.snapshot()) == [(9, "z")]
+    assert [h["op"] for h in table.history()] == ["append", "append", "overwrite"]
+    assert table.latest_version() == v2 == 2
+
+
+def test_merge_upsert_replaces_keeps_inserts(spark, table):
+    table.append(kv(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    table.merge_upsert(kv(spark, [(2, "B2"), (4, "d")]))
+    assert rows_of(table.snapshot()) == [(1, "a"), (2, "B2"), (3, "c"), (4, "d")]
+    # merge into empty table = insert
+    t2 = TxTable(spark, table.table_dir + "2", key_cols=["k"])
+    t2.merge_upsert(kv(spark, [(7, "x")]))
+    assert rows_of(t2.snapshot()) == [(7, "x")]
+
+
+def test_merge_prunes_disjoint_files(spark, table):
+    """Files whose key range cannot overlap the updates must be carried
+    over BY REFERENCE (same path in the new manifest), not rewritten."""
+    table.append(kv(spark, [(1, "a"), (2, "b")]).coalesce(1))  # file A: k in [1,2]
+    table.append(kv(spark, [(100, "x"), (200, "y")]).coalesce(1))  # file B: k in [100,200]
+    before = {e["path"]: e for e in table.manifest()["files"]}
+    file_a = next(p for p, e in before.items() if e["min"]["k"] == 1)
+    file_b = next(p for p, e in before.items() if e["min"]["k"] == 100)
+
+    table.merge_upsert(kv(spark, [(150, "X")]).coalesce(1))
+    after = {e["path"] for e in table.manifest()["files"]}
+    assert file_a in after, "disjoint file must survive untouched"
+    assert file_b not in after, "overlapping file must be rewritten"
+    assert rows_of(table.snapshot()) == [(1, "a"), (2, "b"), (100, "x"), (150, "X"), (200, "y")]
+
+
+def test_commit_conflict_and_append_retry(spark, table, monkeypatch):
+    table.append(kv(spark, [(1, "a")]))
+    base = table.latest_version()
+    files = table.manifest()["files"]
+    # Simulate a real race: this writer reads latest=base, but another
+    # writer publishes base+1 before our os.link lands. Freeze THIS
+    # writer's view at base, then pre-create base+1.
+    racing = dict(table.manifest(), version=base + 1, parent=base, op="append")
+    with open(_manifest_path(table.table_dir, base + 1), "w") as f:
+        json.dump(racing, f)
+    with monkeypatch.context() as mp:
+        mp.setattr(table, "latest_version", lambda: base)
+        with pytest.raises(CommitConflict):
+            table._commit(files, "`k` int, `v` string", "append")
+    # Unfrozen, append sees the racer's snapshot and lands after it.
+    v = table.append(kv(spark, [(2, "b")]))
+    assert v == base + 2
+    assert rows_of(table.snapshot()) == [(1, "a"), (2, "b")]
+
+
+def test_staged_files_invisible_until_commit(spark, table):
+    table.append(kv(spark, [(1, "a")]))
+    snap_before = rows_of(table.snapshot())
+    # stage data files with NO manifest commit — readers must not see them
+    table._stage_files(kv(spark, [(99, "ghost")]))
+    assert rows_of(table.snapshot()) == snap_before
+
+
+def test_restore_is_forward_rollback(spark, table):
+    table.append(kv(spark, [(1, "a")]))
+    table.overwrite(kv(spark, [(2, "b")]))
+    v = table.restore(0)
+    assert v == 2
+    assert rows_of(table.snapshot()) == [(1, "a")]
+    assert [h["op"] for h in table.history()][-1] == "restore"
+
+
+def test_vacuum_reclaims_unreferenced_files(spark, table):
+    table.append(kv(spark, [(1, "a")]))
+    table.overwrite(kv(spark, [(2, "b")]))  # v0's file now only referenced by v0
+    table._stage_files(kv(spark, [(3, "orphan")]))  # never committed
+    deleted = table.vacuum(keep_versions=1)  # drops v0's manifest, then its file + orphan
+    assert len(deleted) == 2
+    assert rows_of(table.snapshot()) == [(2, "b")]
+    n_files = len(glob.glob(os.path.join(table.table_dir, "data", "*.parquet")))
+    assert n_files == 1
+
+
+def test_timestamp_merge_key_prunes(spark, tmp_path):
+    """Timestamp keys survive the JSON round-trip with ordering intact."""
+    t = TxTable(spark, str(tmp_path / "ts"), key_cols=["ts"])
+    jan = spark.sql(
+        "SELECT timestamp'2024-01-15 00:00:00' + make_interval(0,0,0,id) AS ts, id AS v FROM range(3)"
+    )
+    jun = spark.sql(
+        "SELECT timestamp'2024-06-15 00:00:00' + make_interval(0,0,0,id) AS ts, id + 100 AS v FROM range(3)"
+    )
+    t.append(jan.coalesce(1))
+    t.append(jun.coalesce(1))
+    before = {e["path"]: e for e in t.manifest()["files"]}
+    jan_file = next(p for p, e in before.items() if e["min"]["ts"].startswith("2024-01"))
+
+    upd = spark.sql("SELECT timestamp'2024-06-16 00:00:00' AS ts, 999 AS v")
+    t.merge_upsert(upd.coalesce(1))
+    after = {e["path"] for e in t.manifest()["files"]}
+    assert jan_file in after, "January file is disjoint from a June update"
+    got = {r["v"] for r in t.snapshot().collect()}
+    assert got == {0, 1, 2, 100, 999, 102}  # 101's key replaced by the update

@@ -93,6 +93,50 @@ def test_stream_upsert_foreachbatch(spark, tmp_path):
     assert spark.read.parquet(target).count() == 3  # newest-per-key, no dups
 
 
+def test_stream_upsert_to_txtable(spark, tmp_path):
+    """Same scenario as the parquet foreachBatch upsert, but into the
+    transactional table: atomic manifest commits per batch, with history
+    recording one merge per micro-batch and within-batch newest-wins."""
+    from h2outility_spark.storage_tx import TxTable
+
+    src = str(tmp_path / "src")
+    tdir = str(tmp_path / "txtable")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k long, ts timestamp, v double"
+
+    first = spark.createDataFrame(
+        # two versions of k=2 in ONE batch — newest (00:10) must win
+        [(1, "2024-01-01 00:00:00", 1.0), (2, "2024-01-01 00:05:00", -2.0), (2, "2024-01-01 00:10:00", 2.0)],
+        "k long, ts string, v double",
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) AS ts", "v")
+    first.write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).format("parquet").load(src)
+    q = incremental.stream_upsert_to_txtable(stream, tdir, ["k"], "ts", ckpt)
+    q.processAllAvailable(); q.stop(); q.awaitTermination(30)
+    table = TxTable(spark, tdir, key_cols=["k"])
+    got = {r["k"]: r["v"] for r in table.snapshot().collect()}
+    assert got == {1: 1.0, 2: 2.0}
+
+    second = spark.createDataFrame(
+        [(2, "2024-01-01 01:00:00", 20.0), (3, "2024-01-01 01:05:00", 3.0)],
+        "k long, ts string, v double",
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) AS ts", "v")
+    second.write.mode("append").parquet(src)
+
+    stream2 = spark.readStream.schema(schema).format("parquet").load(src)
+    q2 = incremental.stream_upsert_to_txtable(stream2, tdir, ["k"], "ts", ckpt)
+    q2.processAllAvailable(); q2.stop(); q2.awaitTermination(30)
+    got2 = {r["k"]: r["v"] for r in table.snapshot().collect()}
+    assert got2 == {1: 1.0, 2: 20.0, 3: 3.0}
+    assert table.snapshot().count() == 3
+    ops = [h["op"] for h in table.history()]
+    assert ops == ["merge", "merge"]
+    # time travel: the first batch's state is still readable
+    v0 = {r["k"]: r["v"] for r in table.snapshot(version=0).collect()}
+    assert v0 == {1: 1.0, 2: 2.0}
+
+
 def test_batch_incremental_append(spark):
     ev = load_table(spark, SF_DIR, "events")
     old = ev.filter(F.col("event_id") < 500)
