@@ -116,6 +116,33 @@ def bigram_conditional_probs(
     )
 
 
+def doc_lm_fluency(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document LM fluency: the mean conditional probability P(w2|w1)
+    over the document's bigram positions, under the corpus-trained MLE
+    bigram model (self-scoring) — the model-based quality dial that
+    separates fluent text from gibberish/boilerplate, complementing the
+    surface-ratio heuristics in ``quality_columns``. (Mean probability
+    rather than log-perplexity: rank-equivalent for filtering, and exact
+    count-ratio arithmetic reproduces bit-identically in the SQL oracle,
+    where log() ulp behavior differs between engines.)
+
+    Scale shape: the model IS a count-ratio table (|distinct bigrams|
+    rows). Scoring joins the document bigram stream (|token positions|
+    rows) against it on the bigram key — one shuffle of positions; the
+    stopword-pair skew on that key is AQE-split like every hot-key join
+    here. Docs with fewer than 2 tokens have no bigrams and drop out.
+    """
+    from pyspark.sql import functions as F
+
+    probs = bigram_conditional_probs(docs, id_col, text_col).select("bigram", "p")
+    doc_bigrams = docs.select(F.col(id_col), F.explode(shingles_expr(text_col, 2)).alias("bigram"))
+    return (
+        doc_bigrams.join(probs, "bigram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.avg("p").alias("lm_score"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Quality scoring
 # ---------------------------------------------------------------------------

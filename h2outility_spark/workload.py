@@ -485,11 +485,15 @@ CHECKED_WINDOW = [
     "union_dedup", "series_year_range", "variable_census", "sql_api_q1",
     "ivf_search",
     # LLM-pipeline families, one strongest representative each
+    # (the pairs/score queries subsume their signature-only precursors:
+    # neardup_simhash_pairs runs simhash_signatures internally,
+    # neardup_embedding_lsh runs the RP-LSH banding; the precursors stay
+    # registered after the window for the parity sweep)
     "text_stats", "text_langid", "doc_fingerprint", "ngram_counts",
     "dedup_exact_docs", "minhash_signatures", "neardup_clusters",
-    "corpus_clean", "winnow_fingerprints", "simhash_signatures",
+    "corpus_clean", "winnow_fingerprints", "neardup_simhash_pairs",
     "frame_sample", "embedding_knn", "neardup_embedding_lsh",
-    "rp_lsh_signatures", "kmeans_centroids",
+    "doc_lm_score", "kmeans_centroids",
     # heaviest TPC-H joins (multi-way + correlated exists)
     "tpch_q9_product_profit", "tpch_q21_waiting_supplier",
 ]

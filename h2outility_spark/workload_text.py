@@ -255,6 +255,35 @@ def q_bigram_condprob(spark, sf_dir):
     return out.select("bigram", "c12", fround(F.col("p"), 6).alias("p"))
 
 
+@query(
+    "doc_lm_score",
+    oracle="WITH "
+    + TOKS_CTE
+    + """,
+    uni AS (SELECT w AS w1, count(*) AS c1 FROM toks GROUP BY 1),
+    big AS (SELECT a.w AS w1, a.w || ' ' || b.w AS bigram, count(*) AS c12
+            FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+            GROUP BY 1, 2),
+    bp AS (SELECT bigram, CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE) AS p
+           FROM big JOIN uni USING (w1)),
+    db AS (SELECT a.doc_id, a.w || ' ' || b.w AS bigram
+           FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           floor((avg(p)) * 1000000.0 + 0.5) / 1000000.0 AS lm_score
+    FROM db JOIN bp USING (bigram)
+    GROUP BY 1
+    """,
+    description=(
+        "Model-based quality score: mean corpus-bigram conditional probability per "
+        "document (MLE self-scoring) — the LM fluency dial next to the surface-ratio "
+        "heuristics of text_stats; score-only join against the count-ratio model table"
+    ),
+)
+def q_doc_lm_score(spark, sf_dir):
+    out = text.doc_lm_fluency(_docs(spark, sf_dir))
+    return out.select("doc_id", "n_bigrams", fround(F.col("lm_score"), 6).alias("lm_score"))
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
@@ -514,6 +543,31 @@ def _simhash_oracle() -> str:
 )
 def q_simhash_signatures(spark, sf_dir):
     return dedup.simhash_signatures(_docs(spark, sf_dir))
+
+
+@query(
+    "neardup_simhash_pairs",
+    oracle=f"""
+    WITH sigs AS ({_simhash_oracle()})
+    SELECT id_a, id_b, CAST(ham AS INT) AS hamming
+    FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             bit_count(xor(('0x' || substr(a.simhash, 1, 8))::BIGINT,
+                           ('0x' || substr(b.simhash, 1, 8))::BIGINT))
+           + bit_count(xor(('0x' || substr(a.simhash, 9, 8))::BIGINT,
+                           ('0x' || substr(b.simhash, 9, 8))::BIGINT)) AS ham
+      FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    )
+    WHERE ham <= 3
+    """,
+    description=(
+        "SimHash near-dup pairs: 4x16-bit banded blocking + exact Hamming <= 3 verify. "
+        "Pigeonhole-exact at this threshold (3 flips can't touch all 4 bands), which the "
+        "brute-force O(n^2) oracle equality proves"
+    ),
+)
+def q_neardup_simhash_pairs(spark, sf_dir):
+    return dedup.simhash_neardup_pairs(_docs(spark, sf_dir), max_hamming=3)
 
 
 # ---------------------------------------------------------------------------
