@@ -33,13 +33,62 @@ def main(argv: list[str] | None = None) -> int:
     p_cat = sub.add_parser("catalog", help="print the derived series catalog")
     p_cat.add_argument("--data", required=True)
 
+    p_up = sub.add_parser(
+        "tx-upsert",
+        help="incrementally merge new events into a transactional table "
+        "(cron-able: each run drains whatever is new, commits atomically)",
+    )
+    p_up.add_argument("--data", required=True, help="sf_dir with the parquet tables")
+    p_up.add_argument("--table", required=True, help="TxTable root directory")
+    p_up.add_argument("--checkpoint", required=True, help="streaming checkpoint dir")
+
+    p_hist = sub.add_parser("tx-history", help="print a transactional table's commit history")
+    p_hist.add_argument("--table", required=True)
+
     args = parser.parse_args(argv)
 
-    from h2outility_spark.schema import events_as_datavalues
     from h2outility_spark.session import get_spark
+
+    if args.cmd == "tx-history":
+        from h2outility_spark.storage_tx import TxTable
+
+        spark = get_spark("h2outility-cli")
+        for h in TxTable(spark, args.table, key_cols=["event_id"]).history():
+            print(h)
+        return 0
+
+    from h2outility_spark.schema import events_as_datavalues
     from h2outility_spark.sources.parquet import load_table
 
     spark = get_spark("h2outility-cli")
+
+    if args.cmd == "tx-upsert":
+        from h2outility_spark.streaming.incremental import stream_upsert_to_txtable
+
+        schema = load_table(spark, args.data, "events").schema
+        # file-source streaming needs a DIRECTORY base path; events.parquet
+        # in the test layout is a single file, so stream the sf_dir with a
+        # filename glob instead.
+        stream = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("pathGlobFilter", "events.parquet")
+            .load(args.data)
+        )
+        q = stream_upsert_to_txtable(
+            stream, args.table, keys=["event_id"], order_col="ts", checkpoint_path=args.checkpoint
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+        from h2outility_spark.storage_tx import TxTable
+
+        table = TxTable(spark, args.table, key_cols=["event_id"])
+        v = table.latest_version()
+        n = table.snapshot().count() if v is not None else 0
+        print(f"table at version {v}: {n} rows")
+        return 0
+
     dv = events_as_datavalues(load_table(spark, args.data, "events"))
     keys = ["SiteID", "VariableCode", "MethodID", "SourceID", "QualityControlLevelID"]
 

@@ -43,6 +43,32 @@ def test_cli_qc_apply(spark, tmp_path):
     assert capped.agg(F.max("DataValue")).collect()[0][0] <= 150.0
 
 
+def test_cli_tx_upsert_idempotent(spark, tmp_path, capsys):
+    """The cron-able transactional merge: first run materializes all
+    events; an immediate re-run drains nothing new (checkpoint) and leaves
+    the table version unchanged."""
+    from h2outility_spark.__main__ import main
+    from h2outility_spark.storage_tx import TxTable
+
+    tdir = str(tmp_path / "tx")
+    ckpt = str(tmp_path / "ckpt")
+    rc = main(["tx-upsert", "--data", SF_DIR, "--table", tdir, "--checkpoint", ckpt])
+    assert rc == 0
+    table = TxTable(spark, tdir, key_cols=["event_id"])
+    n_events = load_table(spark, SF_DIR, "events").count()
+    assert table.snapshot().count() == n_events
+    v1 = table.latest_version()
+
+    rc = main(["tx-upsert", "--data", SF_DIR, "--table", tdir, "--checkpoint", ckpt])
+    assert rc == 0
+    assert table.latest_version() == v1  # nothing new -> no new commit
+    assert table.snapshot().count() == n_events
+
+    rc = main(["tx-history", "--table", tdir])
+    assert rc == 0
+    assert "'op': 'merge'" in capsys.readouterr().out
+
+
 def test_stateful_ema_detector_streaming(spark, tmp_path):
     src = str(tmp_path / "stream_src")
     load_table(spark, SF_DIR, "events").write.mode("overwrite").parquet(src)
