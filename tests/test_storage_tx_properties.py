@@ -1,0 +1,63 @@
+"""Model-based property test for the transactional table: a random
+sequence of append / merge_upsert / overwrite / restore operations must
+leave the table equal to a plain dict model applying the same semantics,
+and every historical version must stay readable (snapshot isolation)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import Row
+
+from h2outility_spark.storage_tx import TxTable
+
+KEYS = st.integers(min_value=0, max_value=9)
+VALS = st.integers(min_value=0, max_value=999)
+
+op_strategy = st.one_of(
+    st.tuples(st.just("append"), st.lists(st.tuples(KEYS, VALS), min_size=1, max_size=4)),
+    st.tuples(st.just("merge"), st.lists(st.tuples(KEYS, VALS), min_size=1, max_size=4, unique_by=lambda t: t[0])),
+    st.tuples(st.just("overwrite"), st.lists(st.tuples(KEYS, VALS), min_size=1, max_size=4)),
+    st.tuples(st.just("restore"), st.integers(min_value=0, max_value=5)),
+)
+
+
+def df_of(spark, pairs):
+    return spark.createDataFrame([Row(k=k, v=v) for k, v in pairs], "k int, v int")
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(op_strategy, min_size=1, max_size=5))
+def test_txtable_matches_model(spark, tmp_path_factory, ops):
+    tdir = str(tmp_path_factory.mktemp("txprop"))
+    table = TxTable(spark, tdir, key_cols=["k"])
+
+    model: list[tuple[int, int]] = []  # multiset of rows (append keeps dups)
+    model_history: list[list[tuple[int, int]]] = []
+
+    for op, arg in ops:
+        if op == "append":
+            model = model + list(arg)
+            table.append(df_of(spark, arg))
+        elif op == "merge":
+            upd_keys = {k for k, _ in arg}
+            model = [r for r in model if r[0] not in upd_keys] + list(arg)
+            table.merge_upsert(df_of(spark, arg))
+        elif op == "overwrite":
+            model = list(arg)
+            table.overwrite(df_of(spark, arg))
+        elif op == "restore":
+            if not model_history:
+                continue
+            v = min(arg, len(model_history) - 1)
+            model = list(model_history[v])
+            table.restore(v)
+        model_history.append(list(model))
+
+        got = sorted(tuple(r) for r in table.snapshot().collect())
+        assert got == sorted(model), f"after {op}: {got} != {sorted(model)}"
+
+    # snapshot isolation: every historical version still reads back as the
+    # model state it was committed with
+    for v, expected in enumerate(model_history):
+        got = sorted(tuple(r) for r in table.snapshot(version=v).collect())
+        assert got == sorted(expected), f"version {v} drifted"
