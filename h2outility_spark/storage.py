@@ -92,6 +92,87 @@ def write_sized(
     out.write.mode(mode).option("maxRecordsPerFile", target_rows_per_file).parquet(path)
 
 
+def zorder_expr(norm_cols: list[str], bits: int = 16) -> str:
+    """SQL expression interleaving the low ``bits`` bits of the given
+    (already 0..2^bits-1 normalized) integer columns into one Morton/Z
+    value. Plain shift-and-mask arithmetic — stays in whole-stage codegen.
+    """
+    terms = []
+    n = len(norm_cols)
+    for i in range(bits):
+        for j, c in enumerate(norm_cols):
+            terms.append(f"shiftleft(shiftright({c}, {i}) & 1, {i * n + j})")
+    return " + ".join(terms)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    target_rows_per_file: int = 1_000_000,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet: files cover compact rectangles of the
+    (col1, col2, ...) space, so footer min/max stats prune file reads for
+    selective filters on ANY of the clustered columns — where a single-axis
+    sort (write_sized) only prunes its own axis.
+
+    Implementation: min/max-normalize each column to ``bits`` bits (one
+    tiny global aggregate, broadcast back), interleave bits into a Morton
+    code, range-repartition + sort on it, write with a per-file row cap.
+    The normalization is rank-free (linear min/max) — skewed distributions
+    cluster less evenly than a true rank-based Z-order, the standard trade
+    all practical implementations make without a histogram pass.
+    """
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
+    ranges = df.agg(*aggs)
+    out = df.join(F.broadcast(ranges))
+    norm_names = []
+    span = (1 << bits) - 1
+    for c in cols:
+        nc = f"__z_{c}"
+        norm_names.append(nc)
+        out = out.withColumn(
+            nc,
+            F.expr(
+                f"CAST(({span}.0 * (CAST(`{c}` AS DOUBLE) - CAST(`__min_{c}` AS DOUBLE)) / "
+                f"greatest(CAST(`__max_{c}` AS DOUBLE) - CAST(`__min_{c}` AS DOUBLE), 1e-12)) AS BIGINT)"
+            ),
+        )
+    out = out.withColumn("__z", F.expr(zorder_expr(norm_names, bits)))
+    (
+        out.repartitionByRange("__z")
+        .sortWithinPartitions("__z")
+        .drop("__z", *norm_names, *[f"__min_{c}" for c in cols], *[f"__max_{c}" for c in cols])
+        .write.mode(mode)
+        .option("maxRecordsPerFile", target_rows_per_file)
+        .parquet(path)
+    )
+
+
+def file_prune_fraction(path: str, col: str, lo, hi) -> float:
+    """Fraction of data files a [lo, hi] filter on ``col`` can SKIP from
+    footer min/max alone — the observable that layout clustering exists to
+    maximize (1.0 = every file skipped, 0.0 = full scan)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    files = _glob.glob(f"{path}/*.parquet")
+    skipped = 0
+    for f in files:
+        md = pq.read_metadata(f)
+        idx = next(i for i in range(len(md.schema)) if md.schema.column(i).name == col)
+        fmin = min(md.row_group(rg).column(idx).statistics.min for rg in range(md.num_row_groups))
+        fmax = max(md.row_group(rg).column(idx).statistics.max for rg in range(md.num_row_groups))
+        if fmax < lo or fmin > hi:
+            skipped += 1
+    return skipped / len(files) if files else 0.0
+
+
 def is_shuffle_free_join(joined: DataFrame) -> bool:
     """True if the join plan contains no shuffle exchange (bucketed
     co-location worked). Broadcast exchanges don't count — they're the

@@ -71,3 +71,35 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS buckets.orders_b")
         spark.sql("DROP TABLE IF EXISTS buckets.lineitem_b")
         spark.sql("DROP DATABASE IF EXISTS buckets")
+
+
+def test_zorder_prunes_both_axes(spark, tmp_path):
+    """Z-order layout must let footer min/max stats prune files for filters
+    on EITHER clustered column; a single-axis sort prunes only its own
+    axis. Compared on the same data, same file count."""
+    from h2outility_spark.storage import file_prune_fraction, write_sized, write_zordered
+
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    n = li.count()
+    per_file = max(n // 16, 1)
+
+    single = str(tmp_path / "single")
+    zord = str(tmp_path / "zord")
+    write_sized(li, single, range_cols=["l_orderkey"], target_rows_per_file=per_file)
+    write_zordered(li, zord, cols=["l_orderkey", "l_partkey"], target_rows_per_file=per_file)
+
+    # narrow range on the SECONDARY axis (10% of the key space)
+    pk_lo, pk_hi = 1, int(li.agg(F.max("l_partkey")).collect()[0][0] * 0.1)
+    prune_single = file_prune_fraction(single, "l_partkey", pk_lo, pk_hi)
+    prune_z = file_prune_fraction(zord, "l_partkey", pk_lo, pk_hi)
+    assert prune_z > prune_single, (prune_z, prune_single)
+    assert prune_z >= 0.4, prune_z  # skips a real fraction, not an epsilon
+
+    # and the PRIMARY axis still prunes under z-order
+    ok_lo, ok_hi = 1, int(li.agg(F.max("l_orderkey")).collect()[0][0] * 0.1)
+    assert file_prune_fraction(zord, "l_orderkey", ok_lo, ok_hi) >= 0.4
+
+    # layout is a reordering, not a rewrite: same rows
+    got = spark.read.parquet(zord)
+    assert got.count() == n
+    assert got.agg(F.sum("l_quantity")).collect()[0] == li.agg(F.sum("l_quantity")).collect()[0]
