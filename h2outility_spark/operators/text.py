@@ -143,6 +143,73 @@ def doc_lm_fluency(docs, id_col: str = "doc_id", text_col: str = "text"):
     )
 
 
+def contamination_overlap(docs, benchmark, n: int = 3, id_col: str = "doc_id", text_col: str = "text"):
+    """Train/benchmark decontamination signal: for every training doc, how
+    many of its distinct n-grams also occur anywhere in the benchmark set
+    (the GPT-3/Pile-style n-gram overlap check; pipelines drop or redact
+    docs above a threshold).
+
+    Scale shape: both sides reduce to DISTINCT n-gram sets before the join
+    (shuffle volume is |distinct grams|, not positions); the benchmark side
+    is usually tiny relative to the corpus and AQE broadcasts it. Output:
+    one row per contaminated doc with its shared-gram count.
+    """
+    from pyspark.sql import functions as F
+
+    bench_grams = (
+        benchmark.select(F.explode(shingles_expr(text_col, n)).alias("gram")).distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(shingles_expr(text_col, n)).alias("gram")
+    ).distinct()
+    return (
+        doc_grams.join(bench_grams, "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
+def hash_sample(docs, percent: int, id_col: str = "doc_id"):
+    """Deterministic content-free sampling: keep a doc iff the first 4 hex
+    digits of md5(id) fall under ``percent``% of the 16-bit space.
+
+    At 100 TB this is THE sampling primitive — reproducible across runs,
+    engines and partitionings (no RNG state), cheap (narrow map), and
+    composable into stratified designs by giving each stratum its own
+    ``percent``. md5 is identical in Spark and DuckDB, which the oracle
+    equality demonstrates.
+    """
+    from pyspark.sql import functions as F
+
+    bucket = F.expr(f"CAST(conv(substr(md5(CAST({id_col} AS STRING)), 1, 4), 16, 10) AS INT)")
+    return docs.filter(bucket < (65536 * percent) // 100)
+
+
+def pack_sequences(docs, budget_tokens: int, id_col: str = "doc_id", text_col: str = "text"):
+    """Training-sequence packing plan: assign docs (in deterministic id
+    order) to context-window bins of ``budget_tokens`` via the exclusive
+    prefix sum of token counts — the standard streaming approximation of
+    greedy packing (a doc may straddle its bin boundary and is charged to
+    the bin its first token lands in). Integer arithmetic end to end, so
+    the oracle matches exactly.
+
+    Scale note: the prefix sum is a single global-order window — for a
+    real 100 TB packing job you shard first (e.g. by hash(doc) into k
+    independent streams) and pack per shard; the per-shard operator is
+    exactly this one.
+    """
+    from pyspark.sql import Window as W, functions as F
+
+    w = W.orderBy(id_col).rowsBetween(W.unboundedPreceding, -1)
+    toks = docs.select(F.col(id_col), token_count(F.col(text_col)).cast("bigint").alias("n_tokens"))
+    binned = toks.withColumn(
+        "prefix", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    ).withColumn("bin_id", F.expr(f"prefix div {budget_tokens}"))
+    return binned.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("total_tokens")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Quality scoring
 # ---------------------------------------------------------------------------

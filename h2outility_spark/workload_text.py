@@ -284,6 +284,82 @@ def q_doc_lm_score(spark, sf_dir):
     return out.select("doc_id", "n_bigrams", fround(F.col("lm_score"), 6).alias("lm_score"))
 
 
+@query(
+    "contamination_overlap",
+    oracle="WITH "
+    + sh_cte()
+    + """,
+    bs AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 37 = 0),
+    cand AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE doc_id % 37 <> 0)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+    FROM cand JOIN bs USING (shingle)
+    GROUP BY 1
+    """,
+    description=(
+        "Train/benchmark decontamination: distinct 3-gram overlap count of every "
+        "training doc against the benchmark partition (doc_id % 37 = 0) — "
+        "distinct-gram sets joined, never token positions"
+    ),
+)
+def q_contamination_overlap(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    train = docs.filter(F.col("doc_id") % 37 != 0)
+    return text.contamination_overlap(train, bench, n=3)
+
+
+@query(
+    "hash_sample_docs",
+    oracle="""
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT AS INT) AS bucket
+    FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT < (65536 * 15) / 100
+    """,
+    description=(
+        "Deterministic 15% hash sample: md5-bucket on the id, no RNG state — "
+        "reproducible across runs/engines/partitionings; the stratified-sampling "
+        "primitive (per-stratum rates compose from the same bucket column)"
+    ),
+)
+def q_hash_sample_docs(spark, sf_dir):
+    out = text.hash_sample(_docs(spark, sf_dir), percent=15)
+    bucket = F.expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS INT)")
+    return out.select("doc_id", bucket.alias("bucket"))
+
+
+@query(
+    "pack_sequences",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0 THEN 0
+                  ELSE array_length(regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) END
+               AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    pre AS (
+      SELECT doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+      FROM toks
+    )
+    SELECT prefix // 2048 AS bin_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM pre
+    GROUP BY 1
+    """,
+    description=(
+        "Training-sequence packing plan: docs in id order assigned to 2048-token "
+        "context bins by exclusive prefix sum (streaming greedy packing); integer "
+        "arithmetic end to end"
+    ),
+)
+def q_pack_sequences(spark, sf_dir):
+    return text.pack_sequences(_docs(spark, sf_dir), budget_tokens=2048)
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
