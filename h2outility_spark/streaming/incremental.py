@@ -160,6 +160,35 @@ def stream_upsert_to_parquet(
     )
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    band_seconds: int,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: right rows within ±band of each left
+    row on the same key — the streaming form of the batch range join
+    (operators/asof.range_join_count).
+
+    Both sides carry an event-time watermark, and the join condition bounds
+    right's event time relative to left's, so Spark can size the join state
+    buffer (watermark + band) and evict expired rows — without the time
+    bound a stream-stream join would buffer forever. At 100 TB/day the
+    state store holds only ``2·band + watermark`` worth of rows per key.
+    """
+    lw = left.withWatermark(left_ts, watermark).alias("l")
+    rw = right.withWatermark(right_ts, watermark).alias("r")
+    cond = F.expr(
+        f"l.{key} = r.{key} AND "
+        f"r.{right_ts} >= l.{left_ts} - INTERVAL {band_seconds} SECONDS AND "
+        f"r.{right_ts} <= l.{left_ts} + INTERVAL {band_seconds} SECONDS"
+    )
+    return lw.join(rw, cond)
+
+
 def stream_upsert_to_txtable(
     stream_df: DataFrame,
     table_dir: str,

@@ -93,6 +93,45 @@ def test_stream_upsert_foreachbatch(spark, tmp_path):
     assert spark.read.parquet(target).count() == 3  # newest-per-key, no dups
 
 
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    """The stream-stream interval join must produce exactly the pairs the
+    equivalent batch range join produces on the same (drained) data."""
+    src = str(tmp_path / "src")
+    ev = load_table(spark, SF_DIR, "events")
+    ev.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def sides(df):
+        purch = df.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"), "user_id", "ts"
+        )
+        clicks = df.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("ts2")
+        )
+        return purch, clicks
+
+    sp, sc = sides(incremental.stream_events(spark, src, schema))
+    joined = incremental.stream_interval_join(
+        sp, sc, key="user_id", band_seconds=3600, left_ts="ts", right_ts="ts2"
+    ).select("purchase_id", "click_id")
+    got = {(r["purchase_id"], r["click_id"]) for r in incremental.run_available_now(joined, "ssj")}
+
+    bp, bc = sides(ev)
+    bc = bc.withColumnRenamed("user_id", "user_id2")
+    expected = {
+        (r["purchase_id"], r["click_id"])
+        for r in bp.join(
+            bc,
+            (bp.user_id == bc.user_id2)
+            & (F.abs(F.unix_micros(bp.ts) - F.unix_micros(bc.ts2)) <= 3600 * 1_000_000),
+        )
+        .select("purchase_id", "click_id")
+        .collect()
+    }
+    assert len(expected) > 0
+    assert got == expected
+
+
 def test_stream_upsert_to_txtable(spark, tmp_path):
     """Same scenario as the parquet foreachBatch upsert, but into the
     transactional table: atomic manifest commits per batch, with history
