@@ -532,6 +532,33 @@ def q_cube_orders(spark, sf_dir):
 
 
 @query(
+    "json_props_stats",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS INT) AS k,
+           CAST(count(*) AS BIGINT) AS n,
+           floor((avg(value)) * 10000.0 + 0.5) / 10000.0 AS avg_value
+    FROM events
+    WHERE json_extract(props, '$.k') IS NOT NULL
+    GROUP BY 1
+    """,
+    description=(
+        "F-family/§7.4: typed JSON parsing of the props column (from_json with an "
+        "explicit schema, not regex) aggregated per extracted key — the structured "
+        "form of regexp_extract_props"
+    ),
+)
+def q_json_props_stats(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT").getField("k")
+    return (
+        ev.withColumn("k", k)
+        .filter(F.col("k").isNotNull())
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), fround(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+@query(
     "regexp_extract_props",
     oracle="""
     SELECT CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INT) % 10 AS k_bucket,
