@@ -419,6 +419,7 @@ def simhash_neardup_pairs(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash: banded blocking + exact Hamming
     verify — the third dedup family (vs. shingle-set MinHash and
@@ -445,6 +446,19 @@ def simhash_neardup_pairs(
             F.expr("transform(sequence(0, 3), j -> substr(simhash, j*4+1, 4))")
         ).alias("band", "bval"),
     )
+    if max_bucket is not None:
+        # corpus-wide boilerplate makes one (band, value) bucket k-wide and
+        # its candidate pairs k² — quarantine such buckets, same treatment
+        # as the MinHash and RP-LSH paths (exactness then holds only for
+        # pairs outside quarantined buckets; boilerplate needs the exact-
+        # dedup pass first anyway)
+        giants = (
+            banded.groupBy("band", "bval")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_bucket)
+            .select("band", "bval")
+        )
+        banded = banded.join(F.broadcast(giants), ["band", "bval"], "left_anti")
     left, right = banded.alias("l"), banded.alias("r")
     cand = (
         left.join(

@@ -143,6 +143,48 @@ def doc_lm_fluency(docs, id_col: str = "doc_id", text_col: str = "text"):
     )
 
 
+def tfidf_top_terms(docs, k: int = 3, id_col: str = "doc_id", text_col: str = "text"):
+    """Top-k characteristic terms per document by tf·idf, with
+    idf = ln(N / df) (raw MLE form, no smoothing — exact count arithmetic
+    plus one ln(), reproducible across engines).
+
+    Scale shape: term frequencies are one groupBy(doc, term) over token
+    positions; document frequencies one groupBy(term) over the DISTINCT
+    (doc, term) pairs — both combiner-friendly; the join key is the term
+    (vocab-bounded fan-out, AQE handles stopword skew); the top-k window
+    partitions by doc over |doc|·|distinct terms per doc| rows, never the
+    corpus cross product. Deterministic tie-break: higher tf·idf, then
+    term string.
+    """
+    from pyspark.sql import Window as W, functions as F
+
+    toks = docs.select(F.col(id_col), F.explode(shingles_expr(text_col, 1)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_counts, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf").cast("double")
+            * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+        )
+        # rank on the ROUNDED score: ln() can differ between engines in the
+        # last ulp (e.g. 2*ln(10) vs ln(100) are mathematically equal), and
+        # an ulp flip across an unrounded sort key would reorder the top-k;
+        # after 6-dp rounding such near-ties become exact ties, broken by
+        # the term string identically everywhere
+        .withColumn("tfidf", F.floor(F.col("tfidf") * 1e6 + F.lit(0.5)) / F.lit(1e6))
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "term", "tf", "df", "tfidf", "rk")
+    )
+
+
 def contamination_overlap(docs, benchmark, n: int = 3, id_col: str = "doc_id", text_col: str = "text"):
     """Train/benchmark decontamination signal: for every training doc, how
     many of its distinct n-grams also occur anywhere in the benchmark set

@@ -360,6 +360,37 @@ def q_pack_sequences(spark, sf_dir):
     return text.pack_sequences(_docs(spark, sf_dir), budget_tokens=2048)
 
 
+@query(
+    "tfidf_top_terms",
+    oracle="WITH "
+    + TOKS_CTE
+    + """,
+    tf AS (SELECT doc_id, w AS term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term, tf, df,
+             floor((CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)))
+                   * 1000000.0 + 0.5) / 1000000.0 AS tfidf
+      FROM tf JOIN dfc USING (term) CROSS JOIN nd
+    )
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, tfidf,
+           CAST(rk AS INT) AS rk
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, term) AS rk
+          FROM scored)
+    WHERE rk <= 3
+    """,
+    description=(
+        "Top-3 characteristic terms per doc by tf*ln(N/df) — count-table joins only; "
+        "ranked on the 6-dp-ROUNDED score so cross-engine ln() ulp drift cannot "
+        "reorder the top-k (near-ties become exact ties, broken by term)"
+    ),
+)
+def q_tfidf_top_terms(spark, sf_dir):
+    return text.tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
