@@ -203,3 +203,55 @@ def reversion_series(df: DataFrame, new_keys: dict[str, object]) -> DataFrame:
     for k, v in new_keys.items():
         out = out.withColumn(k, F.lit(v))
     return out
+
+
+def resample_grid(
+    df: DataFrame,
+    keys: list[str],
+    interval_seconds: int,
+    ts: str = "LocalDateTime",
+    value: str = "DataValue",
+    fill: str = "ffill",
+) -> DataFrame:
+    """Resample each series onto a regular time grid (one slot every
+    ``interval_seconds`` from the series' first to last observation),
+    aggregating observations that share a slot (mean) and filling empty
+    slots (``ffill`` carries the last observed slot value forward;
+    ``none`` leaves NULL). The time-regularization step every downstream
+    window/rollup assumes, which the reference got implicitly from
+    sensors sharing a clock.
+
+    Scale shape: the grid is generated per series with ``sequence()``
+    (|slots| rows, no driver loop); slot aggregation and the grid join
+    shuffle on (keys, slot); the forward fill is one last-ignorenulls
+    window per series — everything partitions by the series key, so a
+    1000-executor cluster fills every series in parallel.
+    """
+    # integer division (not double-divide-then-cast): exact at any epoch
+    # offset and identical to the oracle's `//`
+    slot = F.expr(f"unix_micros(`{ts}`) div {interval_seconds * 1_000_000}")
+    obs = (
+        df.select(*keys, slot.alias("__slot"), F.col(value).alias("__v"))
+        .groupBy(*keys, "__slot")
+        .agg(F.avg("__v").alias("__slot_v"))
+    )
+    spans = obs.groupBy(*keys).agg(
+        F.min("__slot").alias("__lo"), F.max("__slot").alias("__hi")
+    )
+    grid = spans.select(
+        *keys, F.explode(F.expr("sequence(__lo, __hi)")).alias("__slot")
+    )
+    joined = grid.join(obs, [*keys, "__slot"], "left")
+    if fill == "ffill":
+        w = W.partitionBy(*keys).orderBy("__slot").rowsBetween(W.unboundedPreceding, 0)
+        filled = F.last("__slot_v", ignorenulls=True).over(w)
+    elif fill == "none":
+        filled = F.col("__slot_v")
+    else:
+        raise ValueError(f"unknown fill mode {fill!r}")
+    return joined.select(
+        *keys,
+        F.timestamp_micros(F.col("__slot") * F.lit(interval_seconds * 1_000_000)).alias(ts),
+        filled.alias(value),
+        F.col("__slot_v").isNotNull().alias("observed"),
+    )

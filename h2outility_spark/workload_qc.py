@@ -299,3 +299,38 @@ def q_event_time_windows(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"), fround(F.sum("value"), 2).alias("sum_value"))
         .select(F.col("win.start").alias("win_start"), "event_type", "n", "sum_value")
     )
+
+
+@query(
+    "qc_resample_ffill",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id, epoch_us(ts) // 3600000000 AS slot, avg(value) AS slot_v
+      FROM events WHERE event_type = 'click'
+      GROUP BY 1, 2
+    ),
+    spans AS (SELECT user_id, min(slot) AS lo, max(slot) AS hi FROM obs GROUP BY 1),
+    grid AS (SELECT user_id, unnest(generate_series(lo, hi)) AS slot FROM spans),
+    j AS (SELECT g.user_id, g.slot, o.slot_v
+          FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.slot = o.slot),
+    f AS (SELECT user_id, slot,
+                 last_value(slot_v IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY slot
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v,
+                 slot_v IS NOT NULL AS observed
+          FROM j)
+    SELECT user_id, make_timestamp(slot * 3600000000) AS ts,
+           floor((v) * 10000.0 + 0.5) / 10000.0 AS value, observed
+    FROM f
+    """,
+    description=(
+        "Time-regularization: resample each user's click series onto an hourly grid "
+        "(per-slot mean, forward-filled empty slots, observed flag) — sequence()-"
+        "generated grid per series, no driver loop; the step every downstream "
+        "window/rollup assumes"
+    ),
+)
+def q_qc_resample_ffill(spark, sf_dir):
+    ev = _ev(spark, sf_dir).filter(F.col("event_type") == "click")
+    out = qc.resample_grid(ev, keys=["user_id"], interval_seconds=3600, ts="ts", value="value")
+    return out.select("user_id", "ts", fround(F.col("value"), 4).alias("value"), "observed")
