@@ -35,11 +35,19 @@ def asof_join_backward(
     right_ts: str = "ts",
     payload_cols: list[str] | None = None,
     tolerance_seconds: float | None = None,
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """For each left row: columns of the newest right row at-or-before it.
 
     ``payload_cols`` are the right-side columns to carry (NULL when no
     right row precedes, or when outside ``tolerance_seconds``).
+
+    ``tiebreak`` names a right-side column that deterministically orders
+    right rows sharing an exact timestamp (the LARGEST wins the carry).
+    Without it, duplicate (keys, ts) right rows make the carried payload
+    partition-order-dependent — the same unspecified choice DuckDB's ASOF
+    JOIN makes; pass a tiebreak whenever the right side isn't unique per
+    (keys, ts).
     """
     payload_cols = payload_cols or [c for c in right.columns if c not in keys and c != right_ts]
     lt = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
@@ -52,9 +60,15 @@ def asof_join_backward(
         .withColumn("__side", F.lit(0))
         .withColumn("__ts", F.col("__rts"))
     )
+    if tiebreak is not None:
+        rt = rt.withColumn("__tb", F.col(f"__p_{tiebreak}") if tiebreak in payload_cols else F.col(tiebreak))
+        lt = lt.withColumn("__tb", F.lit(None))
     both = lt.unionByName(rt, allowMissingColumns=True)
-    # right rows sort before left rows at equal timestamps → "<=" semantics
-    w = W.partitionBy(*keys).orderBy("__ts", "__side").rowsBetween(W.unboundedPreceding, 0)
+    # right rows sort before left rows at equal timestamps → "<=" semantics;
+    # among equal-ts right rows the tiebreak (nulls first, so left rows are
+    # unaffected) fixes which one the carry sees last
+    order = ["__ts", "__side"] + ([F.col("__tb").asc_nulls_first()] if tiebreak is not None else [])
+    w = W.partitionBy(*keys).orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
     carried = both.select(
         "*",
         F.last(F.when(F.col("__side") == 0, F.col("__rts")), ignorenulls=True).over(w).alias("__asof_ts"),

@@ -9,7 +9,7 @@ from datetime import datetime, timedelta
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import Row, functions as F
 
-from h2outility_spark.operators import qc
+from h2outility_spark.operators import asof, qc
 
 T0 = datetime(2024, 1, 1)
 
@@ -48,3 +48,47 @@ def test_interpolation_invariants(spark, data):
             lo = min(float(data[prev_anchor][0]), float(data[next_anchor][0]))
             hi = max(float(data[prev_anchor][0]), float(data[next_anchor][0]))
             assert lo - 1e-9 <= out[i] <= hi + 1e-9
+
+
+asof_strategy = st.tuples(
+    # left observation hours (duplicates allowed — equal timestamps must work)
+    st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=10),
+    # right (ts hour, payload) — duplicate hours exercise the tie rule
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=30), st.integers(min_value=0, max_value=99)),
+        min_size=0,
+        max_size=10,
+    ),
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(asof_strategy)
+def test_asof_join_matches_bruteforce(spark, data):
+    """asof_join_backward(union-sort-carry) == the brute-force definition:
+    for each left row, the payload of the newest right row with
+    right.ts <= left.ts (ties on right.ts resolved to the LAST right row
+    in (ts, payload) order, matching the window's carry rule)."""
+    left_hours, right_rows = data
+    left = spark.createDataFrame(
+        [Row(k="a", ts=T0 + timedelta(hours=h), lid=i) for i, h in enumerate(left_hours)]
+    )
+    right_sorted = sorted(right_rows, key=lambda r: (r[0], r[1]))
+    if right_rows:
+        right = spark.createDataFrame(
+            [Row(k="a", ts=T0 + timedelta(hours=h), v=float(v)) for h, v in right_sorted]
+        )
+    else:
+        right = spark.createDataFrame([], "k string, ts timestamp, v double")
+
+    out = {
+        r["lid"]: r["v"]
+        for r in asof.asof_join_backward(
+            left, right, ["k"], payload_cols=["v"], tiebreak="v"
+        ).collect()
+    }
+
+    for i, h in enumerate(left_hours):
+        eligible = [(rh, rv) for rh, rv in right_sorted if rh <= h]
+        expected = float(eligible[-1][1]) if eligible else None
+        assert out[i] == expected, f"left hour {h}: {out[i]} != {expected}"

@@ -85,6 +85,31 @@ def test_commit_conflict_and_append_retry(spark, table, monkeypatch):
     assert rows_of(table.snapshot()) == [(1, "a"), (2, "b")]
 
 
+def test_concurrent_appends_both_land(spark, table):
+    """Two writers appending at the same time: the commit race is real
+    (both read the same parent), retry resolves it, no rows are lost and
+    the versions are distinct."""
+    import threading
+
+    table.append(kv(spark, [(0, "base")]))
+    errs = []
+
+    def writer(tag):
+        try:
+            table.append(kv(spark, [(ord(tag), tag)]), _retries=10)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(t,)) for t in ("a", "b", "c")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert table.latest_version() == 3  # base + three appends, distinct versions
+    assert rows_of(table.snapshot()) == [(0, "base"), (97, "a"), (98, "b"), (99, "c")]
+
+
 def test_staged_files_invisible_until_commit(spark, table):
     table.append(kv(spark, [(1, "a")]))
     snap_before = rows_of(table.snapshot())
