@@ -255,3 +255,31 @@ def resample_grid(
         filled.alias(value),
         F.col("__slot_v").isNotNull().alias("observed"),
     )
+
+
+def median_despike(
+    df: DataFrame,
+    keys: list[str],
+    threshold: float,
+    window: int = 2,
+    ts: str = "LocalDateTime",
+    value: str = "DataValue",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Rolling-median despike filter: flag observations deviating more than
+    ``threshold`` from the median of their ±``window`` neighborhood — the
+    classic robust spike detector (the median, unlike the mean, is immune
+    to the spike it is judging).
+
+    The windowed median is sort_array(collect_list(...))[lower-median]
+    over a bounded frame — exact, O(w log w) per row with tiny constant w,
+    and expressible identically in the SQL oracle (no engine median()
+    semantics involved). Partitioned by the series key like every QC
+    window.
+    """
+    order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = W.partitionBy(*keys).orderBy(*order).rowsBetween(-window, window)
+    arr = F.sort_array(F.collect_list(F.col(value)).over(w))
+    med = F.element_at(arr, ((F.size(arr) + 1) / 2).cast("int"))
+    out = df.withColumn("median_val", med)
+    return out.withColumn("is_spike", F.abs(F.col(value) - F.col("median_val")) > F.lit(threshold))

@@ -334,3 +334,34 @@ def q_qc_resample_ffill(spark, sf_dir):
     ev = _ev(spark, sf_dir).filter(F.col("event_type") == "click")
     out = qc.resample_grid(ev, keys=["user_id"], interval_seconds=3600, ts="ts", value="value")
     return out.select("user_id", "ts", fround(F.col("value"), 4).alias("value"), "observed")
+
+
+@query(
+    "qc_median_despike",
+    oracle="""
+    WITH w AS (
+      SELECT event_id, user_id, ts, value,
+             list_sort(list(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)) AS win
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT event_id, user_id, ts, value,
+           win[(len(win) + 1) // 2] AS median_val,
+           abs(value - win[(len(win) + 1) // 2]) > 40.0 AS is_spike
+    FROM w
+    """,
+    description=(
+        "Rolling-median despike (W2's robust sibling): flag values deviating > 40 from "
+        "the 5-point window median — sort_array(collect_list) lower-median, exact and "
+        "identical in both engines (no engine median() semantics involved)"
+    ),
+)
+def q_qc_median_despike(spark, sf_dir):
+    ev = _ev(spark, sf_dir).filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = qc.median_despike(
+        ev, keys=["user_id"], threshold=40.0, window=2, ts="ts", value="value", tiebreak="event_id"
+    )
+    return out.select("event_id", "user_id", "ts", "value", "median_val", "is_spike")
