@@ -470,3 +470,92 @@ def q_rolling_avg(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
     w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 0)
     return ev.select("event_id", "user_id", "ts", fround(F.avg("value").over(w), 4).alias("avg_4"))
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH v AS (SELECT user_id, min(ts) AS t_view FROM events WHERE event_type = 'view' GROUP BY 1),
+         c AS (SELECT user_id, ts AS t_click FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, ts AS t_purchase FROM events WHERE event_type = 'purchase'),
+    vc AS (SELECT v.user_id, v.t_view, min(c.t_click) AS t_click
+           FROM v JOIN c ON v.user_id = c.user_id AND c.t_click > v.t_view
+           GROUP BY 1, 2),
+    vcp AS (SELECT vc.user_id, vc.t_view, vc.t_click, min(p.t_purchase) AS t_purchase
+            FROM vc JOIN p ON vc.user_id = p.user_id AND p.t_purchase > vc.t_click
+            GROUP BY 1, 2, 3)
+    SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_viewed,
+           CAST((SELECT count(*) FROM vc) AS BIGINT) AS n_clicked_after,
+           CAST((SELECT count(*) FROM vcp) AS BIGINT) AS n_purchased_after
+    """,
+    description=(
+        "Sequential funnel: users whose first view is followed by a click, then a "
+        "purchase, in strict event-time order — each stage is an earliest-event-after "
+        "aggregate join (min-after-anchor), the ordered-sequence shape plain joins "
+        "cannot express without the time predicate"
+    ),
+)
+def q_funnel_conversion(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = ev.filter(F.col("event_type") == "click").select("user_id", F.col("ts").alias("t_click"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("t_purchase")
+    )
+    vc = (
+        v.join(c, "user_id")
+        .filter(F.col("t_click") > F.col("t_view"))
+        .groupBy("user_id", "t_view")
+        .agg(F.min("t_click").alias("t_click"))
+    )
+    vcp = (
+        vc.join(p, "user_id")
+        .filter(F.col("t_purchase") > F.col("t_click"))
+        .groupBy("user_id", "t_view", "t_click")
+        .agg(F.min("t_purchase").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .join(F.broadcast(vc.agg(F.count(F.lit(1)).alias("n_clicked_after"))))
+        .join(F.broadcast(vcp.agg(F.count(F.lit(1)).alias("n_purchased_after"))))
+    )
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY 1
+    ),
+    activity AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events)
+    SELECT f.cohort_week,
+           CAST(datediff('week', f.cohort_week, a.act_week) AS INT) AS week_offset,
+           CAST(count(DISTINCT f.user_id) AS BIGINT) AS n_active
+    FROM firsts f JOIN activity a ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+    description=(
+        "Retention cohorts: users grouped by first-activity week, counted active per "
+        "week offset — the self-referential cohort shape (first-touch aggregate joined "
+        "back to the activity stream)"
+    ),
+)
+def q_retention_cohorts(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select("user_id", F.date_trunc("week", F.col("ts")).alias("act_week")).distinct()
+    joined = firsts.join(activity, "user_id")
+    week_off = (
+        (F.unix_micros(F.col("act_week")) - F.unix_micros(F.col("cohort_week")))
+        / F.lit(7 * 86400 * 1_000_000)
+    ).cast("int")
+    return joined.groupBy(
+        F.to_date("cohort_week").alias("cohort_week"), week_off.alias("week_offset")
+    ).agg(F.count_distinct("user_id").alias("n_active"))
