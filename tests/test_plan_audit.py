@@ -1,0 +1,47 @@
+"""Whole-registry physical-plan audit: no query may introduce a Cartesian
+product or an unplanned nested-loop join. BroadcastNestedLoopJoin is
+legitimate ONLY for 1-row scalar broadcasts (watermark, global threshold,
+corpus count, funnel stage counts, Q22's correlated average) and the two
+intentional brute-force baselines — everything else must hash/sort-merge
+join. A new query landing in this list by accident is a 100 TB scale bug
+caught at test time."""
+
+from __future__ import annotations
+
+from h2outility_spark import workload
+from tests.conftest import SF_DIR
+
+BNLJ_ALLOWED = {
+    "extract_incremental",  # 1-row watermark broadcast
+    "ivf_search",  # query-vectors x broadcast centroid table (both tiny)
+    "embedding_knn",  # brute-force baseline by design (IVF/LSH are the scale paths)
+    "tfidf_top_terms",  # 1-row corpus-count broadcast
+    "neardup_embedding_pairs",  # brute-force verifier (neardup_embedding_lsh is the scale path)
+    "funnel_conversion",  # three 1-row stage counts joined
+    "tpch_q22_idle_rich_customers",  # correlated scalar average (1-row broadcast)
+    "tpch_q11_value_share",  # 1-row global-threshold broadcast
+}
+
+
+def test_no_unplanned_nested_loop_joins(spark):
+    offenders: dict[str, list[str]] = {}
+    for name, spec in workload.registry().items():
+        plan = spec.fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        flags = [b for b in ("CartesianProduct", "BroadcastNestedLoopJoin") if b in plan]
+        if "CartesianProduct" in flags or ("BroadcastNestedLoopJoin" in flags and name not in BNLJ_ALLOWED):
+            offenders[name] = flags
+    assert not offenders, f"unplanned nested-loop/cartesian plans: {offenders}"
+
+
+def test_bnlj_allowlist_is_tight(spark):
+    """Every allowlisted name must still exist and still plan a BNLJ —
+    stale entries would quietly widen the allowlist."""
+    reg = workload.registry()
+    stale = [n for n in BNLJ_ALLOWED if n not in reg]
+    assert not stale, f"allowlisted queries no longer registered: {stale}"
+    no_longer = []
+    for name in sorted(BNLJ_ALLOWED):
+        plan = reg[name].fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        if "BroadcastNestedLoopJoin" not in plan:
+            no_longer.append(name)
+    assert not no_longer, f"remove from allowlist (no BNLJ anymore): {no_longer}"
