@@ -112,5 +112,23 @@ class EditSession:
         catalog = derive_catalog(edited, keys=[k for k in self.keys if k in edited.columns], ts_col=self.ts)
         return new_store, catalog
 
+    def save_to_table(self, table, new_keys: dict | None = None) -> int:
+        """Transactional form of ``save``: MERGE the edited rows into a
+        ``storage_tx.TxTable`` and return the committed version.
+
+        This is the full reference semantics — ``commit()`` with history:
+        the store's previous state stays readable (time travel), a bad
+        save is undone with ``table.restore(version - 1)``, and two
+        concurrent editors conflict explicitly instead of lost-updating
+        each other (the reference leaned on RDBMS transactions for all
+        three, ``edit_service.py:371-373``).
+        """
+        edited = self.frame()
+        if qc.SEL in edited.columns:
+            edited = edited.drop(qc.SEL)
+        if new_keys:
+            edited = qc.reversion_series(edited, new_keys)
+        return table.merge_upsert(edited)
+
     def close(self) -> None:
         self._source.unpersist()

@@ -67,6 +67,31 @@ def test_session_save_as_new_series(spark):
     s.close()
 
 
+def test_session_save_to_txtable_with_history(spark, tmp_path):
+    """W8/W9 with real commit semantics: save commits a MERGE version,
+    a bad save is rolled back with restore(), and history records both."""
+    from h2outility_spark.storage_tx import TxTable
+
+    store = dv_frame(spark)
+    table = TxTable(spark, str(tmp_path / "dv"), key_cols=["ValueID"])
+    table.append(store)
+
+    s = EditSession(store, KEYS)
+    s.select_value_threshold(">", 100.0).change_value("=", -1.0)
+    v = s.save_to_table(table)
+    vals = {r["ValueID"]: r["DataValue"] for r in table.snapshot().collect()}
+    assert vals[1] == -1.0 and vals[2] == -1.0 and vals[0] == 10.0
+    assert table.snapshot().count() == 5  # merge, not append
+
+    # the pre-save state is still readable, and restore() rolls back
+    prev = {r["ValueID"]: r["DataValue"] for r in table.snapshot(version=v - 1).collect()}
+    assert prev[1] == 300.0
+    table.restore(v - 1)
+    assert {r["ValueID"]: r["DataValue"] for r in table.snapshot().collect()}[1] == 300.0
+    assert [h["op"] for h in table.history()] == ["append", "merge", "restore"]
+    s.close()
+
+
 def test_salted_agg_matches_plain(spark):
     ev = load_table(spark, SF_DIR, "events")
     plain = {
