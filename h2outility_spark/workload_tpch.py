@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from h2outility_spark.workload import _t, fround, query, sql_round
+from h2outility_spark.workload import _t, fround, query
 
 
 @query(
