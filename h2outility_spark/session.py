@@ -35,6 +35,10 @@ def get_spark(app_name: str = "h2outility-spark", shuffle_partitions: int | None
         # no parquet column statistics, which blinds min/max file pruning
         # (storage_tx merge pruning, range-clustered scan pruning).
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        # Serve bare MIN/MAX/COUNT from parquet footers instead of scanning
+        # rows (off by default; Spark only applies it where exact). At 100 TB
+        # a watermark max(ts) or a row-count check becomes a metadata read.
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # NOTE: a too-large local heap causes multi-second kernel stalls in
         # this VM (lazy heap expansion → page zeroing bursts); 12g is ample
