@@ -710,6 +710,35 @@ def q_frame_sample(spark, sf_dir):
     return multimodal.frame_sample_plan(assets, every_n=30)
 
 
+@query(
+    "audio_chunks",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(unnest(generate_series(0, greatest((n_chars * 40 + 1000) - 1, 0), 2000)) AS BIGINT)
+             AS chunk_start_ms
+    FROM documents
+    """,
+    description=(
+        "Audio chunking plan: 2 s stride offsets covering each asset's declared "
+        "duration_ms metadata (documents stand in as assets; duration derived "
+        "deterministically from n_chars) — sequence + explode, pure Catalyst; the "
+        "decode stage later touches only planned (asset, offset) pairs"
+    ),
+)
+def q_audio_chunks(spark, sf_dir):
+    from h2outility_spark.operators import multimodal
+
+    docs = _docs(spark, sf_dir)
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.create_map(
+            F.lit("duration_ms"),
+            ((F.col("n_chars") * 40 + 1000).cast("long")).cast("string"),
+        ).alias("meta"),
+    )
+    return multimodal.audio_chunk_plan(assets, chunk_ms=2_000)
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
