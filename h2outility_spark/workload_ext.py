@@ -559,3 +559,27 @@ def q_retention_cohorts(spark, sf_dir):
     return joined.groupBy(
         F.to_date("cohort_week").alias("cohort_week"), week_off.alias("week_offset")
     ).agg(F.count_distinct("user_id").alias("n_active"))
+
+
+@query(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+    """,
+    description=(
+        "Custom GROUPING SETS (each axis alone + the pair, no grand total) — the "
+        "general form cube/rollup specialize; one pass, Catalyst expands the sets"
+    ),
+)
+def q_grouping_sets_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], ["l_returnflag", "l_linestatus"]],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        fround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
