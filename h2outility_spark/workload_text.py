@@ -916,3 +916,35 @@ def q_kmeans_centroids(spark, sf_dir):
 
     out = kmeans(_emb(spark, sf_dir), k=8, max_iter=3)
     return out.select("cluster", "pos", fround(F.col("centroid_val"), 6).alias("centroid_val"))
+
+
+@query(
+    "corpus_clean_embedding",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    drops AS (
+      SELECT DISTINCT b.vec_id
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE list_inner_product(a.v, b.v)
+            / sqrt(list_inner_product(a.v, a.v) * list_inner_product(b.v, b.v)) >= 0.45
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents
+    WHERE doc_id NOT IN (SELECT vec_id FROM drops)
+    """,
+    description=(
+        "Cross-modal canonicalization: keep each doc unless its EMBEDDING has a "
+        "near-duplicate (cos >= 0.45) with a smaller id — RP-LSH prefilter + in-bucket "
+        "exact verify feeding an anti join; oracle is the brute-force O(n^2) form, so "
+        "equality re-proves prefilter recall 1.0 end-to-end"
+    ),
+)
+def q_corpus_clean_embedding(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    pairs = similarity.cosine_neardup_pairs_lsh(emb, threshold=0.45)
+    drops = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    return (
+        docs.join(drops, docs.doc_id == drops.vec_id, "left_anti")
+        .select("doc_id", F.col("n_chars").cast("bigint").alias("n_chars"))
+    )
