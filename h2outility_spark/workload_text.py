@@ -948,3 +948,35 @@ def q_corpus_clean_embedding(spark, sf_dir):
         docs.join(drops, docs.doc_id == drops.vec_id, "left_anti")
         .select("doc_id", F.col("n_chars").cast("bigint").alias("n_chars"))
     )
+
+
+@query(
+    "mixture_sample",
+    oracle="WITH scored AS (SELECT doc_id, "
+    + text.langid_sql_columns("text")
+    + """
+    FROM documents)
+    SELECT doc_id, pred_lang, bucket
+    FROM (SELECT doc_id, pred_lang,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT AS INT) AS bucket
+          FROM scored)
+    WHERE bucket < CASE WHEN pred_lang = 'en' THEN 32768 ELSE 13107 END
+    """,
+    description=(
+        "Training-data mixture sampling: per-language rates (50% en, 20% other) "
+        "composed from the langid prediction and the deterministic md5 bucket — the "
+        "data-mixing step of corpus assembly, reproducible with no RNG state"
+    ),
+)
+def q_mixture_sample(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    scored = docs.select("doc_id", *text.langid_score_columns("text")).withColumn(
+        "pred_lang", text.langid_pred_column()
+    )
+    bucket = F.expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS INT)")
+    threshold = F.when(F.col("pred_lang") == "en", F.lit(32768)).otherwise(F.lit(13107))
+    return (
+        scored.withColumn("bucket", bucket)
+        .filter(F.col("bucket") < threshold)
+        .select("doc_id", "pred_lang", "bucket")
+    )
