@@ -365,3 +365,44 @@ def q_qc_median_despike(spark, sf_dir):
         ev, keys=["user_id"], threshold=40.0, window=2, ts="ts", value="value", tiebreak="event_id"
     )
     return out.select("event_id", "user_id", "ts", "value", "median_val", "is_spike")
+
+
+@query(
+    "qc_rolling_zscore",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           floor((mu) * 10000.0 + 0.5) / 10000.0 AS mu,
+           CASE WHEN sd > 0 THEN abs(value - mu) / sd > 3.0 ELSE FALSE END AS is_anomaly
+    FROM (
+      SELECT event_id, user_id, ts, value,
+             avg(value) OVER w AS mu,
+             stddev_samp(value) OVER w AS sd
+      FROM events WHERE event_type = 'click'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+    )
+    """,
+    description=(
+        "Rolling z-score anomaly flag: |value - trailing(10) mean| > 3 sigma of the "
+        "same trailing window (strictly-preceding frame, so the point can't mask "
+        "itself); the parametric sibling of the median despike"
+    ),
+)
+def q_qc_rolling_zscore(spark, sf_dir):
+    ev = _ev(spark, sf_dir).filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-10, -1)
+    mu = F.avg("value").over(w)
+    sd = F.stddev_samp("value").over(w)
+    out = ev.withColumn("mu", mu).withColumn("sd", sd)
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        fround(F.col("mu"), 4).alias("mu"),
+        F.when(F.col("sd") > 0, F.abs(F.col("value") - F.col("mu")) / F.col("sd") > 3.0)
+        .otherwise(F.lit(False))
+        .alias("is_anomaly"),
+    )
