@@ -19,6 +19,19 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+#: Hard cap on pivot width (distinct (variable, method) pairs). Each pair
+#: becomes one aggregate expression in a single codegen'd operator; beyond a
+#: few thousand columns the generated code blows the JVM's 64 KB method limit
+#: and the plan becomes unserviceable long before the data does. The
+#: reference's real-world catalogs are tens of series; anything near this cap
+#: means the caller forgot to filter the catalog, so fail fast with a clear
+#: message instead of generating a 10k-column plan (SURVEY.md §7.4 item 1).
+MAX_PIVOT_WIDTH = 2000
+
+
+class PivotWidthError(ValueError):
+    """Raised when a pivot would create more columns than MAX_PIVOT_WIDTH."""
+
 
 def pivot_column_names(pairs: list[tuple[str, int]]) -> dict[tuple[str, int], str]:
     """Deterministic duplicate-column disambiguation (A3;
@@ -58,6 +71,14 @@ def pivot_wide(
     the same work in a SINGLE shuffle with map-side partials — half the
     exchange volume at 100 TB — and has no pivot-cardinality cap to trip.
     """
+    if len(pairs) > MAX_PIVOT_WIDTH:
+        raise PivotWidthError(
+            f"pivot would create {len(pairs)} columns (cap {MAX_PIVOT_WIDTH}). "
+            "A matrix this wide almost always means the series catalog was not "
+            "filtered to the export's site/variable selection. Filter `pairs` "
+            "(e.g. to one site's series) or raise reshape.MAX_PIVOT_WIDTH "
+            "explicitly if a wider export is intended."
+        )
     names = pivot_column_names(pairs)
     agg_fn = {
         "first": lambda c: F.first(c, ignorenulls=True),

@@ -166,8 +166,13 @@ def file_prune_fraction(path: str, col: str, lo, hi) -> float:
     for f in files:
         md = pq.read_metadata(f)
         idx = next(i for i in range(len(md.schema)) if md.schema.column(i).name == col)
-        fmin = min(md.row_group(rg).column(idx).statistics.min for rg in range(md.num_row_groups))
-        fmax = max(md.row_group(rg).column(idx).statistics.max for rg in range(md.num_row_groups))
+        stats = [md.row_group(rg).column(idx).statistics for rg in range(md.num_row_groups)]
+        if any(s is None or not s.has_min_max for s in stats):
+            # Missing footer stats (legacy INT96, all-null chunk) => the file
+            # cannot be proven skippable; count it as scanned.
+            continue
+        fmin = min(s.min for s in stats)
+        fmax = max(s.max for s in stats)
         if fmax < lo or fmin > hi:
             skipped += 1
     return skipped / len(files) if files else 0.0

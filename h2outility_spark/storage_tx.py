@@ -158,10 +158,14 @@ class TxTable:
         mid-stage leaves garbage (reclaimed by vacuum), never corruption.
         """
         scratch = tempfile.mkdtemp(prefix="txstage-", dir=self.table_dir)
+        # INT96 timestamps carry no column statistics; micros do. The
+        # manifest's min/max pruning depends on them. The conf is restored
+        # after the staged write so a session that deliberately set a
+        # different value keeps it for unrelated writes.
+        conf_key = "spark.sql.parquet.outputTimestampType"
+        prev = self.spark.conf.get(conf_key, None)
         try:
-            # INT96 timestamps carry no column statistics; micros do. The
-            # manifest's min/max pruning depends on them.
-            self.spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+            self.spark.conf.set(conf_key, "TIMESTAMP_MICROS")
             df.write.mode("overwrite").parquet(os.path.join(scratch, "out"))
             entries = []
             for part in sorted(glob.glob(os.path.join(scratch, "out", "*.parquet"))):
@@ -175,6 +179,10 @@ class TxTable:
                 entries.append({"path": f"{_DATA_DIR}/{name}", **st})
             return entries
         finally:
+            if prev is None:
+                self.spark.conf.unset(conf_key)
+            else:
+                self.spark.conf.set(conf_key, prev)
             shutil.rmtree(scratch, ignore_errors=True)
 
     def _commit(self, files: list[dict], schema: str, op: str) -> int:
@@ -298,12 +306,24 @@ class TxTable:
 
     # -- maintenance -------------------------------------------------------
 
-    def vacuum(self, keep_versions: int = 10) -> list[str]:
+    def vacuum(self, keep_versions: int = 10, retention_seconds: float = 3600.0) -> list[str]:
         """Delete data files referenced by NO retained manifest (older
         manifests beyond ``keep_versions`` are dropped first). Returns the
         deleted file names. Readers of retained versions are unaffected —
         a live reader of a dropped version is the same hazard Delta/Iceberg
-        document for their vacuum."""
+        document for their vacuum.
+
+        ``retention_seconds`` guards in-flight WRITERS (same rule as
+        Delta's ``deletedFileRetentionDuration`` / Iceberg's
+        ``min-snapshots-to-keep`` window): a file a concurrent writer has
+        staged but not yet committed is unreferenced by any manifest, so an
+        unguarded vacuum would delete it and the writer's later commit
+        would publish a manifest pointing at missing files — a permanently
+        corrupt snapshot. Files whose mtime is younger than the window are
+        therefore kept. Pass ``retention_seconds=0`` only when the caller
+        holds exclusive access (no in-flight writers) — tests do this."""
+        import time as _time
+
         latest = self.latest_version()
         if latest is None:
             return []
@@ -315,10 +335,17 @@ class TxTable:
         for p in glob.glob(os.path.join(self.table_dir, _MANIFEST_DIR, "v*.json")):
             with open(p) as f:
                 referenced.update(e["path"] for e in json.load(f)["files"])
+        now = _time.time()
         deleted = []
         for p in glob.glob(os.path.join(self.table_dir, _DATA_DIR, "*.parquet")):
             rel = f"{_DATA_DIR}/{os.path.basename(p)}"
-            if rel not in referenced:
+            if rel in referenced:
+                continue
+            try:
+                if now - os.path.getmtime(p) < retention_seconds:
+                    continue  # possibly staged by an in-flight writer
                 os.remove(p)
-                deleted.append(rel)
+            except FileNotFoundError:
+                continue  # another vacuum raced us; file is already gone
+            deleted.append(rel)
         return sorted(deleted)

@@ -457,45 +457,59 @@ from h2outility_spark import workload_tpch  # noqa: E402,F401
 
 # The driver's correctness gate hashes only the FIRST 50 registered queries.
 # This list makes that window a deliberate choice instead of an import-order
-# accident: full SURVEY.md §2 family coverage first (catalog/extract/pivot/
-# TPC-H core/join-variants/QC/window/as-of), then one strongest
-# representative per LLM-pipeline family (text stats, langid, fingerprint,
-# n-gram LM, exact dedup, minhash→cluster chain, winnowing, simhash,
-# multimodal frame-sample, brute-force kNN, embedding-LSH near-dup, RP-LSH,
-# k-means), then the two heaviest TPC-H joins. Everything else stays
-# registered AFTER the window (driver still smoke-runs nothing there, but
-# tests/test_oracle_parity.py oracle-checks the full registry every run).
+# accident.
+#
+# ROUND-4 ROTATION: rounds 1-3 proved 64 of the 98 registered queries with
+# green driver rows (r1: the original 50; r3: the curated §2+LLM window).
+# This round keeps a 16-query sentinel core — the §2 flagships plus one
+# representative per family whose regression would be most damaging — and
+# fills the other 34 slots with every query that has NEVER had a driver
+# CORRECTNESS row in any round (verified against CORRECTNESS_r01-r03):
+# all later TPC-H adaptations, the rolling-QC trio, funnel/retention,
+# grouping-sets/cube, JSON-props, and the remaining LLM-pipeline ops.
+# After r4, every registered query has >=1 green driver row across rounds
+# (coverage map in README). Everything outside the window is still
+# oracle-checked every run by tests/test_oracle_parity.py + driver_sim.
 CHECKED_WINDOW = [
-    # §2 catalog / extraction / pivot flagship (G, P, A, O families)
-    "series_catalog", "distinct_series", "extract_filtered",
-    "extract_incremental", "wide_export",
-    # TPC-H core joins/aggs (G1, J1, J5)
-    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
-    # join variants (J2, J3, J6) + top-k / dedup (O4/O5, U5)
-    "semi_join_suppliers", "anti_join_customers", "last_per_series",
-    "dedup_keep_first",
-    # QC / window family (W1-W11)
-    "qc_gaps", "qc_value_change", "qc_islands", "qc_interpolate", "qc_drift",
-    "qc_change_value", "qc_flag", "season_rollup", "sessionization",
-    "event_time_windows",
-    # extension joins / time alignment
-    "left_join_qualifiers", "self_alias_join", "asof_join",
-    "range_join_count", "rollup_revenue",
-    # formerly evidence-orphaned §2 rows (U1, G3, G5, S2-SQL) + IVF ANN
-    "union_dedup", "series_year_range", "variable_census", "sql_api_q1",
-    "ivf_search",
-    # LLM-pipeline families, one strongest representative each
-    # (the pairs/score queries subsume their signature-only precursors:
-    # neardup_simhash_pairs runs simhash_signatures internally,
-    # neardup_embedding_lsh runs the RP-LSH banding; the precursors stay
-    # registered after the window for the parity sweep)
-    "text_stats", "text_langid", "doc_fingerprint", "ngram_counts",
-    "dedup_exact_docs", "minhash_signatures", "neardup_clusters",
-    "corpus_clean", "winnow_fingerprints", "neardup_simhash_pairs",
-    "frame_sample", "embedding_knn", "neardup_embedding_lsh",
-    "doc_lm_score", "kmeans_centroids",
-    # heaviest TPC-H joins (multi-way + correlated exists)
-    "tpch_q9_product_profit", "tpch_q21_waiting_supplier",
+    # -- sentinel core (16): §2 family flagships, proven r1/r3 -------------
+    "series_catalog",        # G4/J4 catalog agg
+    "wide_export",           # A1-A4 pivot flagship
+    "extract_filtered",      # P1-P6 projection/filter
+    "extract_incremental",   # P5/I2 watermark
+    "tpch_q1",               # G1 wide agg
+    "tpch_q3",               # J1 fact-dim join
+    "tpch_q5",               # J5 broadcast star
+    "qc_gaps",               # W1 (r2 red -> r3 green; keep watched)
+    "qc_interpolate",        # W4 (r2 red -> r3 green; keep watched)
+    "qc_drift",              # W5 (r2 red -> r3 green; keep watched)
+    "sessionization",        # W10 interval math
+    "asof_join",             # time alignment
+    "dedup_exact_docs",      # exact dedup family
+    "corpus_clean",          # minhash->LSH->CC full chain
+    "ivf_search",            # ANN scale path (probe economics changed r4)
+    "kmeans_centroids",      # iterative algo + chained-CTE oracle
+    # -- never-driver-checked set (34): earn first green rows this round ---
+    # rolling QC trio
+    "qc_resample_ffill", "qc_median_despike", "qc_rolling_zscore",
+    # event analytics
+    "rolling_avg", "funnel_conversion", "retention_cohorts",
+    # multi-level aggregation
+    "grouping_sets_revenue", "cube_orders",
+    # semi-structured props
+    "json_props_stats", "regexp_extract_props",
+    # LLM-pipeline ops
+    "contamination_overlap", "hash_sample_docs", "pack_sequences",
+    "tfidf_top_terms", "audio_chunks", "corpus_clean_embedding",
+    "mixture_sample", "embedding_stats",
+    # later TPC-H adaptations
+    "tpch_q2_min_cost_supplier", "tpch_q4_late_orders",
+    "tpch_q7_nation_volume", "tpch_q8_market_share",
+    "tpch_q10_returned", "tpch_q11_value_share",
+    "tpch_q12_priority_buckets", "tpch_q13_order_distribution",
+    "tpch_q14_promo_share", "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt", "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_orders", "tpch_q19_or_of_ands",
+    "tpch_q20_excess_suppliers", "tpch_q22_idle_rich_customers",
 ]
 
 

@@ -314,7 +314,7 @@ def q_contamination_overlap(spark, sf_dir):
     SELECT doc_id,
            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT AS INT) AS bucket
     FROM documents
-    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT < (65536 * 15) / 100
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT < (65536 * 15) // 100
     """,
     description=(
         "Deterministic 15% hash sample: md5-bucket on the id, no RNG state — "
@@ -426,6 +426,7 @@ def q_minhash_signatures(spark, sf_dir):
 
 @query(
     "neardup_minhash_pairs",
+    bench=True,
     oracle="WITH "
     + MH_CTE
     + """,
@@ -490,6 +491,7 @@ _ALPHA_RATIO_SQL = (
 
 @query(
     "corpus_clean",
+    bench=True,
     oracle="WITH RECURSIVE "
     + f"""
     q AS (SELECT doc_id, text FROM documents
@@ -811,6 +813,7 @@ def q_neardup_embedding_pairs(spark, sf_dir):
 
 @query(
     "neardup_embedding_lsh",
+    bench=True,
     oracle="""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -252,6 +252,7 @@ def q_tpch_q8_market_share(spark, sf_dir):
 
 @query(
     "tpch_q9_product_profit",
+    bench=True,
     oracle="""
     SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
            floor((sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000.0 + 0.5) AS BIGINT))
@@ -435,6 +436,7 @@ def q_tpch_q18_large_orders(spark, sf_dir):
 
 @query(
     "tpch_q21_waiting_supplier",
+    bench=True,
     oracle="""
     SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
     FROM supplier

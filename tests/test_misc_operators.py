@@ -11,7 +11,7 @@ from h2outility_spark.operators.catalog import derive_catalog, enrich_catalog
 from h2outility_spark.operators.extract import NARROW_COLUMNS, drop_no_data, get_values_by_filters
 from h2outility_spark.operators.kmeans import inertia, kmeans
 from h2outility_spark.operators.mutation import series_exists
-from h2outility_spark.operators.reshape import unpivot_long
+from h2outility_spark.operators.reshape import MAX_PIVOT_WIDTH, PivotWidthError, pivot_wide, unpivot_long
 from h2outility_spark.schema import events_as_datavalues
 from h2outility_spark.sources.parquet import load_table
 from tests.conftest import SF_DIR
@@ -31,6 +31,19 @@ def test_drop_no_data(spark):
     )
     out = drop_no_data(df, -9999.0, start=datetime(2024, 1, 1), end=datetime(2024, 1, 2))
     assert [r["DataValue"] for r in out.collect()] == [1.0]
+
+
+def test_pivot_width_cap_fails_fast(spark):
+    """SURVEY §7.4-1 cap-and-warn: an unfiltered catalog must not silently
+    generate a 10k-column plan — it fails before any Spark job runs."""
+    import pytest
+
+    dv = spark.createDataFrame([Row(ts=1, VariableCode="v0", MethodID=0, DataValue=1.0)])
+    pairs = [(f"v{i}", 0) for i in range(MAX_PIVOT_WIDTH + 1)]
+    with pytest.raises(PivotWidthError, match="catalog was not"):
+        pivot_wide(dv, ["ts"], pairs)
+    # at the cap itself the plan is still constructed (no job run here)
+    assert len(pivot_wide(dv, ["ts"], pairs[:MAX_PIVOT_WIDTH]).columns) == MAX_PIVOT_WIDTH + 1
 
 
 def test_unpivot_roundtrip(spark):

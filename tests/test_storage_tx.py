@@ -131,11 +131,25 @@ def test_vacuum_reclaims_unreferenced_files(spark, table):
     table.append(kv(spark, [(1, "a")]))
     table.overwrite(kv(spark, [(2, "b")]))  # v0's file now only referenced by v0
     table._stage_files(kv(spark, [(3, "orphan")]))  # never committed
-    deleted = table.vacuum(keep_versions=1)  # drops v0's manifest, then its file + orphan
+    # retention 0 = caller asserts exclusive access (no in-flight writers)
+    deleted = table.vacuum(keep_versions=1, retention_seconds=0)
     assert len(deleted) == 2
     assert rows_of(table.snapshot()) == [(2, "b")]
     n_files = len(glob.glob(os.path.join(table.table_dir, "data", "*.parquet")))
     assert n_files == 1
+
+
+def test_vacuum_retention_spares_inflight_staged_files(spark, table):
+    """The retention window must keep files a concurrent writer has staged
+    but not yet committed — deleting them would let the writer publish a
+    manifest referencing missing files (a permanently corrupt snapshot)."""
+    table.append(kv(spark, [(1, "a")]))
+    staged = table._stage_files(kv(spark, [(99, "inflight")]))  # writer mid-commit
+    deleted = table.vacuum(keep_versions=1)  # default 1 h retention
+    assert deleted == []
+    # the in-flight writer can still finish its commit and read it back
+    v = table._commit(table.manifest()["files"] + staged, table.manifest()["schema"], "append")
+    assert rows_of(table.snapshot(v)) == [(1, "a"), (99, "inflight")]
 
 
 def test_timestamp_merge_key_prunes(spark, tmp_path):
