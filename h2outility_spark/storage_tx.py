@@ -11,9 +11,20 @@ formats are built from:
   * **Immutable data files.** Writers only ever ADD parquet files under
     ``data/``; nothing is modified in place. A data file is invisible until
     a manifest references it, so readers never observe partial writes.
-  * **Manifest = snapshot.** ``_manifests/v{N}.json`` lists the exact data
+  * **Manifest = snapshot.** ``_manifests/v{N}.json`` names the exact data
     files (with row counts and per-file key min/max) that make up version
     N. Reading a table = reading one manifest, then only its files.
+  * **Segmented file lists (Iceberg's manifest-list trick).** The file
+    list itself lives in content-addressed SEGMENT files
+    (``_manifests/seg-{sha}.json``, up to ``SEGMENT_TARGET`` entries
+    each); the top-level manifest holds only segment descriptors
+    (name + n_files + per-key min/max). A commit writes the segments it
+    CHANGED plus one small manifest — unchanged segments carry over by
+    name. At 100 TB / ~1M files a one-file append serializes one tiny
+    segment and a descriptor list, not a 100 MB file inventory, and
+    ``history()`` never touches segments at all. Segment-level min/max
+    lets merge_upsert skip reading descriptors' segments entirely when
+    their key range can't overlap the updates.
   * **Atomic commit = one file creation.** A writer stages its manifest to
     a temp name and publishes with ``os.link(tmp, vN.json)`` — on POSIX a
     hard link to an existing name fails with EEXIST, so exactly ONE of two
@@ -35,6 +46,7 @@ formats are built from:
 from __future__ import annotations
 
 import glob
+import hashlib
 import json
 import os
 import shutil
@@ -45,6 +57,16 @@ from pyspark.sql import DataFrame, SparkSession
 
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
+
+#: Max file entries per segment file. At ~300 bytes/entry a full segment is
+#: ~300 KB — large enough that a 1M-file table is ~1000 segments (a ~150 KB
+#: descriptor list in the manifest), small enough that rewriting one is cheap.
+SEGMENT_TARGET = 1000
+#: A segment with fewer entries than this counts as "small" for compaction.
+_COMPACT_SMALL = SEGMENT_TARGET // 4
+#: Repack small segments once this many accumulate (amortizes many tiny
+#: appends into O(changed)-per-commit writes overall).
+_COMPACT_TRIGGER = 16
 
 
 def _norm_stat(v):
@@ -127,6 +149,20 @@ class TxTable:
         with open(_manifest_path(self.table_dir, v)) as f:
             return json.load(f)
 
+    def files(self, version: int | None = None) -> list[dict]:
+        """The materialized file-entry list of ``version`` (default:
+        latest) — reads the manifest's segments."""
+        m = self.manifest(version)
+        if m is None:
+            raise FileNotFoundError(f"no committed version in {self.table_dir}")
+        return self._files_of(m)
+
+    def _files_of(self, m: dict) -> list[dict]:
+        out: list[dict] = []
+        for d in m["segments"]:
+            out.extend(self._read_segment(d["name"]))
+        return out
+
     def snapshot(self, version: int | None = None) -> DataFrame:
         """The table as of ``version`` (default: latest). Empty manifests
         (or a table with no commits) read as an empty frame if a schema was
@@ -134,18 +170,76 @@ class TxTable:
         m = self.manifest(version)
         if m is None:
             raise FileNotFoundError(f"no committed version in {self.table_dir}")
-        paths = [os.path.join(self.table_dir, f["path"]) for f in m["files"]]
+        paths = [os.path.join(self.table_dir, f["path"]) for f in self._files_of(m)]
         if not paths:
             return self.spark.createDataFrame([], m["schema"])
         return self.spark.read.schema(m["schema"]).parquet(*paths)
 
     def history(self) -> list[dict]:
+        """Commit log. Reads only top-level manifests — O(versions), never
+        touches segment files (the at-scale requirement)."""
         out = []
         for p in sorted(glob.glob(os.path.join(self.table_dir, _MANIFEST_DIR, "v*.json"))):
             with open(p) as f:
                 m = json.load(f)
-            out.append({k: m[k] for k in ("version", "op", "parent")} | {"n_files": len(m["files"])})
+            out.append({k: m[k] for k in ("version", "op", "parent")} | {"n_files": m["n_files"]})
         return out
+
+    # -- segment layer -----------------------------------------------------
+
+    def _segment_path(self, name: str) -> str:
+        return os.path.join(self.table_dir, _MANIFEST_DIR, name)
+
+    def _read_segment(self, name: str) -> list[dict]:
+        with open(self._segment_path(name)) as f:
+            return json.load(f)["entries"]
+
+    def _write_segments(self, entries: list[dict]) -> list[dict]:
+        """Pack file entries into content-addressed segment files
+        (``seg-{sha}.json``); return their descriptors. Content addressing
+        makes the write idempotent — two writers packing identical entries
+        produce one file — and means a carried-over segment is never
+        rewritten, only referenced by name."""
+        descs = []
+        for i in range(0, len(entries), SEGMENT_TARGET):
+            chunk = entries[i : i + SEGMENT_TARGET]
+            payload = json.dumps({"entries": chunk}, sort_keys=True)
+            name = f"seg-{hashlib.sha256(payload.encode()).hexdigest()[:24]}.json"
+            path = self._segment_path(name)
+            if not os.path.exists(path):
+                tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+                with open(tmp, "w") as f:
+                    f.write(payload)
+                os.replace(tmp, path)
+            descs.append(self._describe(name, chunk))
+        return descs
+
+    def _describe(self, name: str, chunk: list[dict]) -> dict:
+        """Segment descriptor: name + n_files + per-key min/max aggregated
+        over the chunk's file stats. A key appears only when EVERY file in
+        the chunk has stats for it, so absence means 'cannot prune'."""
+        d: dict = {"name": name, "n_files": len(chunk), "min": {}, "max": {}}
+        for k in self.key_cols:
+            mins = [e["min"][k] for e in chunk if k in e.get("min", {})]
+            maxs = [e["max"][k] for e in chunk if k in e.get("max", {})]
+            if mins and len(mins) == len(chunk):
+                d["min"][k] = min(mins)
+                d["max"][k] = max(maxs)
+        return d
+
+    def _compact(self, segments: list[dict]) -> list[dict]:
+        """Bound manifest growth under many tiny commits: once
+        ``_COMPACT_TRIGGER`` small segments accumulate, load and repack
+        just those into full segments. Amortized cost per commit stays
+        O(changed files); big segments are never touched."""
+        small = [d for d in segments if d["n_files"] < _COMPACT_SMALL]
+        if len(small) < _COMPACT_TRIGGER:
+            return segments
+        keep = [d for d in segments if d["n_files"] >= _COMPACT_SMALL]
+        entries: list[dict] = []
+        for d in small:
+            entries.extend(self._read_segment(d["name"]))
+        return keep + self._write_segments(entries)
 
     # -- write path --------------------------------------------------------
 
@@ -185,9 +279,12 @@ class TxTable:
                 self.spark.conf.set(conf_key, prev)
             shutil.rmtree(scratch, ignore_errors=True)
 
-    def _commit(self, files: list[dict], schema: str, op: str) -> int:
+    def _commit(self, segments: list[dict], schema: str, op: str) -> int:
         """Publish a new manifest atomically; raises CommitConflict if a
-        concurrent writer took the version first."""
+        concurrent writer took the version first. The manifest holds only
+        segment DESCRIPTORS — its size is O(segments), and a commit's total
+        write payload is the changed segments plus this file, never the
+        whole file inventory."""
         parent = self.latest_version()
         version = 0 if parent is None else parent + 1
         manifest = {
@@ -195,7 +292,8 @@ class TxTable:
             "parent": parent,
             "op": op,
             "schema": schema,
-            "files": files,
+            "n_files": sum(d["n_files"] for d in segments),
+            "segments": segments,
         }
         tmp = os.path.join(self.table_dir, _MANIFEST_DIR, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
@@ -213,18 +311,18 @@ class TxTable:
         return ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
 
     def append(self, df: DataFrame, _retries: int = 3) -> int:
-        new = self._stage_files(df)
+        new = self._write_segments(self._stage_files(df))
         for _ in range(_retries):
             m = self.manifest()
-            base = m["files"] if m else []
+            base = list(m["segments"]) if m else []
             try:
-                return self._commit(base + new, self._ddl(df), "append")
+                return self._commit(self._compact(base + new), self._ddl(df), "append")
             except CommitConflict:
-                continue  # new snapshot appeared; re-read parent file list and retry
+                continue  # new snapshot appeared; re-read parent segments and retry
         raise CommitConflict(f"append lost the commit race {_retries} times")
 
     def overwrite(self, df: DataFrame) -> int:
-        new = self._stage_files(df)
+        new = self._write_segments(self._stage_files(df))
         while True:
             try:
                 return self._commit(new, self._ddl(df), "overwrite")
@@ -235,17 +333,19 @@ class TxTable:
         """MERGE (upsert on ``key_cols``): rows matching an update's key are
         replaced; others are kept; unmatched updates are inserted.
 
-        Copy-on-write: parent files are split by their recorded key range
-        into untouched (carried over by reference — zero IO) and
-        overlapping (read, matching keys anti-joined out, survivors
-        rewritten together with the updates). Pruning uses the FIRST merge
-        key's min/max, which matches range-clustered layouts
-        (storage.write_sized on the same key); extra keys still participate
-        in the anti-join, only the pruning is single-axis.
+        Copy-on-write with TWO pruning levels: whole segments whose key
+        range misses the updates carry over by NAME (their entry lists are
+        never even read); inside overlapping segments, files are split by
+        their recorded key range into untouched (repacked by reference —
+        zero data IO) and overlapping (read, matching keys anti-joined
+        out, survivors rewritten together with the updates). Pruning uses
+        the FIRST merge key's min/max, which matches range-clustered
+        layouts (storage.write_sized on the same key); extra keys still
+        participate in the anti-join, only the pruning is single-axis.
         """
         m = self.manifest()
         if m is None:
-            new = self._stage_files(updates)
+            new = self._write_segments(self._stage_files(updates))
             return self._commit(new, self._ddl(updates), "merge")
 
         # Conform updates to the TABLE schema (column order + types): the
@@ -262,13 +362,19 @@ class TxTable:
         bounds = updates.selectExpr(f"min(`{k0}`) AS lo", f"max(`{k0}`) AS hi").collect()[0]
         lo, hi = _norm_stat(bounds["lo"]), _norm_stat(bounds["hi"])
 
-        untouched, overlapping = [], []
-        for entry in m["files"]:
-            fmin, fmax = entry["min"].get(k0), entry["max"].get(k0)
-            if lo is None or (fmin is not None and (fmax < lo or fmin > hi)):
-                untouched.append(entry)
-            else:
-                overlapping.append(entry)
+        def _misses(stat_min, stat_max) -> bool:
+            return lo is None or (stat_min is not None and (stat_max < lo or stat_min > hi))
+
+        untouched_segs, carried_entries, overlapping = [], [], []
+        for d in m["segments"]:
+            if _misses(d["min"].get(k0), d["max"].get(k0)):
+                untouched_segs.append(d)  # carried by name — segment never read
+                continue
+            for entry in self._read_segment(d["name"]):
+                if _misses(entry["min"].get(k0), entry["max"].get(k0)):
+                    carried_entries.append(entry)
+                else:
+                    overlapping.append(entry)
 
         if overlapping:
             paths = [os.path.join(self.table_dir, e["path"]) for e in overlapping]
@@ -279,11 +385,11 @@ class TxTable:
             merged = survivors.unionByName(updates)
         else:
             merged = updates
-        new = self._stage_files(merged)
+        new = self._write_segments(carried_entries + self._stage_files(merged))
 
         for _ in range(_retries):
             try:
-                return self._commit(untouched + new, m["schema"], "merge")
+                return self._commit(untouched_segs + new, m["schema"], "merge")
             except CommitConflict:
                 # A real lakehouse revalidates that the concurrent commit
                 # didn't touch the overlapping files before retrying; here
@@ -294,13 +400,15 @@ class TxTable:
 
     def restore(self, version: int) -> int:
         """Roll back BY MOVING FORWARD: commit a new version with the file
-        list of ``version``. History stays intact and auditable."""
+        list of ``version``. History stays intact and auditable. Segments
+        carry over by name, so a restore writes one small manifest no
+        matter how large the table is."""
         m = self.manifest(version)
         if m is None:
             raise FileNotFoundError(f"version {version} does not exist")
         while True:
             try:
-                return self._commit(m["files"], m["schema"], "restore")
+                return self._commit(m["segments"], m["schema"], "restore")
             except CommitConflict:
                 continue
 
@@ -331,10 +439,14 @@ class TxTable:
         for p in glob.glob(os.path.join(self.table_dir, _MANIFEST_DIR, "v*.json")):
             if int(os.path.basename(p)[1:-5]) < cutoff:
                 os.remove(p)
-        referenced = set()
+        ref_segments: set[str] = set()
+        referenced: set[str] = set()
         for p in glob.glob(os.path.join(self.table_dir, _MANIFEST_DIR, "v*.json")):
             with open(p) as f:
-                referenced.update(e["path"] for e in json.load(f)["files"])
+                m = json.load(f)
+            for d in m["segments"]:
+                ref_segments.add(d["name"])
+                referenced.update(e["path"] for e in self._read_segment(d["name"]))
         now = _time.time()
         deleted = []
         for p in glob.glob(os.path.join(self.table_dir, _DATA_DIR, "*.parquet")):
@@ -348,4 +460,15 @@ class TxTable:
             except FileNotFoundError:
                 continue  # another vacuum raced us; file is already gone
             deleted.append(rel)
+        # segment files referenced by no retained manifest (same age guard:
+        # a racing writer may have packed segments it hasn't committed yet)
+        for p in glob.glob(os.path.join(self.table_dir, _MANIFEST_DIR, "seg-*.json")):
+            if os.path.basename(p) in ref_segments:
+                continue
+            try:
+                if now - os.path.getmtime(p) < retention_seconds:
+                    continue
+                os.remove(p)
+            except FileNotFoundError:
+                continue
         return sorted(deleted)

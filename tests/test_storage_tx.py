@@ -54,12 +54,12 @@ def test_merge_prunes_disjoint_files(spark, table):
     over BY REFERENCE (same path in the new manifest), not rewritten."""
     table.append(kv(spark, [(1, "a"), (2, "b")]).coalesce(1))  # file A: k in [1,2]
     table.append(kv(spark, [(100, "x"), (200, "y")]).coalesce(1))  # file B: k in [100,200]
-    before = {e["path"]: e for e in table.manifest()["files"]}
+    before = {e["path"]: e for e in table.files()}
     file_a = next(p for p, e in before.items() if e["min"]["k"] == 1)
     file_b = next(p for p, e in before.items() if e["min"]["k"] == 100)
 
     table.merge_upsert(kv(spark, [(150, "X")]).coalesce(1))
-    after = {e["path"] for e in table.manifest()["files"]}
+    after = {e["path"] for e in table.files()}
     assert file_a in after, "disjoint file must survive untouched"
     assert file_b not in after, "overlapping file must be rewritten"
     assert rows_of(table.snapshot()) == [(1, "a"), (2, "b"), (100, "x"), (150, "X"), (200, "y")]
@@ -68,7 +68,7 @@ def test_merge_prunes_disjoint_files(spark, table):
 def test_commit_conflict_and_append_retry(spark, table, monkeypatch):
     table.append(kv(spark, [(1, "a")]))
     base = table.latest_version()
-    files = table.manifest()["files"]
+    segs = table.manifest()["segments"]
     # Simulate a real race: this writer reads latest=base, but another
     # writer publishes base+1 before our os.link lands. Freeze THIS
     # writer's view at base, then pre-create base+1.
@@ -78,7 +78,7 @@ def test_commit_conflict_and_append_retry(spark, table, monkeypatch):
     with monkeypatch.context() as mp:
         mp.setattr(table, "latest_version", lambda: base)
         with pytest.raises(CommitConflict):
-            table._commit(files, "`k` int, `v` string", "append")
+            table._commit(segs, "`k` int, `v` string", "append")
     # Unfrozen, append sees the racer's snapshot and lands after it.
     v = table.append(kv(spark, [(2, "b")]))
     assert v == base + 2
@@ -148,8 +148,79 @@ def test_vacuum_retention_spares_inflight_staged_files(spark, table):
     deleted = table.vacuum(keep_versions=1)  # default 1 h retention
     assert deleted == []
     # the in-flight writer can still finish its commit and read it back
-    v = table._commit(table.manifest()["files"] + staged, table.manifest()["schema"], "append")
+    new_segs = table._write_segments(staged)
+    m = table.manifest()
+    v = table._commit(m["segments"] + new_segs, m["schema"], "append")
     assert rows_of(table.snapshot(v)) == [(1, "a"), (99, "inflight")]
+
+
+def _manifest_dir_files(table):
+    return {
+        os.path.basename(p): os.path.getsize(p)
+        for p in glob.glob(os.path.join(table.table_dir, "_manifests", "*.json"))
+    }
+
+
+def test_commit_payload_is_o_changed_not_o_table(spark, table):
+    """Manifest segmentation: a small append against a many-file table
+    serializes O(changed files) bytes (one tiny segment + a descriptor
+    manifest), NOT the full file inventory."""
+    big = spark.range(4000).selectExpr("CAST(id AS INT) AS k", "CAST(id AS STRING) AS v")
+    table.append(big.repartition(40))  # 40 data files in the parent snapshot
+    inventory_bytes = len(json.dumps(table.files()))
+    before = _manifest_dir_files(table)
+
+    table.append(kv(spark, [(99999, "tiny")]).coalesce(1))  # 1-file commit
+
+    after = _manifest_dir_files(table)
+    new = {n: sz for n, sz in after.items() if n not in before}
+    payload = sum(new.values())
+    new_segs = [n for n in new if n.startswith("seg-")]
+    assert len(new_segs) == 1, f"expected exactly one new segment, got {sorted(new)}"
+    assert len(table._read_segment(new_segs[0])) == 1  # only the changed file
+    assert payload < inventory_bytes / 5, (
+        f"commit payload {payload} B should be far below the {inventory_bytes} B "
+        "full inventory — segmentation is not carrying segments by reference"
+    )
+    assert rows_of(table.snapshot())[-1] == (99999, "tiny")
+
+
+def test_restore_writes_only_a_manifest(spark, table):
+    """Restore carries every segment by name: the commit payload is one
+    top-level manifest regardless of table size."""
+    table.append(kv(spark, [(1, "a")]))
+    table.overwrite(kv(spark, [(2, "b")]))
+    before = _manifest_dir_files(table)
+    table.restore(0)
+    new = {n for n in _manifest_dir_files(table) if n not in before}
+    assert len(new) == 1 and next(iter(new)).startswith("v"), new
+    assert rows_of(table.snapshot()) == [(1, "a")]
+
+
+def test_merge_carries_disjoint_segments_by_name(spark, table):
+    """Segment-level pruning: a merge touching one segment's key range must
+    reference the other segment unchanged (same seg-* name), reading and
+    rewriting nothing in it."""
+    table.append(kv(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    table.append(kv(spark, [(100, "x"), (200, "y")]).coalesce(1))
+    low_seg = next(
+        d["name"] for d in table.manifest()["segments"] if d["min"]["k"] == 1
+    )
+    table.merge_upsert(kv(spark, [(150, "X")]).coalesce(1))
+    assert low_seg in {d["name"] for d in table.manifest()["segments"]}
+
+
+def test_many_small_appends_compact_segments(spark, table):
+    """Tiny-commit storms must not grow the manifest unboundedly: small
+    segments get repacked once _COMPACT_TRIGGER of them accumulate."""
+    from h2outility_spark.storage_tx import _COMPACT_TRIGGER
+
+    n = _COMPACT_TRIGGER + 3
+    for i in range(n):
+        table.append(kv(spark, [(i, f"r{i}")]).coalesce(1))
+    assert len(table.manifest()["segments"]) < _COMPACT_TRIGGER
+    assert table.manifest()["n_files"] == n
+    assert rows_of(table.snapshot()) == [(i, f"r{i}") for i in range(n)]
 
 
 def test_timestamp_merge_key_prunes(spark, tmp_path):
@@ -163,12 +234,12 @@ def test_timestamp_merge_key_prunes(spark, tmp_path):
     )
     t.append(jan.coalesce(1))
     t.append(jun.coalesce(1))
-    before = {e["path"]: e for e in t.manifest()["files"]}
+    before = {e["path"]: e for e in t.files()}
     jan_file = next(p for p, e in before.items() if e["min"]["ts"].startswith("2024-01"))
 
     upd = spark.sql("SELECT timestamp'2024-06-16 00:00:00' AS ts, 999 AS v")
     t.merge_upsert(upd.coalesce(1))
-    after = {e["path"] for e in t.manifest()["files"]}
+    after = {e["path"] for e in t.files()}
     assert jan_file in after, "January file is disjoint from a June update"
     got = {r["v"] for r in t.snapshot().collect()}
     assert got == {0, 1, 2, 100, 999, 102}  # 101's key replaced by the update
