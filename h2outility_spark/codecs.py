@@ -1,0 +1,142 @@
+"""Pure-Python (stdlib-only) media codecs for the multimodal operators.
+
+This container has no PIL/ffmpeg, so the heavy formats (JPEG/PNG/MP4) stay
+behind injectable ``decode_fn``/``resize_fn`` hooks — but two formats are
+simple enough to decode with ``struct`` alone, which un-stubs the default
+codec path end-to-end:
+
+  * **Uncompressed 24-bit BMP** (BITMAPINFOHEADER, BI_RGB): decode to
+    (width, height, mean_luma), and nearest-neighbor resize with re-encode.
+  * **PCM WAV**: RIFF header parse to (channels, sample_rate, bits,
+    n_frames, duration_ms) plus mean absolute amplitude for 16-bit PCM.
+
+These run inside Arrow-batched ``mapInPandas`` workers (operators/
+multimodal.py); per-pixel Python costs what it costs, but the *plumbing* is
+identical to a PIL-backed deployment — swapping in a fast codec changes one
+callable, not the plan.
+"""
+
+from __future__ import annotations
+
+import struct
+
+_BMP_HEADER_FMT = "<2sIHHI"  # magic, file size, reserved, reserved, pixel offset
+_BMP_INFO_FMT = "<IiiHHIIiiII"  # BITMAPINFOHEADER
+
+
+def _bmp_row_stride(width: int) -> int:
+    return (width * 3 + 3) & ~3  # 24 bpp rows pad to 4-byte boundaries
+
+
+def decode_bmp(data: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """Decode an uncompressed 24-bit BMP to (width, height, rows of (r,g,b)),
+    rows in top-to-bottom order regardless of the file's scanline direction."""
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    _, _, _, _, pixel_off = struct.unpack_from(_BMP_HEADER_FMT, data, 0)
+    info_size, width, height, _planes, bpp, compression = struct.unpack_from("<IiiHHI", data, 14)
+    if info_size < 40:
+        raise ValueError(f"unsupported BMP header size {info_size}")
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp}, compression={compression})")
+    top_down = height < 0
+    height = abs(height)
+    stride = _bmp_row_stride(width)
+    rows = []
+    for r in range(height):
+        src_row = r if top_down else height - 1 - r
+        base = pixel_off + src_row * stride
+        row = []
+        for c in range(width):
+            b, g, red = data[base + c * 3 : base + c * 3 + 3]
+            row.append((red, g, b))
+        rows.append(row)
+    return width, height, rows
+
+
+def encode_bmp(rows: list[list[tuple[int, int, int]]]) -> bytes:
+    """Encode rows of (r, g, b) (top-to-bottom) as an uncompressed 24-bit
+    BMP (bottom-up scanlines, the common convention)."""
+    height = len(rows)
+    width = len(rows[0]) if rows else 0
+    stride = _bmp_row_stride(width)
+    pixel_bytes = bytearray()
+    for row in reversed(rows):  # bottom-up
+        line = bytearray()
+        for r, g, b in row:
+            line += bytes((b, g, r))
+        line += b"\x00" * (stride - len(line))
+        pixel_bytes += line
+    pixel_off = 14 + 40
+    header = struct.pack(_BMP_HEADER_FMT, b"BM", pixel_off + len(pixel_bytes), 0, 0, pixel_off)
+    info = struct.pack(_BMP_INFO_FMT, 40, width, height, 1, 24, 0, len(pixel_bytes), 2835, 2835, 0, 0)
+    return header + info + bytes(pixel_bytes)
+
+
+def _luma(r: int, g: int, b: int) -> float:
+    return (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+
+
+def bmp_image_decoder(data: bytes) -> tuple[int, int, float]:
+    """Default ``decode_fn`` for extract_image_features: (width, height,
+    mean luma in [0, 1], 6 dp) of an uncompressed 24-bit BMP."""
+    width, height, rows = decode_bmp(data)
+    n = width * height
+    total = sum(_luma(r, g, b) for row in rows for (r, g, b) in row)
+    return width, height, round(total / n, 6) if n else 0.0
+
+
+def bmp_resizer(data: bytes, max_side: int) -> tuple[bytes, int, int]:
+    """Default ``resize_fn`` for resize_images: nearest-neighbor bounding-box
+    downscale of an uncompressed 24-bit BMP, re-encoded as BMP. Never
+    upscales (scale capped at 1.0, like PIL's thumbnail)."""
+    width, height, rows = decode_bmp(data)
+    scale = min(1.0, max_side / max(width, height, 1))
+    out_w, out_h = max(1, int(width * scale)), max(1, int(height * scale))
+    out_rows = []
+    for r in range(out_h):
+        src_r = min(height - 1, int(r * height / out_h))
+        out_rows.append([rows[src_r][min(width - 1, int(c * width / out_w))] for c in range(out_w)])
+    return encode_bmp(out_rows), out_w, out_h
+
+
+# -- WAV ---------------------------------------------------------------------
+
+
+def parse_wav_header(data: bytes) -> dict:
+    """Parse a RIFF/WAVE header: channels, sample rate, bits per sample,
+    frame count, duration_ms, and the (offset, size) of the PCM data chunk.
+    Walks the chunk list, so extra chunks (LIST, fact) are tolerated."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload (missing RIFF/WAVE magic)")
+    pos, fmt, data_span = 12, None, None
+    while pos + 8 <= len(data):
+        cid, size = data[pos : pos + 4], struct.unpack_from("<I", data, pos + 4)[0]
+        body = pos + 8
+        if cid == b"fmt ":
+            audio_fmt, n_ch, rate, _byte_rate, _align, bits = struct.unpack_from("<HHIIHH", data, body)
+            fmt = {"audio_format": audio_fmt, "n_channels": n_ch, "sample_rate": rate, "bits_per_sample": bits}
+        elif cid == b"data":
+            data_span = (body, size)
+        pos = body + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data_span is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    frame_size = fmt["n_channels"] * fmt["bits_per_sample"] // 8
+    n_frames = data_span[1] // frame_size if frame_size else 0
+    duration_ms = int(n_frames * 1000 / fmt["sample_rate"]) if fmt["sample_rate"] else 0
+    return fmt | {"n_frames": n_frames, "duration_ms": duration_ms, "data_span": data_span}
+
+
+def wav_audio_decoder(data: bytes) -> tuple[int, int, int, float]:
+    """Default ``decode_fn`` for extract_audio_features: (sample_rate,
+    n_channels, duration_ms, mean absolute amplitude in [0, 1]) of a 16-bit
+    PCM WAV."""
+    h = parse_wav_header(data)
+    if h["audio_format"] != 1 or h["bits_per_sample"] != 16:
+        raise ValueError(
+            f"only 16-bit PCM WAV supported (format={h['audio_format']}, bits={h['bits_per_sample']})"
+        )
+    off, size = h["data_span"]
+    samples = struct.unpack_from(f"<{size // 2}h", data, off)
+    mean_abs = round(sum(abs(s) for s in samples) / (len(samples) * 32768.0), 6) if samples else 0.0
+    return h["sample_rate"], h["n_channels"], h["duration_ms"], mean_abs

@@ -9,11 +9,13 @@ Design:
   * Decode / feature-extract / resize / frame-sample run as Arrow-batched
     ``mapInPandas`` operators: one Python worker per partition, whole
     column batches across the Arrow boundary, never row-at-a-time.
-  * The actual codec calls are STUBS in this container (no PIL/ffmpeg):
-    ``decode_fn=None`` raises NotImplementedError at the decode site,
-    and ``deterministic_fake_decoder`` provides a reproducible stand-in
-    so the Spark-side plumbing (schema, batching, partitioning) is fully
-    testable. Swap in a real decoder on a cluster with the libs installed.
+  * Codecs are INJECTABLE; the defaults are real pure-Python decoders for
+    the formats stdlib can handle (uncompressed 24-bit BMP, 16-bit PCM
+    WAV — ``h2outility_spark.codecs``). Formats that need PIL/ffmpeg
+    (JPEG/PNG/MP4), absent in this container, raise NotImplementedError at
+    the decode site with the magic bytes named; swap in a real decoder on
+    a cluster with the libs installed. ``deterministic_fake_decoder``
+    remains as a reproducible stand-in for plumbing tests.
 
 Scale notes: binary payloads dominate partition size — size partitions by
 bytes (``spark.sql.files.maxPartitionBytes``), never by row count; keep
@@ -70,15 +72,20 @@ def extract_image_features(
 ) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
-    ``decode_fn=None`` means "no codec available here": the operator still
-    runs (bytes + digest features) but raises at the decode site if decode
-    features are requested — the stub contract for this container.
+    ``decode_fn=None`` uses the built-in pure-Python BMP decoder
+    (codecs.bmp_image_decoder); payloads in formats that need an external
+    codec library raise NotImplementedError at the decode site.
     """
     if decode_fn is None:
-        def decode_fn(_: bytes) -> tuple[int, int, float]:  # noqa: ANN001
+        from h2outility_spark.codecs import bmp_image_decoder
+
+        def decode_fn(b: bytes) -> tuple[int, int, float]:  # noqa: ANN001
+            if b[:2] == b"BM":
+                return bmp_image_decoder(b)
             raise NotImplementedError(
-                "image decode requires a codec library (PIL/turbojpeg) not present "
-                "in this container; pass decode_fn=deterministic_fake_decoder for tests"
+                f"no built-in decoder for payload starting {b[:4]!r}: only uncompressed "
+                "24-bit BMP decodes stdlib-only; JPEG/PNG need PIL/turbojpeg (absent in "
+                "this container) — inject decode_fn"
             )
 
     fn = decode_fn
@@ -145,17 +152,21 @@ def resize_images(
     """Arrow-batched image resize (bounding-box to ``max_side``): the
     standard normalization pass before vision-model training.
 
-    Same stub contract as ``extract_image_features``: ``resize_fn=None``
-    raises at the codec site; ``deterministic_fake_resizer`` exercises the
-    full plumbing. The output keeps payloads in the SELECT path only —
-    downstream writers partition by bytes; nothing here shuffles the
-    binary column.
+    Same codec contract as ``extract_image_features``: ``resize_fn=None``
+    uses the built-in BMP nearest-neighbor resizer (codecs.bmp_resizer);
+    other formats raise at the codec site. The output keeps payloads in
+    the SELECT path only — downstream writers partition by bytes; nothing
+    here shuffles the binary column.
     """
     if resize_fn is None:
-        def resize_fn(_: bytes, __: int) -> tuple[bytes, int, int]:  # noqa: ANN001
+        from h2outility_spark.codecs import bmp_resizer
+
+        def resize_fn(b: bytes, side_: int) -> tuple[bytes, int, int]:  # noqa: ANN001
+            if b[:2] == b"BM":
+                return bmp_resizer(b, side_)
             raise NotImplementedError(
-                "image resize requires a codec library (PIL/turbojpeg) not present "
-                "in this container; pass resize_fn=deterministic_fake_resizer for tests"
+                f"no built-in resizer for payload starting {b[:4]!r}: only uncompressed "
+                "24-bit BMP resizes stdlib-only; inject resize_fn for other formats"
             )
 
     fn, side = resize_fn, max_side
@@ -189,6 +200,59 @@ def audio_chunk_plan(
             F.sequence(F.lit(0), F.greatest(dur - 1, F.lit(0)), F.lit(chunk_ms))
         ).alias("chunk_start_ms"),
     )
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("n_bytes", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("mean_abs_amplitude", T.DoubleType(), True),
+    ]
+)
+
+
+def extract_audio_features(
+    assets: DataFrame,
+    decode_fn: Callable[[bytes], tuple[int, int, int, float]] | None = None,
+    id_col: str = "asset_id",
+    data_col: str = "data",
+) -> DataFrame:
+    """Arrow-batched audio feature extraction: (sample_rate, n_channels,
+    duration_ms, mean_abs_amplitude) per asset. Default codec is the
+    stdlib 16-bit PCM WAV parser (codecs.wav_audio_decoder); other
+    containers (mp3/ogg) need an injected decoder."""
+    if decode_fn is None:
+        from h2outility_spark.codecs import wav_audio_decoder
+
+        def decode_fn(b: bytes) -> tuple[int, int, int, float]:  # noqa: ANN001
+            if b[:4] == b"RIFF":
+                return wav_audio_decoder(b)
+            raise NotImplementedError(
+                f"no built-in decoder for payload starting {b[:4]!r}: only PCM WAV "
+                "decodes stdlib-only; inject decode_fn for compressed audio"
+            )
+
+    fn = decode_fn
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            data = pdf[data_col]
+            decoded = [fn(b if b is not None else b"") for b in data]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "n_bytes": [len(b) if b is not None else 0 for b in data],
+                    "sample_rate": [d[0] for d in decoded],
+                    "n_channels": [d[1] for d in decoded],
+                    "duration_ms": [d[2] for d in decoded],
+                    "mean_abs_amplitude": [d[3] for d in decoded],
+                }
+            )
+
+    return assets.select(F.col(id_col), F.col(data_col)).mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
 
 
 def binarize_text_fixture(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

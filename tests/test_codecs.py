@@ -1,0 +1,130 @@
+"""Pure-Python codec path (h2outility_spark.codecs): golden-pixel BMP
+decode through extract_image_features, BMP resize round-trip, and PCM WAV
+header/amplitude parse through extract_audio_features — the default (no
+injected codec) multimodal path, un-stubbed."""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+import pytest
+from pyspark.sql import Row
+
+from h2outility_spark import codecs
+from h2outility_spark.operators import multimodal
+
+# A handwritten 2x2 24-bit BMP: top row (red, green), bottom row (blue, white).
+GOLDEN_PIXELS = [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (255, 255, 255)]]
+
+
+def golden_bmp() -> bytes:
+    return codecs.encode_bmp(GOLDEN_PIXELS)
+
+
+def test_bmp_encode_decode_golden_pixels():
+    data = golden_bmp()
+    # hand-check the encoded header bytes, not just our own round-trip
+    assert data[:2] == b"BM"
+    pixel_off = struct.unpack_from("<I", data, 10)[0]
+    width, height = struct.unpack_from("<ii", data, 18)
+    assert (pixel_off, width, height) == (54, 2, 2)
+    # bottom-up scanlines: first stored row is the BOTTOM row (blue, white), BGR order
+    assert data[pixel_off : pixel_off + 6] == bytes((255, 0, 0, 255, 255, 255))
+    w, h, rows = codecs.decode_bmp(data)
+    assert (w, h) == (2, 2)
+    assert rows == GOLDEN_PIXELS
+
+
+def test_bmp_decoder_mean_luma_exact():
+    w, h, luma = codecs.bmp_image_decoder(golden_bmp())
+    # (0.299 + 0.587 + 0.114 + 1.0) / 4 = 0.5 exactly for R+G+B+white
+    assert (w, h) == (2, 2)
+    assert luma == 0.5
+
+
+def test_bmp_rejects_non_bmp():
+    with pytest.raises(ValueError, match="BM"):
+        codecs.decode_bmp(b"\x89PNG----------------------------------------------------")
+
+
+def test_extract_image_features_default_codec_decodes_bmp(spark):
+    assets = spark.createDataFrame(
+        [(1, bytearray(golden_bmp()), "image/bmp", {})],
+        "asset_id long, data binary, mime string, meta map<string,string>",
+    )
+    r = multimodal.extract_image_features(assets).collect()[0]
+    assert (r["width"], r["height"], r["mean_luma"]) == (2, 2, 0.5)
+    assert r["n_bytes"] == len(golden_bmp())
+
+
+def test_resize_roundtrip_through_operator(spark):
+    # 8x4 gradient image; resize to max_side=4 -> 4x2, still a decodable BMP
+    rows = [[(32 * c, 64 * r, 10) for c in range(8)] for r in range(4)]
+    big = codecs.encode_bmp(rows)
+    assets = spark.createDataFrame(
+        [(7, bytearray(big), "image/bmp", {})],
+        "asset_id long, data binary, mime string, meta map<string,string>",
+    )
+    out = multimodal.resize_images(assets, max_side=4).collect()[0]
+    assert (out["width"], out["height"]) == (4, 2)
+    w2, h2, small = codecs.decode_bmp(bytes(out["data"]))
+    assert (w2, h2) == (4, 2)
+    # nearest-neighbor: output pixel (r, c) samples source (r*4//2? -> r*2, c*2)
+    for r in range(2):
+        for c in range(4):
+            assert small[r][c] == rows[r * 2][c * 2]
+    # never upscales
+    again = multimodal.resize_images(assets, max_side=100).collect()[0]
+    assert (again["width"], again["height"]) == (8, 4)
+
+
+def make_wav(n_frames: int = 8000, rate: int = 16000, amplitude: int = 8192) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        # square wave: +amplitude / -amplitude alternating
+        frames = b"".join(
+            struct.pack("<h", amplitude if i % 2 == 0 else -amplitude) for i in range(n_frames)
+        )
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def test_wav_header_parse_against_stdlib_writer():
+    data = make_wav()
+    h = codecs.parse_wav_header(data)
+    assert h["n_channels"] == 1
+    assert h["sample_rate"] == 16000
+    assert h["bits_per_sample"] == 16
+    assert h["n_frames"] == 8000
+    assert h["duration_ms"] == 500
+
+
+def test_wav_decoder_amplitude_exact():
+    rate, ch, dur, amp = codecs.wav_audio_decoder(make_wav(amplitude=8192))
+    assert (rate, ch, dur) == (16000, 1, 500)
+    assert amp == round(8192 / 32768.0, 6)  # square wave: |sample| constant
+
+
+def test_extract_audio_features_default_codec(spark):
+    assets = spark.createDataFrame(
+        [
+            (1, bytearray(make_wav()), "audio/wav", {}),
+            (2, bytearray(make_wav(n_frames=16000, amplitude=4096)), "audio/wav", {}),
+        ],
+        "asset_id long, data binary, mime string, meta map<string,string>",
+    )
+    rows = {r["asset_id"]: r for r in multimodal.extract_audio_features(assets).collect()}
+    assert rows[1]["duration_ms"] == 500 and rows[2]["duration_ms"] == 1000
+    assert rows[2]["mean_abs_amplitude"] == round(4096 / 32768.0, 6)
+    # non-WAV payloads still raise at the decode site (injectable contract)
+    bad = spark.createDataFrame(
+        [(3, bytearray(b"mp3x"), "audio/mp3", {})],
+        "asset_id long, data binary, mime string, meta map<string,string>",
+    )
+    with pytest.raises(Exception, match="decode_fn|NotImplemented|no built-in"):
+        multimodal.extract_audio_features(bad).collect()
