@@ -107,14 +107,23 @@ def ivf_search(
     vec_col: str = "embedding",
     label_col: str = "label",
     n_probe: int = 1,
+    spill: bool = False,
 ) -> DataFrame:
     """IVF-style ANN: each query probes its ``n_probe`` nearest centroid
-    cells (default 1); exact cosine top-k within the probed cells.
+    cells (default 1); exact cosine top-k within the probed cells (the
+    probed union is exactly re-ranked — there is no approximate scoring
+    stage to tune separately).
 
     At scale the candidate table is partitioned by cell, so the in-cell
     join is partition-pruned — the query never scans the full corpus. The
     centroids (k rows) are always broadcast. ``n_probe`` is the standard
     recall/cost dial: probing p of c cells scans ~p/c of the corpus.
+
+    ``spill=True`` handles an ``embeddings`` frame carrying REDUNDANT
+    (id, cell) assignments (ivf_assign_multi): the same candidate can
+    enter via several probed cells, so scores are deduped per
+    (query, cand) before ranking. Costs one extra shuffle on the small
+    scored set; required for correctness only in the spill layout.
     """
     from pyspark.sql import Window as W
 
@@ -137,8 +146,48 @@ def ivf_search(
         .filter(F.col("cand_id") != F.col("query_id"))
         .select("query_id", "cand_id", cosine(F.col("qv"), F.col("cv2")).alias("cos_sim"))
     )
+    if spill:
+        scored = scored.groupBy("query_id", "cand_id").agg(F.max("cos_sim").alias("cos_sim"))
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).drop("rk")
+
+
+def ivf_assign_multi(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    m: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Redundant (spill) cell assignment: each vector lands in its ``m``
+    nearest centroid cells. Output: (id, cell) rows, m per vector.
+
+    This is the IVF answer to cell-BOUNDARY recall loss — a true neighbor
+    just across the Voronoi face of the query's probed cells is the
+    dominant failure mode on weakly-clustered corpora. Duplicating each
+    candidate into its m nearest cells costs m× storage (and ~m× rows per
+    probed cell) but recovers exactly those boundary neighbors; measured
+    on the structure-poor synthetic corpus it beats single-assignment at
+    EQUAL rows-scanned (RECALL.json: kmeans128 m2/probe6 vs m1/probe13)
+    and is the only configuration reaching recall@10 >= 0.9 below a 10%
+    cell fraction. Real text embeddings cluster far better, so the same
+    recall needs smaller m·probe — spill is the worst-case insurance, not
+    a fixed tax. Same broadcast-centroids narrow-map shape as ivf_assign.
+    """
+    from pyspark.sql import Window as W
+
+    packed = (
+        centroids.groupBy(label_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "centroid_val"))).alias("pairs"))
+        .select(F.col(label_col).alias("cell"), F.expr("transform(pairs, p -> p.centroid_val)").alias("cv"))
+    )
+    v = embeddings.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    scored = v.join(F.broadcast(packed)).select(
+        id_col, "cell", cosine(F.col("v"), F.col("cv")).alias("sim")
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("cell"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= m).select(id_col, "cell")
 
 
 def recall_at_k(approx: DataFrame, exact: DataFrame) -> float:

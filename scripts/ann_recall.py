@@ -53,23 +53,53 @@ def main() -> None:
         approx = sim.ivf_search(emb, queries, k=k, n_probe=n_probe).select("query_id", "cand_id")
         out[f"ivf_label_recall_at_{k}_probe{n_probe}"] = round(sim.recall_at_k(approx, exact), 4)
 
-    # k-means coarse quantizer: train 16 cells on the vectors, re-cell the
-    # corpus, search with the same ivf_search machinery
+    # k-means coarse quantizer: train cells on the vectors, re-cell the
+    # corpus (optionally with redundant spill assignment, m > 1), search
+    # with the same ivf_search machinery. Every config records recall AND
+    # both cost dials: cell_frac (probed cells / total cells — the
+    # partition-pruning fraction) and row_frac (expected rows scanned /
+    # corpus rows = m * probe / cells — the honest IO fraction; spill
+    # duplicates rows, so cell_frac alone would flatter it).
     from h2outility_spark.operators.kmeans import kmeans
 
-    for kcells, iters, probes in ((16, 3, (1, 2, 4)), (64, 5, (4, 8, 16))):
+    n_corpus = emb.count()
+    configs = []
+    for kcells, iters, m, probes in (
+        (64, 5, 1, (8, 16)),        # round-3 production baseline (continuity)
+        (128, 5, 1, (8, 13)),       # finer cells, single assignment
+        (128, 5, 2, (6, 12)),       # spill m=2 — production config is probe 12
+        (128, 5, 3, (4, 8)),        # spill m=3 frontier
+    ):
         cent = kmeans(emb, k=kcells, max_iter=iters).withColumnRenamed("cluster", "label")
-        assign = sim.ivf_assign(emb, cent).withColumnRenamed("cell", "km_cell")
+        assign = (
+            sim.ivf_assign_multi(emb, cent.withColumnRenamed("label", "label"), m=m)
+            if m > 1
+            else sim.ivf_assign(emb, cent)
+        ).withColumnRenamed("cell", "km_cell")
         emb_km = (
             emb.join(assign, "vec_id")
             .select("vec_id", "embedding", F.col("km_cell").alias("label"))
             .cache()
         )
-        emb_km.count()
-        queries_km = emb_km.filter(emb_km.vec_id < 50)
+        n_assign = emb_km.count()
+        queries_km = emb.filter(emb.vec_id < 50)
         for n_probe in probes:
-            approx = sim.ivf_search(emb_km, queries_km, k=k, n_probe=n_probe).select("query_id", "cand_id")
-            out[f"ivf_kmeans{kcells}_recall_at_{k}_probe{n_probe}"] = round(sim.recall_at_k(approx, exact), 4)
+            approx = sim.ivf_search(
+                emb_km, queries_km, k=k, n_probe=n_probe, spill=(m > 1)
+            ).select("query_id", "cand_id")
+            r = round(sim.recall_at_k(approx, exact), 4)
+            tag = f"ivf_kmeans{kcells}_m{m}_recall_at_{k}_probe{n_probe}"
+            out[tag] = r
+            configs.append(
+                {
+                    "cells": kcells,
+                    "spill_m": m,
+                    "probe": n_probe,
+                    "cell_frac": round(n_probe / kcells, 4),
+                    "row_frac": round(n_assign * n_probe / kcells / n_corpus, 4),
+                    "recall_at_10": r,
+                }
+            )
         emb_km.unpersist()
 
     threshold = 0.45
@@ -79,12 +109,19 @@ def main() -> None:
     out["rp_lsh_pair_recall_cos045"] = round(sim.pair_recall(cand, truth), 4)
     out["n_true_pairs_cos045"] = n_truth
 
+    production = max(
+        (c for c in configs if c["recall_at_10"] >= 0.9 and c["cell_frac"] <= 0.10),
+        key=lambda c: c["recall_at_10"],
+        default=None,
+    )
     result = {
         "metric": "ann_recall",
         "sf_dir": sf_dir,
         "k": k,
         "n_queries": 50,
         "values": out,
+        "ivf_configs": configs,
+        "ivf_production": production,
         "wall_sec": round(time.time() - t0, 1),
     }
     line = json.dumps(result)

@@ -1,12 +1,16 @@
 """ANN recall thresholds: the approximate paths must provably beat chance,
-the production configuration must reach recall@10 >= 0.9, and the LSH
-prefilter must not lose true pairs.
+the production configuration must reach recall@10 >= 0.9 within a 10%
+cell-probe fraction, and the LSH prefilter must not lose true pairs.
 
-Measured at sf0.1 (scripts/ann_recall.py -> RECALL.json): kmeans16-IVF
-recall@10 = 0.428/0.526/0.676 at probe 1/2/4 (scan fraction 1/16 = 0.0625,
-so ~7x chance); kmeans64-IVF reaches 0.922 at probe 16 (25% scan) — the
-production config; RP-LSH pair recall = 1.0 over 144 true pairs at
-cos>=0.45. Everything here is deterministic (fixed-seed k-means, exact
+Measured at sf0.1 (scripts/ann_recall.py -> RECALL.json). The round-4
+production config is kmeans-128 cells with SPILL assignment (each vector
+in its m=2 nearest cells, ivf_assign_multi) probing 12 cells: recall@10
+~0.93 at 9.4% of cells (~19% of rows — spill doubles stored assignments;
+RECALL.json records both fractions). Spill beats single-assignment at
+equal rows-scanned because boundary neighbors are the dominant IVF
+failure mode on this weakly-clustered synthetic corpus (real text
+embeddings cluster far better and need smaller m*probe for the same
+recall). Everything here is deterministic (fixed-seed k-means, exact
 brute force), so thresholds are stable, not flaky.
 """
 
@@ -29,6 +33,23 @@ def emb(spark):
     df.count()
     yield df
     df.unpersist()
+
+
+def test_recall_artifact_meets_probe_economics():
+    """RECALL.json (scripts/ann_recall.py output at sf0.1) must contain a
+    production IVF config with recall@10 >= 0.9 probing <= 10% of cells,
+    and record its true row fraction explicitly."""
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "RECALL.json")) as f:
+        rec = json.load(f)
+    prod = rec["ivf_production"]
+    assert prod is not None, "no IVF config met recall>=0.9 at <=10% cells"
+    assert prod["recall_at_10"] >= 0.9
+    assert prod["cell_frac"] <= 0.10
+    assert "row_frac" in prod  # the honest IO dial must be recorded
 
 
 def test_rp_lsh_prefilter_recall_is_total(spark, emb):
@@ -70,31 +91,43 @@ def test_ivf_kmeans_recall_beats_chance_and_probe_scales(spark, emb):
     assert r4 >= 0.45, r4
 
 
-def test_ivf_production_config_reaches_090(spark, emb):
-    """The production IVF configuration (64 cells, 5 Lloyd's iterations,
-    multiprobe) must hit recall@10 >= 0.9. At this corpus size (500
-    vectors, ~8/cell) that takes probe=24; at sf0.1 (2000 vectors) probe=16
-    of 64 suffices (RECALL.json). Deterministic, so exact thresholds."""
+def test_ivf_spill_production_reaches_090_within_10pct_cells(spark, emb):
+    """The production IVF shape (k-means cells + spill assignment + exact
+    re-rank of the probed union) must hit recall@10 >= 0.9 while probing
+    <= 10% of cells. At this corpus size (500 vectors) that is 32 cells,
+    m=3, probe 3 (9.4% of cells, measured recall 0.92); at sf0.1 it is 128
+    cells, m=2, probe 12 (RECALL.json). Deterministic, so exact
+    thresholds."""
     k = 10
     queries = emb.filter(F.col("vec_id") < 30)
     exact = sim.brute_force_topk(emb, queries, k=k).select("query_id", "cand_id").cache()
     exact.count()
 
-    cent = kmeans(emb, k=64, max_iter=5).withColumnRenamed("cluster", "label")
-    assign = sim.ivf_assign(emb, cent).withColumnRenamed("cell", "km_cell")
+    n_cells, m, n_probe = 32, 3, 3
+    assert n_probe / n_cells <= 0.10
+    cent = kmeans(emb, k=n_cells, max_iter=5).withColumnRenamed("cluster", "label")
+    assign = sim.ivf_assign_multi(emb, cent, m=m).withColumnRenamed("cell", "km_cell")
     emb_km = (
         emb.join(assign, "vec_id")
         .select("vec_id", "embedding", F.col("km_cell").alias("label"))
         .cache()
     )
-    emb_km.count()
-    q_km = emb_km.filter(F.col("vec_id") < 30)
-
-    r16 = sim.recall_at_k(
-        sim.ivf_search(emb_km, q_km, k=k, n_probe=16).select("query_id", "cand_id"), exact
+    assert emb_km.count() == m * emb.count()  # every vector spilled m ways
+    q = emb.filter(F.col("vec_id") < 30)
+    r = sim.recall_at_k(
+        sim.ivf_search(emb_km, q, k=k, n_probe=n_probe, spill=True).select("query_id", "cand_id"),
+        exact,
     )
-    r24 = sim.recall_at_k(
-        sim.ivf_search(emb_km, q_km, k=k, n_probe=24).select("query_id", "cand_id"), exact
+    assert r >= 0.90, r
+    # spill beats single assignment at the SAME probed-cell budget
+    assign1 = sim.ivf_assign(emb, cent).withColumnRenamed("cell", "km_cell")
+    emb_1 = (
+        emb.join(assign1, "vec_id")
+        .select("vec_id", "embedding", F.col("km_cell").alias("label"))
+        .cache()
     )
-    assert r16 >= 0.85, r16
-    assert r24 >= 0.90, r24
+    emb_1.count()
+    r1 = sim.recall_at_k(
+        sim.ivf_search(emb_1, q, k=k, n_probe=n_probe).select("query_id", "cand_id"), exact
+    )
+    assert r > r1, (r, r1)
