@@ -392,3 +392,159 @@ def prefix_fingerprint(text_col: str = "text", n_tokens: int = 8) -> Column:
         f"array_join(slice(split(trim(regexp_replace({text_col}, '\\\\s+', ' ')), ' '), 1, {n_tokens}), ' ')"
     )
     return F.md5(F.encode(F.lower(prefix), "UTF-8"))
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher-style quality filters)
+# ---------------------------------------------------------------------------
+
+
+def repetition_signals(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition fractions used as LM training-data quality
+    gates (the Gopher / MassiveText "repetition" family):
+
+      * ``top_word_frac``    — share of tokens taken by the single most
+        frequent token,
+      * ``top_bigram_frac``  — share of bigrams taken by the most frequent
+        bigram,
+      * ``dup_trigram_frac`` — fraction of trigram occurrences that are
+        repeats of an earlier trigram (1 - distinct/total).
+
+    Only documents with >= 3 tokens are emitted (all three signals defined).
+
+    Scale: three combiner-friendly groupBys keyed by (doc, ngram) — partial
+    aggregation collapses each document's counts map-side, so shuffle volume
+    is O(distinct ngrams), then three |docs|-sized aggregates joined on the
+    doc id. No Python UDFs, no window over the whole corpus.
+    """
+    from pyspark.sql import functions as F
+
+    d = docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        id_col, tokens(F.col(text_col)).alias("__toks")
+    )
+    words = (
+        d.select(id_col, F.explode("__toks").alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("top_w"), F.sum("c").alias("n_tok"))
+    )
+    bigram_arr = F.expr(
+        "transform(sequence(1, size(__toks) - 1), i -> __toks[i-1] || ' ' || __toks[i])"
+    )
+    bigrams = (
+        d.filter(F.size("__toks") >= 2)
+        .select(id_col, F.explode(bigram_arr).alias("b"))
+        .groupBy(id_col, "b")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("top_b"), F.sum("c").alias("n_bg"))
+    )
+    trigram_arr = F.expr(
+        "transform(sequence(1, size(__toks) - 2), i -> __toks[i-1] || ' ' || __toks[i] || ' ' || __toks[i+1])"
+    )
+    trigrams = (
+        d.filter(F.size("__toks") >= 3)
+        .select(id_col, F.explode(trigram_arr).alias("t"))
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_tg"), F.countDistinct("t").alias("d_tg"))
+    )
+    from h2outility_spark.workload import fround
+
+    return (
+        words.filter(F.col("n_tok") >= 3)
+        .join(bigrams, id_col)
+        .join(trigrams, id_col)
+        .select(
+            id_col,
+            fround(F.col("top_w").cast("double") / F.col("n_tok"), 4).alias("top_word_frac"),
+            fround(F.col("top_b").cast("double") / F.col("n_bg"), 4).alias("top_bigram_frac"),
+            fround(
+                F.lit(1.0) - F.col("d_tg").cast("double") / F.col("n_tg"), 4
+            ).alias("dup_trigram_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide segment-level dedup (CCNet-style paragraph dedup, adapted to
+# fixed-width token segments because the synthetic corpus has no newlines)
+# ---------------------------------------------------------------------------
+
+
+def segments_expr(text_col: str = "text", k: int = 8) -> Column:
+    """Split the normalized token stream into consecutive k-token segments
+    (last segment may be shorter). Pure Catalyst expression — the slicing
+    stays inside codegen; callers filter out empty documents first (Spark's
+    ``sequence(1, 0)`` is DESCENDING, so the guard matters)."""
+    toks = f"split(trim(regexp_replace({text_col}, '\\\\s+', ' ')), ' ')"
+    return F.expr(
+        f"transform(sequence(1, CAST(ceil(size({toks}) / {k}.0) AS INT)), "
+        f"s -> array_join(slice({toks}, (s - 1) * {k} + 1, {k}), ' '))"
+    )
+
+
+def segment_dedup(
+    docs: DataFrame, k: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """CCNet-style corpus-wide segment dedup: hash each k-token segment,
+    keep only the FIRST occurrence corpus-wide (ordered by doc id then
+    position), and reassemble each document from its surviving segments.
+
+    Returns (id, clean_text, n_seg_kept); documents whose every segment was
+    seen earlier disappear entirely.
+
+    Scale: one shuffle keyed by segment hash (row_number over md5(seg) —
+    each hash partition is the duplicate set of one segment, tiny), then one
+    groupBy doc id to reassemble. The md5 key keeps shuffle rows narrow: the
+    segment text itself rides only to the reassembly stage.
+    """
+    from pyspark.sql import Window as W, functions as F
+
+    d = docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+    segs = d.select(
+        id_col, F.posexplode(segments_expr(text_col, k)).alias("seg_idx", "seg")
+    )
+    w = W.partitionBy(F.md5(F.encode(F.col("seg"), "UTF-8"))).orderBy(id_col, "seg_idx")
+    kept = segs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").cast("long").alias("n_seg_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# Conservative regex subset that behaves identically under Java regex
+# (Spark) and RE2 (DuckDB): no backrefs, no lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+SSN_RE = r"\b\d{3}-\d{2}-\d{4}\b"
+PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+
+
+def pii_counts(col: Column) -> list[Column]:
+    """Match counts per PII class (email / SSN / US-style phone)."""
+    return [
+        F.size(F.regexp_extract_all(col, F.lit(EMAIL_RE), 0)).alias("n_email"),
+        F.size(F.regexp_extract_all(col, F.lit(SSN_RE), 0)).alias("n_ssn"),
+        F.size(F.regexp_extract_all(col, F.lit(PHONE_RE), 0)).alias("n_phone"),
+    ]
+
+
+def pii_redact(col: Column) -> Column:
+    """Replace every email/SSN/phone match with a typed placeholder token.
+    SSN runs before phone so the 3-2-4 digit shape is claimed by the more
+    specific class first."""
+    out = F.regexp_replace(col, EMAIL_RE, "[EMAIL]")
+    out = F.regexp_replace(out, SSN_RE, "[SSN]")
+    return F.regexp_replace(out, PHONE_RE, "[PHONE]")

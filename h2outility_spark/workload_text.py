@@ -983,3 +983,132 @@ def q_mixture_sample(spark, sf_dir):
         .filter(F.col("bucket") < threshold)
         .select("doc_id", "pred_lang", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality filtering: repetition signals, segment-level dedup, PII redaction
+# ---------------------------------------------------------------------------
+
+@query(
+    "repetition_signals",
+    oracle="WITH "
+    + TOKS_CTE
+    + """,
+    wc AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY 1, 2),
+    ws AS (SELECT doc_id, max(c) AS top_w, sum(c) AS n_tok FROM wc GROUP BY 1),
+    bg AS (
+      SELECT a.doc_id, a.w || ' ' || b.w AS b
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+    ),
+    bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+    bs AS (SELECT doc_id, max(c) AS top_b, sum(c) AS n_bg FROM bc GROUP BY 1),
+    tg AS (
+      SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS t
+      FROM toks a
+      JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      JOIN toks c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+    ),
+    ts AS (SELECT doc_id, count(*) AS n_tg, count(DISTINCT t) AS d_tg FROM tg GROUP BY 1)
+    SELECT ws.doc_id,
+           """
+    + sql_round("CAST(top_w AS DOUBLE) / n_tok", 4)
+    + """ AS top_word_frac,
+           """
+    + sql_round("CAST(top_b AS DOUBLE) / n_bg", 4)
+    + """ AS top_bigram_frac,
+           """
+    + sql_round("1.0 - CAST(d_tg AS DOUBLE) / n_tg", 4)
+    + """ AS dup_trigram_frac
+    FROM ws
+    JOIN bs ON bs.doc_id = ws.doc_id
+    JOIN ts ON ts.doc_id = ws.doc_id
+    WHERE ws.n_tok >= 3
+    """,
+    description=(
+        "Gopher-style repetition quality signals per document: top-word share, "
+        "top-bigram share, duplicate-trigram fraction — three combiner-friendly "
+        "(doc, ngram) groupBys, shuffle volume O(distinct ngrams)"
+    ),
+)
+def q_repetition_signals(spark, sf_dir):
+    return text.repetition_signals(_docs(spark, sf_dir))
+
+
+@query(
+    "segment_dedup_docs",
+    oracle="WITH "
+    + TOKS_CTE
+    + """,
+    segs AS (
+      SELECT doc_id, (i - 1) // 8 AS seg_idx, string_agg(w, ' ' ORDER BY i) AS seg
+      FROM toks GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT doc_id, seg_idx, seg,
+             row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, seg_idx) AS rn
+      FROM segs
+    )
+    SELECT doc_id,
+           string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text,
+           CAST(count(*) AS BIGINT) AS n_seg_kept
+    FROM ranked WHERE rn = 1 GROUP BY doc_id
+    """,
+    description=(
+        "CCNet-style corpus-wide segment dedup (8-token segments stand in for "
+        "paragraphs — corpus has no newlines): keep first occurrence per segment "
+        "hash, reassemble docs; one shuffle keyed by md5(seg), one by doc"
+    ),
+)
+def q_segment_dedup_docs(spark, sf_dir):
+    return text.segment_dedup(_docs(spark, sf_dir), k=8)
+
+
+@query(
+    "pii_redact_docs",
+    # The synthetic corpus contains no PII (verified: zero '@', zero digits),
+    # so BOTH sides inject the same deterministic synthetic contact block by
+    # doc_id class — what the parity check then proves is that the redaction
+    # regexes match identically under Java regex and RE2 on text that DOES
+    # carry PII, which is the part that matters.
+    oracle=r"""
+    WITH injected AS (
+      SELECT doc_id,
+             text || CASE CAST(doc_id % 3 AS INT)
+               WHEN 0 THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com now'
+               WHEN 1 THEN ' call 555-123-4567 or 555.987.6543 today'
+               ELSE ' ssn 123-45-6789 on file'
+             END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           array_length(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+           array_length(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
+           array_length(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phone,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                 '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+                 '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g')) AS redacted_fp
+    FROM injected
+    """,
+    description=(
+        "PII redaction (email/SSN/phone -> typed placeholders) + per-class match "
+        "counts; corpus carries no PII so a deterministic synthetic contact block "
+        "is injected on both sides — parity proves Java-regex/RE2 agreement"
+    ),
+)
+def q_pii_redact_docs(spark, sf_dir):
+    inject = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" contact u"), F.col("doc_id").cast("string"), F.lit("@example.com now")),
+        )
+        .when(F.col("doc_id") % 3 == 1, F.lit(" call 555-123-4567 or 555.987.6543 today"))
+        .otherwise(F.lit(" ssn 123-45-6789 on file")),
+    )
+    d = _docs(spark, sf_dir).select("doc_id", inject.alias("text"))
+    return d.select(
+        "doc_id",
+        *text.pii_counts(F.col("text")),
+        F.md5(F.encode(text.pii_redact(F.col("text")), "UTF-8")).alias("redacted_fp"),
+    )

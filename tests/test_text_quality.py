@@ -1,0 +1,99 @@
+"""Unit tests for the text-quality batch: Gopher-style repetition signals,
+CCNet-style segment dedup, and PII redaction — crafted inputs where the
+expected values are computable by hand (the corpus-level parity lives in
+test_oracle_parity via the registered queries)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row, functions as F
+
+from h2outility_spark.operators.text import (
+    pii_counts,
+    pii_redact,
+    repetition_signals,
+    segment_dedup,
+    segments_expr,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in rows])
+
+
+def test_repetition_signals_hand_computed(spark):
+    # "a a a b" -> top word 'a' 3/4; bigrams [a a, a a, a b] -> top 2/3;
+    # trigrams [a a a, a a b] -> 2 distinct of 2 -> dup frac 0.
+    out = {r["doc_id"]: r for r in repetition_signals(_docs(spark, [(1, "a a a b")])).collect()}
+    r = out[1]
+    assert r["top_word_frac"] == 0.75
+    assert round(r["top_bigram_frac"], 4) == 0.6667
+    assert r["dup_trigram_frac"] == 0.0
+
+
+def test_repetition_signals_degenerate_repeat(spark):
+    # "x x x x x": every trigram is "x x x" (3 occurrences, 1 distinct).
+    r = repetition_signals(_docs(spark, [(1, "x x x x x")])).collect()[0]
+    assert r["top_word_frac"] == 1.0
+    assert r["top_bigram_frac"] == 1.0
+    assert round(r["dup_trigram_frac"], 4) == 0.6667
+
+
+def test_repetition_signals_short_docs_excluded(spark):
+    out = repetition_signals(_docs(spark, [(1, "a b"), (2, "a b c")])).collect()
+    assert [r["doc_id"] for r in out] == [2]
+
+
+def test_segments_expr_partial_tail(spark):
+    df = _docs(spark, [(1, "w1 w2 w3 w4 w5")]).select(
+        segments_expr("text", k=2).alias("segs")
+    )
+    assert df.collect()[0]["segs"] == ["w1 w2", "w3 w4", "w5"]
+
+
+def test_segment_dedup_keeps_first_occurrence(spark):
+    # doc 1 and doc 2 share segment "a b"; doc 2 keeps only its novel tail.
+    # doc 3 is entirely duplicate segments -> disappears.
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c d"),
+            (2, "a b x y"),
+            (3, "a b c d"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in segment_dedup(docs, k=2).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["clean_text"] == "a b c d" and out[1]["n_seg_kept"] == 2
+    assert out[2]["clean_text"] == "x y" and out[2]["n_seg_kept"] == 1
+
+
+def test_segment_dedup_preserves_order(spark):
+    docs = _docs(spark, [(1, "p q r s t u")])
+    r = segment_dedup(docs, k=2).collect()[0]
+    assert r["clean_text"] == "p q r s t u"
+
+
+def test_pii_redact_and_counts(spark):
+    s = "mail a.b+c@ex-ample.co.uk or 555-123-4567; ssn 078-05-1120, also 555.987.6543"
+    df = spark.createDataFrame([Row(text=s)]).select(
+        pii_redact(F.col("text")).alias("red"), *pii_counts(F.col("text"))
+    )
+    r = df.collect()[0]
+    assert r["n_email"] == 1 and r["n_ssn"] == 1 and r["n_phone"] == 2
+    assert r["red"] == "mail [EMAIL] or [PHONE]; ssn [SSN], also [PHONE]"
+
+
+def test_pii_redact_ssn_claims_before_phone(spark):
+    # 3-2-4 digit shape must become [SSN], never [PHONE].
+    df = spark.createDataFrame([Row(text="id 123-45-6789 end")]).select(
+        pii_redact(F.col("text")).alias("red")
+    )
+    assert df.collect()[0]["red"] == "id [SSN] end"
+
+
+def test_pii_no_false_positives_on_clean_text(spark):
+    df = spark.createDataFrame([Row(text="plain words 12-34 a@b nothing")]).select(
+        *pii_counts(F.col("text"))
+    )
+    r = df.collect()[0]
+    assert (r["n_email"], r["n_ssn"], r["n_phone"]) == (0, 0, 0)
