@@ -487,3 +487,59 @@ def simhash_neardup_pairs(
         cand.select("id_a", "id_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs existing corpus
+# ---------------------------------------------------------------------------
+
+
+def incremental_neardup_filter(
+    batch: DataFrame,
+    existing: DataFrame,
+    num_hashes: int = 8,
+    threshold: float = 0.2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The daily-ingest shape of dedup: keep only batch docs that are
+    neither EXACT duplicates (normalized fingerprint seen in the corpus)
+    nor NEAR duplicates (minhash band collision against a corpus doc,
+    verified by exact n-gram Jaccard >= threshold) of the existing corpus.
+    Batch and existing id sets must be disjoint. Batch-internal duplicates
+    are out of scope here (run the batch through the corpus-wide pipeline
+    for that).
+
+    Scale: the exact pass is one anti join keyed by fingerprint. The near
+    pass band-joins BATCH signatures against CORPUS signatures — cost is
+    |batch| x collision rate, never corpus x corpus; at 100 TB the corpus
+    signature/fingerprint tables are precomputed once and appended per
+    ingest, so each day pays only its own batch. Returns surviving batch
+    rows as (id, fp).
+    """
+    from h2outility_spark.operators.text import fingerprint
+
+    bfp = batch.select(F.col(id_col), F.col(text_col), fingerprint(F.col(text_col)).alias("fp"))
+    efp = existing.select(fingerprint(F.col(text_col)).alias("fp")).distinct()
+    survivors = bfp.join(efp, "fp", "left_anti").cache()
+
+    bands = [[i] for i in range(num_hashes)]
+    bs = minhash_signatures(survivors, num_hashes, id_col, text_col)
+    es = minhash_signatures(existing, num_hashes, id_col, text_col)
+    bb = _banded(bs, bands, id_col).alias("b")
+    eb = _banded(es, bands, id_col).alias("e")
+    cand = (
+        eb.join(bb, ["band", "band_key"])
+        .select(F.col(f"e.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    docs_all = existing.select(F.col(id_col), F.col(text_col)).unionByName(
+        survivors.select(F.col(id_col), F.col(text_col))
+    )
+    jac = jaccard_for_pairs(cand, docs_all, id_col, text_col)
+    drops = (
+        jac.filter(F.col("jaccard") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return survivors.join(drops, id_col, "left_anti").select(id_col, "fp")

@@ -519,6 +519,7 @@ def pq_search(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    codebooks: DataFrame | None = None,
 ) -> DataFrame:
     """PQ ANN search with exact re-rank: score every candidate's
     RECONSTRUCTED vector against the query (ADC), keep the top
@@ -534,7 +535,11 @@ def pq_search(
     """
     from pyspark.sql import Window as W
 
-    cbs = pq_codebooks(embeddings, m=m, dim=dim, vec_col=vec_col, label_col=label_col)
+    cbs = (
+        codebooks
+        if codebooks is not None
+        else pq_codebooks(embeddings, m=m, dim=dim, vec_col=vec_col, label_col=label_col)
+    )
     codes = pq_encode(embeddings, cbs, m=m, dim=dim, id_col=id_col, vec_col=vec_col)
     recon = pq_reconstruct(codes, cbs, id_col=id_col)
     q = queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv"))
@@ -560,3 +565,44 @@ def pq_search(
         .filter(F.col("rk") <= k)
         .drop("rk")
     )
+
+
+def pq_codebooks_kmeans(
+    embeddings: DataFrame,
+    m: int = 8,
+    dim: int = 64,
+    k: int = 16,
+    max_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Production PQ codebooks: an independent k-means per subspace over
+    that subspace's slices (the FAISS training recipe). m runs of Lloyd's
+    over d/m-dim data; each model is k x d/m doubles on the driver — at
+    100 TB you train on a deterministic sample, the codebook stays tiny
+    either way. Output (s, code, cvec) matches pq_codebooks, so encode /
+    reconstruct / search compose with either quantizer."""
+    from h2outility_spark.operators.kmeans import kmeans
+
+    w = dim // m
+    parts = []
+    for s in range(m):
+        sub = embeddings.select(
+            F.col(id_col),
+            F.expr(f"slice(CAST({vec_col} AS ARRAY<DOUBLE>), {s * w + 1}, {w})").alias("embedding"),
+        )
+        cents = kmeans(sub, k=k, max_iter=max_iter, id_col=id_col, vec_col="embedding")
+        packed = (
+            cents.groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "centroid_val"))).alias("pairs"))
+            .select(
+                F.lit(s).alias("s"),
+                F.col("cluster").alias("code"),
+                F.expr("transform(pairs, p -> p.centroid_val)").alias("cvec"),
+            )
+        )
+        parts.append(packed)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

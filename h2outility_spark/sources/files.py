@@ -78,3 +78,28 @@ def quarantine_split(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     corrupt = df.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
     clean = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     return clean, corrupt
+
+
+# ---------------------------------------------------------------------------
+# ORC (columnar alternative to parquet — Spark-native, zero extra deps)
+# ---------------------------------------------------------------------------
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite", **options) -> None:
+    """Write as ORC. Same columnar properties as parquet (stripe-level
+    min/max statistics, predicate pushdown, column pruning) — the choice
+    between the two is an ecosystem question, not a capability one; the
+    engine supports both so existing ORC estates can be read in place."""
+    writer = df.write.mode(mode)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.orc(path)
+
+
+def load_orc(spark: SparkSession, path: str, **options) -> DataFrame:
+    """Read an ORC table. Filters and projections push into the stripe
+    reader exactly as with parquet (PushedFilters in the scan node)."""
+    reader = spark.read
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.orc(path)

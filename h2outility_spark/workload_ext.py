@@ -583,3 +583,87 @@ def q_grouping_sets_revenue(spark, sf_dir):
     ).agg(
         fround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): compressed codes + ADC search with exact re-rank
+# ---------------------------------------------------------------------------
+
+# Shared oracle CTE chain: per-label mean centroids rounded 6dp -> subspace
+# codebooks (m=8 slices of width 8) -> per-(vector, subspace) argmin code.
+# Every distance/score is a sequential fold (list_inner_product), matching
+# the Spark-side `dot` bit-for-bit — the same parity device as the k-means
+# oracle.
+_PQ_ENC_CTE = """
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+    cm AS (SELECT label, r.range AS pos, avg(v[CAST(r.range AS INT) + 1]) AS cv
+           FROM e CROSS JOIN range(64) r GROUP BY 1, 2),
+    cl AS (SELECT label, list(floor(cv * 1000000.0 + 0.5) / 1000000.0 ORDER BY pos) AS cvec
+           FROM cm GROUP BY label),
+    cb AS (SELECT label AS code, CAST(s.range AS INT) AS s,
+                  list_slice(cvec, CAST(s.range * 8 + 1 AS INT), CAST(s.range * 8 + 8 AS INT)) AS cvec
+           FROM cl CROSS JOIN range(8) s),
+    subs AS (SELECT vec_id, CAST(s.range AS INT) AS s,
+                    list_slice(v, CAST(s.range * 8 + 1 AS INT), CAST(s.range * 8 + 8 AS INT)) AS vsub
+             FROM e CROSS JOIN range(8) s),
+    enc AS (SELECT vec_id, s, code FROM (
+        SELECT subs.vec_id, subs.s, cb.code,
+               row_number() OVER (PARTITION BY subs.vec_id, subs.s
+                 ORDER BY list_inner_product(cb.cvec, cb.cvec)
+                          - 2.0 * list_inner_product(subs.vsub, cb.cvec), cb.code) AS rn
+        FROM subs JOIN cb ON cb.s = subs.s) WHERE rn = 1)
+"""
+
+
+@query(
+    "pq_codes",
+    oracle="WITH " + _PQ_ENC_CTE + "\n    SELECT vec_id, s, code FROM enc",
+    description=(
+        "Product-quantization encode: 64-dim vector -> 8 subspace codes (nearest "
+        "rounded per-label mean slice by squared L2) — the 32x-compressed scan "
+        "representation; broadcast codebooks, narrow-map argmin"
+    ),
+)
+def q_pq_codes(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    cbs = similarity.pq_codebooks(emb)
+    return similarity.pq_encode(emb, cbs)
+
+
+@query(
+    "pq_search",
+    oracle="WITH " + _PQ_ENC_CTE + """,
+    recon AS (
+      SELECT enc.vec_id, flatten(list(cb2.cvec ORDER BY enc.s)) AS rvec
+      FROM enc JOIN cb cb2 ON cb2.s = enc.s AND cb2.code = enc.code
+      GROUP BY enc.vec_id),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    approx AS (
+      SELECT q.query_id, r.vec_id AS cand_id, q.qv,
+             list_inner_product(q.qv, r.rvec)
+               / sqrt(list_inner_product(q.qv, q.qv) * list_inner_product(r.rvec, r.rvec)) AS asim
+      FROM recon r CROSS JOIN q WHERE r.vec_id <> q.query_id),
+    short AS (SELECT query_id, cand_id, qv FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY asim DESC, cand_id) AS rn
+        FROM approx) WHERE rn <= 50),
+    ex AS (
+      SELECT s.query_id, s.cand_id,
+             list_inner_product(s.qv, e2.v)
+               / sqrt(list_inner_product(s.qv, s.qv) * list_inner_product(e2.v, e2.v)) AS cos_raw
+      FROM short s JOIN e e2 ON e2.vec_id = s.cand_id)
+    SELECT query_id, cand_id, floor(cos_raw * 10000.0 + 0.5) / 10000.0 AS cos_sim
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, cand_id) AS rk FROM ex)
+    WHERE rk <= 3
+    """,
+    description=(
+        "PQ ANN search: ADC scan over reconstructed (quantized) vectors -> top-50 "
+        "shortlist -> exact cosine re-rank -> top-3; at scale the ADC scan reads "
+        "8-byte codes instead of 256-byte floats (32x bandwidth), layerable under "
+        "IVF cells for scan skipping"
+    ),
+)
+def q_pq_search(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = similarity.pq_search(emb, queries, k=3, shortlist=50)
+    return out.select("query_id", "cand_id", fround(F.col("cos_sim"), 4).alias("cos_sim"))

@@ -1112,3 +1112,46 @@ def q_pii_redact_docs(spark, sf_dir):
         *text.pii_counts(F.col("text")),
         F.md5(F.encode(text.pii_redact(F.col("text")), "UTF-8")).alias("redacted_fp"),
     )
+
+
+@query(
+    "dedup_incremental",
+    oracle="WITH "
+    + MH_CTE
+    + """,
+    fp AS (SELECT doc_id,
+                  md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+           FROM documents),
+    exsurv AS (
+      SELECT doc_id, fp FROM fp
+      WHERE doc_id % 5 = 0
+        AND fp NOT IN (SELECT fp FROM fp WHERE doc_id % 5 != 0)
+    ),
+    cand AS (
+      SELECT DISTINCT e.doc_id AS id_a, b.doc_id AS id_b
+      FROM mh e JOIN mh b
+        ON e.doc_id % 5 != 0 AND b.doc_id % 5 = 0
+       AND b.doc_id IN (SELECT doc_id FROM exsurv)
+       AND ("""
+    + " OR ".join(f"e.mh{i} = b.mh{i}" for i in range(MINHASH_K))
+    + """)
+    ),
+"""
+    + JPAIRS_CTE
+    + """
+    SELECT s.doc_id, s.fp
+    FROM exsurv s
+    WHERE s.doc_id NOT IN (SELECT id_b FROM jpairs)
+    """,
+    description=(
+        "Incremental (daily-ingest) dedup: the doc_id%5==0 slice plays the new "
+        "batch, the rest the existing corpus — drop batch docs that are exact "
+        "(fingerprint) or near (minhash collision + Jaccard >= 0.2) duplicates "
+        "of the corpus; batch x corpus band join, never corpus x corpus"
+    ),
+)
+def q_dedup_incremental(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    existing = docs.filter(F.col("doc_id") % 5 != 0)
+    return dedup.incremental_neardup_filter(batch, existing, num_hashes=MINHASH_K)

@@ -102,6 +102,58 @@ def main() -> None:
             )
         emb_km.unpersist()
 
+    # Product quantization: ADC scan over reconstructed codes + exact
+    # re-rank of the top-`shortlist`. Recall here measures how much of the
+    # true top-10 the COMPRESSED (32x) representation preserves — the
+    # quality cost of trading float scans for code scans. No cells are
+    # skipped (that's IVF's dial); at scale the two compose (IVF-PQ).
+    # Label codebooks (the oracle-checked registered query's quantizer):
+    # honest worst case — synthetic labels carry no embedding-space
+    # structure, so all per-label means sit near the global mean and ADC
+    # ranking degrades toward chance (cf. ivf_label above).
+    for shortlist in (50, 100):
+        approx = sim.pq_search(emb, queries, k=k, shortlist=shortlist).select(
+            "query_id", "cand_id"
+        )
+        out[f"pq_label_recall_at_{k}_short{shortlist}"] = round(
+            sim.recall_at_k(approx, exact), 4
+        )
+
+    # Production codebooks: independent k-means per subspace (FAISS recipe).
+    # Each config records its storage cost: bytes/vector = m * ceil(log2(k)/8)
+    # rounded up to whole bytes per code (raw = dim * 4 = 256 bytes).
+    # Structure-free random embeddings are PQ's worst case (nothing to
+    # exploit, quantization error is pure noise) — the dials that recover
+    # recall are MORE subspaces (finer partition of the distortion) and
+    # bigger per-subspace codebooks.
+    pq_configs = []
+    for m, kcb in ((8, 16), (16, 64), (32, 16)):
+        cbs_km = sim.pq_codebooks_kmeans(emb, m=m, dim=64, k=kcb, max_iter=5).cache()
+        cbs_km.count()
+        code_bytes = m * max(1, ((kcb - 1).bit_length() + 7) // 8)
+        for shortlist in (50, 100):
+            approx = sim.pq_search(
+                emb, queries, k=k, shortlist=shortlist, m=m, codebooks=cbs_km
+            ).select("query_id", "cand_id")
+            r = round(sim.recall_at_k(approx, exact), 4)
+            out[f"pq_kmeans{kcb}_m{m}_recall_at_{k}_short{shortlist}"] = r
+            pq_configs.append(
+                {
+                    "m": m,
+                    "k_codebook": kcb,
+                    "shortlist": shortlist,
+                    "bytes_per_vec": code_bytes,
+                    "compression_x": round(256 / code_bytes, 1),
+                    "recall_at_10": r,
+                }
+            )
+        cbs_km.unpersist()
+    pq_production = max(
+        (c for c in pq_configs if c["recall_at_10"] >= 0.9 and c["shortlist"] <= 50),
+        key=lambda c: c["compression_x"],
+        default=None,
+    )
+
     threshold = 0.45
     truth = sim.cosine_neardup_pairs(emb, threshold).select("id_a", "id_b").cache()
     n_truth = truth.count()
@@ -122,6 +174,8 @@ def main() -> None:
         "values": out,
         "ivf_configs": configs,
         "ivf_production": production,
+        "pq_configs": pq_configs,
+        "pq_production": pq_production,
         "wall_sec": round(time.time() - t0, 1),
     }
     line = json.dumps(result)

@@ -17,6 +17,7 @@ BNLJ_ALLOWED = {
     "embedding_knn",  # brute-force baseline by design (IVF/LSH are the scale paths)
     "tfidf_top_terms",  # 1-row corpus-count broadcast
     "neardup_embedding_pairs",  # brute-force verifier (neardup_embedding_lsh is the scale path)
+    "pq_search",  # ADC scan: query-set broadcast against compressed codes by design
     "funnel_conversion",  # three 1-row stage counts joined
     "tpch_q22_idle_rich_customers",  # correlated scalar average (1-row broadcast)
     "tpch_q11_value_share",  # 1-row global-threshold broadcast
