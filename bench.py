@@ -65,10 +65,21 @@ def main() -> None:
             errors[name] = str(e).splitlines()[0][:300] if str(e) else repr(e)
 
     total = round(sum(timings.values()), 3)
+    # The round-1 headline set, kept as a stable cross-round comparable:
+    # the full set grew in round 4 (heavy queries added at the judge's
+    # request), so the grand total is not comparable to BENCH_r01's — this
+    # subtotal is.
+    CORE11 = [
+        "series_catalog", "wide_export", "tpch_q1", "tpch_q3", "tpch_q5",
+        "qc_interpolate", "sessionization", "text_stats",
+        "minhash_signatures", "embedding_knn", "asof_join",
+    ]
+    core11 = round(sum(timings.get(n, 0.0) for n in CORE11), 3)
     out = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
+        "core11_total_r1_comparable": core11,
         "queries": timings,
         "samples": all_samples,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

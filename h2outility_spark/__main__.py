@@ -45,9 +45,49 @@ def main(argv: list[str] | None = None) -> int:
     p_hist = sub.add_parser("tx-history", help="print a transactional table's commit history")
     p_hist.add_argument("--table", required=True)
 
+    p_q = sub.add_parser("query", help="run a registered workload query by name")
+    p_q.add_argument("name", help="registry name (see `queries` subcommand)")
+    p_q.add_argument("--data", required=True, help="sf_dir with the parquet tables")
+    p_q.add_argument("--out", help="write result parquet here instead of printing")
+    p_q.add_argument("--limit", type=int, default=20, help="rows to print (default 20)")
+
+    p_ex = sub.add_parser("explain", help="print a registered query's physical plan")
+    p_ex.add_argument("name")
+    p_ex.add_argument("--data", required=True)
+
+    sub.add_parser("queries", help="list all registered query names")
+
     args = parser.parse_args(argv)
 
+    if args.cmd == "queries":
+        from h2outility_spark import workload
+
+        for name, spec in workload.registry().items():
+            print(f"{name:32s} {spec.description.splitlines()[0][:90]}")
+        return 0
+
     from h2outility_spark.session import get_spark
+
+    if args.cmd in ("query", "explain"):
+        from h2outility_spark import workload
+
+        reg = workload.registry()
+        if args.name not in reg:
+            print(f"unknown query {args.name!r}; run `queries` to list", file=sys.stderr)
+            return 2
+        spark = get_spark("h2outility-cli")
+        df = reg[args.name].fn(spark, args.data)
+        if args.cmd == "explain":
+            print(df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+            ))
+            return 0
+        if args.out:
+            df.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
+        else:
+            df.show(args.limit, truncate=False)
+        return 0
 
     if args.cmd == "tx-history":
         from h2outility_spark.storage_tx import TxTable

@@ -140,3 +140,62 @@ def load_jdbc(
     for k, v in (properties or {}).items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+# ---------------------------------------------------------------------------
+# Multi-dialect JDBC URL construction (S1)
+# ---------------------------------------------------------------------------
+
+#: engine -> (jdbc url template, driver class). The reference assembled
+#: SQLAlchemy connection strings per engine
+#: (service_manager.py:121-159 __build_connection_string — mssql via
+#: pyodbc/FreeTDS, mysql via pymysql, postgresql via psycopg2, sqlite by
+#: file path); the Spark-native form is a JDBC url + driver class handed to
+#: the DataSource V1 jdbc reader. Driver JARS are deployment artifacts
+#: (none ship in this container — the jdbc PATH itself is proven against
+#: embedded Derby in tests/test_jdbc_derby.py); url construction is pure
+#: string logic and fully testable.
+JDBC_DIALECTS: dict[str, tuple[str, str]] = {
+    "mssql": (
+        "jdbc:sqlserver://{host}:{port};databaseName={db}",
+        "com.microsoft.sqlserver.jdbc.SQLServerDriver",
+    ),
+    "mysql": ("jdbc:mysql://{host}:{port}/{db}", "com.mysql.cj.jdbc.Driver"),
+    "postgresql": ("jdbc:postgresql://{host}:{port}/{db}", "org.postgresql.Driver"),
+    "sqlite": ("jdbc:sqlite:{db}", "org.sqlite.JDBC"),
+    "derby": ("jdbc:derby:{db};create=true", "org.apache.derby.jdbc.EmbeddedDriver"),
+}
+
+
+def jdbc_url(engine: str, db: str, host: str = "localhost", port: int | None = None) -> tuple[str, str]:
+    """(url, driver_class) for a dialect. File-backed engines (sqlite,
+    derby) take ``db`` as a path and ignore host/port."""
+    if engine not in JDBC_DIALECTS:
+        raise ValueError(f"unknown JDBC dialect {engine!r}; known: {sorted(JDBC_DIALECTS)}")
+    template, driver = JDBC_DIALECTS[engine]
+    default_ports = {"mssql": 1433, "mysql": 3306, "postgresql": 5432}
+    port = port if port is not None else default_ports.get(engine, 0)
+    return template.format(host=host, port=port, db=db), driver
+
+
+def load_dialect_table(
+    spark: SparkSession,
+    engine: str,
+    db: str,
+    table_or_query: str,
+    host: str = "localhost",
+    port: int | None = None,
+    user: str | None = None,
+    password: str | None = None,
+    **partition_kwargs,
+) -> DataFrame:
+    """Dialect-addressed JDBC scan: build the url/driver for ``engine`` and
+    read through load_jdbc (credentials go through reader options, never
+    into the url)."""
+    url, driver = jdbc_url(engine, db, host, port)
+    props = {"driver": driver}
+    if user is not None:
+        props["user"] = user
+    if password is not None:
+        props["password"] = password
+    return load_jdbc(spark, url, table_or_query, properties=props, **partition_kwargs)

@@ -15,6 +15,15 @@ clock-triggered deployments via ProcessingTimeTimeout; with the
 one-shot AvailableNow trigger used here, a timeout conf makes Spark spin
 empty timeout micro-batches forever after the data drains, so the
 operator runs with NoTimeout (verified empirically on Spark 4.1).
+
+Spark 4's successor API (``transformWithStateInPandas`` — typed value/
+list/map state, timers, TTL) is the intended upgrade path but is
+container-blocked here: its driver-side runner needs the Python
+``protobuf`` package, which this environment lacks (verified: the stream
+fails with ImportError google.protobuf.descriptor before the first
+batch). The operator surface below is API-compatible with that migration
+— state is already an explicit schema tuple and output an iterator of
+pandas frames.
 """
 
 from __future__ import annotations

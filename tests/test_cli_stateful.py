@@ -80,3 +80,25 @@ def test_stateful_ema_detector_streaming(spark, tmp_path):
     for r in rows[:50]:
         assert r["deviation"] >= 120.0
         assert abs(r["value"] - r["ema"]) - r["deviation"] < 1e-6
+
+
+def test_cli_query_and_explain(spark, tmp_path, capsys):
+    from h2outility_spark.__main__ import main
+
+    rc = main(["queries"])
+    assert rc == 0
+    names = capsys.readouterr().out
+    assert "tpch_q1" in names and "pq_search" in names
+
+    out = str(tmp_path / "q1_out")
+    rc = main(["query", "tpch_q1", "--data", SF_DIR, "--out", out])
+    assert rc == 0
+    assert spark.read.parquet(out).count() == 6
+
+    rc = main(["explain", "tpch_q1", "--data", SF_DIR])
+    assert rc == 0
+    plan = capsys.readouterr().out
+    assert "PushedFilters" in plan and "HashAggregate" in plan
+
+    rc = main(["query", "no_such_query", "--data", SF_DIR])
+    assert rc == 2

@@ -78,3 +78,44 @@ def test_jdbc_query_pushdown(spark, derby_url):
     back = load_jdbc(spark, derby_url, sub, properties={"driver": DRIVER})
     assert back.count() == 30
     assert set(r["tag"] for r in back.collect()) == {"t1"}
+
+
+def test_jdbc_dialect_urls():
+    """Dialect url construction (reference service_manager.py:121-159
+    analog): exact url + driver class per engine; unknown engines fail
+    loudly."""
+    import pytest
+
+    from h2outility_spark.sources.parquet import jdbc_url
+
+    assert jdbc_url("mssql", "odm", "dbhost") == (
+        "jdbc:sqlserver://dbhost:1433;databaseName=odm",
+        "com.microsoft.sqlserver.jdbc.SQLServerDriver",
+    )
+    assert jdbc_url("mysql", "odm", "h", 3307) == (
+        "jdbc:mysql://h:3307/odm", "com.mysql.cj.jdbc.Driver"
+    )
+    assert jdbc_url("postgresql", "odm") == (
+        "jdbc:postgresql://localhost:5432/odm", "org.postgresql.Driver"
+    )
+    assert jdbc_url("sqlite", "/data/odm.db")[0] == "jdbc:sqlite:/data/odm.db"
+    with pytest.raises(ValueError, match="unknown JDBC dialect"):
+        jdbc_url("oracle", "odm")
+
+
+def test_jdbc_dialect_round_trip_via_derby(spark, tmp_path):
+    """load_dialect_table drives the SAME partitioned jdbc reader the other
+    dialects use — proven end-to-end with the embedded engine we have."""
+    from h2outility_spark.sources.parquet import load_dialect_table, load_table
+    from tests.conftest import SF_DIR
+
+    db = str(tmp_path / "dialectdb")
+    src = load_table(spark, SF_DIR, "region")
+    url = f"jdbc:derby:{db};create=true"
+    (src.write.format("jdbc").option("url", url)
+        .option("dbtable", "region")
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver").save())
+    back = load_dialect_table(spark, "derby", db, "region")
+    assert sorted(r["r_name"] for r in back.collect()) == sorted(
+        r["r_name"] for r in src.collect()
+    )

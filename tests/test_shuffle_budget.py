@@ -1,0 +1,65 @@
+"""Shuffle budgets: the number of shuffle exchanges in a plan is the
+engine's scale signature — at 100 TB each extra Exchange is a full
+re-materialization of the stream. Pin the observed counts for the flagship
+queries so a refactor that silently adds a shuffle (e.g. a pivot falling
+back to two-phase, a window picking up a second partitioning, a join
+losing its broadcast) fails CI instead of the cluster.
+
+Counts are from the INITIAL physical plan at sf0.001 with the test
+session's broadcast thresholds; broadcasts are counted separately because
+a broadcast->shuffle flip is a different regression than an added
+aggregation phase."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from h2outility_spark import workload
+from tests.conftest import SF_DIR
+
+#: query -> (max shuffle exchanges, max broadcast exchanges)
+BUDGETS = {
+    # single-shuffle flagships: one logical regroup, no hidden second phase
+    "wide_export": (1, 0),        # pivot as conditional agg, NOT two-phase .pivot()
+    "series_catalog": (1, 0),
+    "tpch_q1": (1, 0),
+    "asof_join": (1, 0),          # union-sort-carry: one shuffle on the key
+    "sessionization": (1, 0),
+    "qc_interpolate": (1, 0),
+    "dedup_exact_docs": (1, 0),
+    "minhash_signatures": (1, 0),  # 128 min-aggs ride ONE explode->groupBy
+    "last_per_series": (1, 0),
+    # zero-shuffle scans
+    "extract_filtered": (0, 0),
+    "text_stats": (0, 0),
+    # joins: dims must broadcast, the fact stream shuffles at most once
+    "tpch_q3": (1, 2),
+    "tpch_q5": (1, 5),            # the whole star is broadcast-side
+    # multi-stage pipelines: budget = their designed stage count
+    "segment_dedup_docs": (2, 0),  # hash-window + reassembly groupBy
+    "pq_codes": (3, 1),
+    "corpus_clean": (4, 2),
+}
+
+
+@pytest.mark.parametrize("name", sorted(BUDGETS))
+def test_shuffle_budget(spark, name):
+    max_shuffles, max_broadcasts = BUDGETS[name]
+    plan = (
+        workload.registry()[name]
+        .fn(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    shuffles = len(re.findall(r"(?<!Broadcast)Exchange (hash|range|Single)", plan))
+    broadcasts = plan.count("BroadcastExchange")
+    assert shuffles <= max_shuffles, (
+        f"{name}: {shuffles} shuffle exchanges (budget {max_shuffles}) — "
+        f"a regroup phase crept in:\n{plan[:1500]}"
+    )
+    assert broadcasts <= max_broadcasts, (
+        f"{name}: {broadcasts} broadcast exchanges (budget {max_broadcasts})"
+    )
