@@ -606,3 +606,70 @@ def pq_codebooks_kmeans(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def ivfpq_search(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_probe: int = 2,
+    shortlist: int = 30,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """The composed IVF-PQ layering: the coarse quantizer (cells) prunes
+    WHICH vectors are scanned, PQ codes compress WHAT the scan reads, the
+    exact re-rank repairs ranking error on the shortlist.
+
+    Per query: probe the ``n_probe`` nearest cells by centroid cosine; ADC
+    score only the probed cells' candidates against their reconstructions;
+    exact-cosine re-rank the top ``shortlist``; emit top k. At 100 TB the
+    candidate table is partitioned by cell and stores (id, codes) — probing
+    is partition pruning and the scan reads 32x fewer bytes; FAISS's
+    IVFADC, as DataFrame ops.
+    """
+    from pyspark.sql import Window as W
+
+    cents = pack_centroids(centroids_by_label(embeddings, label_col, vec_col))
+    cbs = pq_codebooks(embeddings, m=m, dim=dim, vec_col=vec_col, label_col=label_col)
+    codes = pq_encode(embeddings, cbs, m=m, dim=dim, id_col=id_col, vec_col=vec_col)
+    recon = pq_reconstruct(codes, cbs, id_col=id_col)
+
+    q = queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv"))
+    scored_cells = q.join(F.broadcast(cents)).select(
+        "query_id", "qv", "cell", cosine(F.col("qv"), F.col("cvec")).alias("cell_sim")
+    )
+    wc = W.partitionBy("query_id").orderBy(F.col("cell_sim").desc(), F.col("cell"))
+    best_cells = (
+        scored_cells.withColumn("rk", F.row_number().over(wc))
+        .filter(F.col("rk") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+    cands = embeddings.select(
+        F.col(id_col).alias("cand_id"), F.col(label_col).alias("cell")
+    )
+    probed = (
+        cands.join(F.broadcast(best_cells), "cell")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .join(recon.withColumnRenamed(id_col, "cand_id"), "cand_id")
+        .select("query_id", "qv", "cand_id", cosine(F.col("qv"), F.col("rvec")).alias("asim"))
+    )
+    ws = W.partitionBy("query_id").orderBy(F.col("asim").desc(), F.col("cand_id"))
+    short = (
+        probed.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= shortlist)
+        .select("query_id", "qv", "cand_id")
+    )
+    ev = embeddings.select(F.col(id_col).alias("cand_id"), as_double(F.col(vec_col)).alias("cv"))
+    exact = short.join(ev, "cand_id").select(
+        "query_id", "cand_id", cosine(F.col("qv"), F.col("cv")).alias("cos_sim")
+    )
+    wk = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
+    return (
+        exact.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+    )

@@ -548,3 +548,70 @@ def pii_redact(col: Column) -> Column:
     out = F.regexp_replace(col, EMAIL_RE, "[EMAIL]")
     out = F.regexp_replace(out, SSN_RE, "[SSN]")
     return F.regexp_replace(out, PHONE_RE, "[PHONE]")
+
+
+# ---------------------------------------------------------------------------
+# Span-level decontamination (remove benchmark n-grams, keep the doc)
+# ---------------------------------------------------------------------------
+
+
+def decontaminate_spans(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Surgical decontamination: instead of dropping every training doc
+    that shares n-grams with the benchmark (contamination_overlap's
+    flag-then-drop), REMOVE exactly the token spans covered by a matching
+    n-gram and keep the rest of the document — the higher-yield policy
+    when contamination is a quoted snippet inside an otherwise-good doc.
+
+    Output: (id, clean_text, n_removed) per surviving doc; a doc whose
+    every token is covered disappears.
+
+    Scale: benchmark reduces to a DISTINCT n-gram set (tiny, broadcast by
+    AQE); positional n-grams ride the same per-doc window shuffle the
+    shingle pipeline uses; covered-position expansion is n rows per match;
+    the anti join and reassembly are both keyed by doc id. No step touches
+    corpus x corpus.
+    """
+    from pyspark.sql import Window as W, functions as F
+
+    bench_grams = (
+        benchmark.select(F.explode(shingles_expr(text_col, n)).alias("g")).distinct()
+    )
+    toks = (
+        docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("i", "w"))
+    )
+    w = W.partitionBy(id_col).orderBy("i")
+    parts = [F.col("w")] + [F.lead("w", k).over(w) for k in range(1, n)]
+    grams = (
+        toks.select(F.col(id_col), F.col("i"), *[p.alias(f"__w{k}") for k, p in enumerate(parts)])
+        .filter(F.col(f"__w{n - 1}").isNotNull())
+        .select(F.col(id_col), F.col("i"), F.concat_ws(" ", *[F.col(f"__w{k}") for k in range(n)]).alias("g"))
+    )
+    starts = grams.join(bench_grams, "g").select(id_col, "i")
+    covered = starts.select(
+        F.col(id_col), F.explode(F.sequence(F.col("i"), F.col("i") + F.lit(n - 1))).alias("i")
+    ).distinct()
+    kept = toks.join(covered, [id_col, "i"], "left_anti")
+    totals = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n_tok"))
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list(F.struct("i", "w"))), lambda s: s["w"]),
+                " ",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("__n_kept"),
+        )
+        .join(totals, id_col)
+        .select(
+            id_col,
+            "clean_text",
+            (F.col("__n_tok") - F.col("__n_kept")).cast("long").alias("n_removed"),
+        )
+    )

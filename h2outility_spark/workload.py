@@ -471,29 +471,30 @@ from h2outility_spark import workload_tpch  # noqa: E402,F401
 # (coverage map in README). Everything outside the window is still
 # oracle-checked every run by tests/test_oracle_parity.py + driver_sim.
 CHECKED_WINDOW = [
-    # -- sentinel core (10): §2 family flagships, proven r1/r3 -------------
-    # (six triple-green sentinels — series_catalog, extract_filtered,
-    # extract_incremental, tpch_q1/q3/q5 — ceded their slots to the six
-    # round-4 NEW queries below, which must start life inside the window;
-    # the ceded queries keep their r1+r3 driver rows and stay covered by
-    # test_oracle_parity + driver_sim every run)
+    # -- sentinel core (7): §2 family flagships, proven r1/r3 --------------
+    # (nine multi-green sentinels — series_catalog, extract_filtered,
+    # extract_incremental, tpch_q1/q3/q5, sessionization, asof_join,
+    # dedup_exact_docs — ceded their slots to the nine round-4 NEW queries
+    # below, which must start life inside the window; the ceded queries
+    # keep their r1+r3 driver rows and stay covered by test_oracle_parity +
+    # driver_sim every run)
     "wide_export",           # A1-A4 pivot flagship
     "qc_gaps",               # W1 (r2 red -> r3 green; keep watched)
     "qc_interpolate",        # W4 (r2 red -> r3 green; keep watched)
     "qc_drift",              # W5 (r2 red -> r3 green; keep watched)
-    "sessionization",        # W10 interval math
-    "asof_join",             # time alignment
-    "dedup_exact_docs",      # exact dedup family
     "corpus_clean",          # minhash->LSH->CC full chain
     "ivf_search",            # ANN scale path (probe economics changed r4)
     "kmeans_centroids",      # iterative algo + chained-CTE oracle
-    # -- round-4 additions (6): first driver rows this round ---------------
+    # -- round-4 additions (9): first driver rows this round ---------------
     "repetition_signals",    # Gopher-style repetition quality gates
     "segment_dedup_docs",    # CCNet-style corpus-wide segment dedup
     "pii_redact_docs",       # PII redaction regex parity
     "pq_codes",              # product-quantization encode
     "pq_search",             # PQ ADC search + exact re-rank
     "dedup_incremental",     # batch-vs-corpus ingest dedup
+    "decontaminate_spans",   # span-level benchmark decontamination
+    "ivfpq_search",          # composed IVF-PQ (cells prune, codes compress)
+    "quality_filter_fusion",  # composite quality gate + keep decision
     # -- never-driver-checked set (34): earn first green rows this round ---
     # rolling QC trio
     "qc_resample_ffill", "qc_median_despike", "qc_rolling_zscore",

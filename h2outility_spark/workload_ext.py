@@ -667,3 +667,53 @@ def q_pq_search(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 10)
     out = similarity.pq_search(emb, queries, k=3, shortlist=50)
     return out.select("query_id", "cand_id", fround(F.col("cos_sim"), 4).alias("cos_sim"))
+
+
+@query(
+    "ivfpq_search",
+    oracle="WITH " + _PQ_ENC_CTE + """,
+    recon AS (
+      SELECT enc.vec_id, flatten(list(cb2.cvec ORDER BY enc.s)) AS rvec
+      FROM enc JOIN cb cb2 ON cb2.s = enc.s AND cb2.code = enc.code
+      GROUP BY enc.vec_id),
+    centv AS (SELECT label AS cell, cvec FROM cl),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    qcell AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT q.query_id, q.qv, c.cell,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY list_inner_product(q.qv, c.cvec)
+                          / sqrt(list_inner_product(q.qv, q.qv)
+                                 * list_inner_product(c.cvec, c.cvec)) DESC, c.cell) AS rk
+        FROM q CROSS JOIN centv c) WHERE rk <= 2),
+    approx AS (
+      SELECT qc.query_id, qc.qv, e2.vec_id AS cand_id,
+             list_inner_product(qc.qv, r.rvec)
+               / sqrt(list_inner_product(qc.qv, qc.qv) * list_inner_product(r.rvec, r.rvec)) AS asim
+      FROM qcell qc
+      JOIN e e2 ON e2.label = qc.cell AND e2.vec_id <> qc.query_id
+      JOIN recon r ON r.vec_id = e2.vec_id),
+    short AS (SELECT query_id, qv, cand_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY asim DESC, cand_id) AS rn
+        FROM approx) WHERE rn <= 30),
+    ex AS (
+      SELECT s.query_id, s.cand_id,
+             list_inner_product(s.qv, e3.v)
+               / sqrt(list_inner_product(s.qv, s.qv) * list_inner_product(e3.v, e3.v)) AS cos_raw
+      FROM short s JOIN e e3 ON e3.vec_id = s.cand_id)
+    SELECT query_id, cand_id, floor(cos_raw * 10000.0 + 0.5) / 10000.0 AS cos_sim
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, cand_id) AS rk FROM ex)
+    WHERE rk <= 3
+    """,
+    description=(
+        "Composed IVF-PQ (FAISS IVFADC as DataFrame ops): probe the 2 nearest "
+        "cells, ADC-score only the probed cells' candidates against PQ "
+        "reconstructions, exact-re-rank the top 30, emit top 3 — cells prune the "
+        "scan, codes compress it, the re-rank repairs ranking error"
+    ),
+)
+def q_ivfpq_search(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = similarity.ivfpq_search(emb, queries, k=3, n_probe=2, shortlist=30)
+    return out.select("query_id", "cand_id", fround(F.col("cos_sim"), 4).alias("cos_sim"))

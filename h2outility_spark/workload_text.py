@@ -1155,3 +1155,137 @@ def q_dedup_incremental(spark, sf_dir):
     batch = docs.filter(F.col("doc_id") % 5 == 0)
     existing = docs.filter(F.col("doc_id") % 5 != 0)
     return dedup.incremental_neardup_filter(batch, existing, num_hashes=MINHASH_K)
+
+
+@query(
+    "decontaminate_spans",
+    oracle="WITH "
+    + TOKS_CTE
+    + """,
+    tg AS (
+      SELECT a.doc_id, a.i, a.w || ' ' || b.w || ' ' || c.w AS g
+      FROM toks a
+      JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      JOIN toks c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+    ),
+    bg AS (SELECT DISTINCT g FROM tg WHERE doc_id % 37 = 0),
+    starts AS (
+      SELECT t.doc_id, t.i FROM tg t JOIN bg USING (g) WHERE t.doc_id % 37 != 0
+    ),
+    covered AS (
+      SELECT DISTINCT s.doc_id, s.i + r.range AS pos
+      FROM starts s CROSS JOIN range(3) r
+    ),
+    kept AS (
+      SELECT t.doc_id, t.i, t.w
+      FROM toks t
+      WHERE t.doc_id % 37 != 0
+        AND NOT EXISTS (SELECT 1 FROM covered c WHERE c.doc_id = t.doc_id AND c.pos = t.i)
+    ),
+    tot AS (SELECT doc_id, count(*) AS n FROM toks WHERE doc_id % 37 != 0 GROUP BY 1)
+    SELECT k.doc_id,
+           string_agg(k.w, ' ' ORDER BY k.i) AS clean_text,
+           CAST(any_value(tot.n) - count(*) AS BIGINT) AS n_removed
+    FROM kept k JOIN tot ON tot.doc_id = k.doc_id
+    GROUP BY k.doc_id
+    """,
+    description=(
+        "Span-level decontamination: REMOVE exactly the token spans covered by a "
+        "benchmark trigram (doc_id%37==0 slice plays the benchmark) and keep the "
+        "rest of each training doc — surgical alternative to flag-and-drop; "
+        "benchmark reduces to a distinct-gram broadcast set"
+    ),
+)
+def q_decontaminate_spans(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    train = docs.filter(F.col("doc_id") % 37 != 0)
+    return text.decontaminate_spans(train, bench, n=3)
+
+
+@query(
+    "quality_filter_fusion",
+    oracle="WITH "
+    + TOKS_CTE
+    + """,
+    wc AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY 1, 2),
+    ws AS (SELECT doc_id, max(c) AS top_w, sum(c) AS n_tok FROM wc GROUP BY 1),
+    tg AS (
+      SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS t
+      FROM toks a
+      JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      JOIN toks c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+    ),
+    ts AS (SELECT doc_id, count(*) AS n_tg, count(DISTINCT t) AS d_tg FROM tg GROUP BY 1),
+    base AS (
+      SELECT d.doc_id,
+             CAST(length(regexp_replace(d.text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+               / CAST(length(d.text) AS DOUBLE) AS alpha_ratio,
+             ws.top_w, ws.n_tok, ts.d_tg, ts.n_tg
+      FROM documents d
+      JOIN ws ON ws.doc_id = d.doc_id
+      JOIN ts ON ts.doc_id = d.doc_id
+      WHERE ws.n_tok >= 3 AND length(d.text) > 0
+    )
+    SELECT doc_id,
+           """
+    + sql_round(
+        "0.4 * alpha_ratio"
+        " + 0.3 * (CAST(d_tg AS DOUBLE) / n_tg)"
+        " + 0.3 * least(CAST(n_tok AS DOUBLE) / 80.0, 1.0)"
+        " - 0.2 * (CAST(top_w AS DOUBLE) / n_tok)",
+        4,
+    )
+    + """ AS quality_score,
+           CAST(("""
+    + "0.4 * alpha_ratio + 0.3 * (CAST(d_tg AS DOUBLE) / n_tg)"
+    + " + 0.3 * least(CAST(n_tok AS DOUBLE) / 80.0, 1.0)"
+    + " - 0.2 * (CAST(top_w AS DOUBLE) / n_tok)"
+    + """) >= 0.78 AS BOOLEAN) AS keep
+    FROM base
+    """,
+    description=(
+        "Quality-gate fusion: one linear score over alpha ratio, trigram "
+        "diversity, length saturation and top-word dominance, plus the keep "
+        "decision at 0.78 — the composite filter stage every corpus pipeline "
+        "ends with; all signals share the tokenize shuffle"
+    ),
+)
+def q_quality_filter_fusion(spark, sf_dir):
+    docs = _docs(spark, sf_dir).filter(F.length("text") > 0)
+    toks = docs.select("doc_id", text.tokens(F.col("text")).alias("__toks"))
+    words = (
+        toks.select("doc_id", F.explode("__toks").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_w"), F.sum("c").alias("n_tok"))
+    )
+    trigram_arr = F.expr(
+        "transform(sequence(1, size(__toks) - 2), i -> __toks[i-1] || ' ' || __toks[i] || ' ' || __toks[i+1])"
+    )
+    tris = (
+        toks.filter(F.size("__toks") >= 3)
+        .select("doc_id", F.explode(trigram_arr).alias("t"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tg"), F.countDistinct("t").alias("d_tg"))
+    )
+    alpha = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", "")).cast("double") / F.length(
+        "text"
+    ).cast("double")
+    base = (
+        docs.select("doc_id", alpha.alias("alpha_ratio"))
+        .join(words.filter(F.col("n_tok") >= 3), "doc_id")
+        .join(tris, "doc_id")
+    )
+    score = (
+        F.lit(0.4) * F.col("alpha_ratio")
+        + F.lit(0.3) * (F.col("d_tg").cast("double") / F.col("n_tg"))
+        + F.lit(0.3) * F.least(F.col("n_tok").cast("double") / F.lit(80.0), F.lit(1.0))
+        - F.lit(0.2) * (F.col("top_w").cast("double") / F.col("n_tok"))
+    )
+    return base.select(
+        "doc_id",
+        fround(score, 4).alias("quality_score"),
+        (score >= 0.78).alias("keep"),
+    )

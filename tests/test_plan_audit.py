@@ -18,6 +18,7 @@ BNLJ_ALLOWED = {
     "tfidf_top_terms",  # 1-row corpus-count broadcast
     "neardup_embedding_pairs",  # brute-force verifier (neardup_embedding_lsh is the scale path)
     "pq_search",  # ADC scan: query-set broadcast against compressed codes by design
+    "ivfpq_search",  # query x broadcast centroid table for cell probing (both tiny)
     "funnel_conversion",  # three 1-row stage counts joined
     "tpch_q22_idle_rich_customers",  # correlated scalar average (1-row broadcast)
     "tpch_q11_value_share",  # 1-row global-threshold broadcast

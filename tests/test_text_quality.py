@@ -97,3 +97,23 @@ def test_pii_no_false_positives_on_clean_text(spark):
     )
     r = df.collect()[0]
     assert (r["n_email"], r["n_ssn"], r["n_phone"]) == (0, 0, 0)
+
+
+def test_decontaminate_spans_hand_computed(spark):
+    from h2outility_spark.operators.text import decontaminate_spans
+
+    bench = _docs(spark, [(100, "a b c")])
+    train = _docs(
+        spark,
+        [
+            (1, "x a b c y"),      # middle span removed -> "x y"
+            (2, "a b c"),          # fully covered -> disappears
+            (3, "p q r s"),        # untouched
+            (4, "a b c a b c z"),  # overlapping matches -> only "z" survives
+        ],
+    )
+    out = {r["doc_id"]: r for r in decontaminate_spans(train, bench, n=3).collect()}
+    assert set(out) == {1, 3, 4}
+    assert out[1]["clean_text"] == "x y" and out[1]["n_removed"] == 3
+    assert out[3]["clean_text"] == "p q r s" and out[3]["n_removed"] == 0
+    assert out[4]["clean_text"] == "z" and out[4]["n_removed"] == 6
