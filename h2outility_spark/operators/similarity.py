@@ -575,6 +575,7 @@ def pq_codebooks_kmeans(
     max_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_dp: int | None = None,
 ) -> DataFrame:
     """Production PQ codebooks: an independent k-means per subspace over
     that subspace's slices (the FAISS training recipe). m runs of Lloyd's
@@ -592,6 +593,10 @@ def pq_codebooks_kmeans(
             F.expr(f"slice(CAST({vec_col} AS ARRAY<DOUBLE>), {s * w + 1}, {w})").alias("embedding"),
         )
         cents = kmeans(sub, k=k, max_iter=max_iter, id_col=id_col, vec_col="embedding")
+        if round_dp is not None:
+            cents = cents.withColumn(
+                "centroid_val", _round_half_up(F.col("centroid_val"), round_dp)
+            )
         packed = (
             cents.groupBy("cluster")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "centroid_val"))).alias("pairs"))

@@ -479,13 +479,13 @@ CHECKED_WINDOW = [
     # keep their r1+r3 driver rows and stay covered by test_oracle_parity +
     # driver_sim every run)
     "wide_export",           # A1-A4 pivot flagship
-    "qc_gaps",               # W1 (r2 red -> r3 green; keep watched)
     "qc_interpolate",        # W4 (r2 red -> r3 green; keep watched)
     "qc_drift",              # W5 (r2 red -> r3 green; keep watched)
     "corpus_clean",          # minhash->LSH->CC full chain
     "ivf_search",            # ANN scale path (probe economics changed r4)
-    "kmeans_centroids",      # iterative algo + chained-CTE oracle
-    # -- round-4 additions (9): first driver rows this round ---------------
+    # -- round-4 additions (10): first driver rows this round --------------
+    # (kmeans_centroids ceded its slot to pq_codes_kmeans, which drives the
+    # same Lloyd machinery through all 8 subspaces jointly)
     "repetition_signals",    # Gopher-style repetition quality gates
     "segment_dedup_docs",    # CCNet-style corpus-wide segment dedup
     "pii_redact_docs",       # PII redaction regex parity
@@ -495,6 +495,11 @@ CHECKED_WINDOW = [
     "decontaminate_spans",   # span-level benchmark decontamination
     "ivfpq_search",          # composed IVF-PQ (cells prune, codes compress)
     "quality_filter_fusion",  # composite quality gate + keep decision
+    "pq_codes_kmeans",       # production PQ training+encode (grouped Lloyd oracle)
+    "shard_assignment",      # deterministic training-shard fan-out
+    # (qc_gaps ceded its slot: its r2 failure mode — NTZ timestamp drift —
+    # is now guarded by two scan-boundary layers plus tests/test_ntz.py,
+    # and it keeps its r3 driver row)
     # -- never-driver-checked set (34): earn first green rows this round ---
     # rolling QC trio
     "qc_resample_ffill", "qc_median_despike", "qc_rolling_zscore",

@@ -717,3 +717,80 @@ def q_ivfpq_search(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 10)
     out = similarity.ivfpq_search(emb, queries, k=3, n_probe=2, shortlist=30)
     return out.select("query_id", "cand_id", fround(F.col("cos_sim"), 4).alias("cos_sim"))
+
+
+def _pq_kmeans_oracle(m: int = 8, w: int = 8, k: int = 8, iters: int = 2) -> str:
+    """PQ with per-subspace k-means codebooks, unrolled as grouped chained
+    CTEs — the production training recipe made driver-hashable. Same parity
+    devices as _kmeans_oracle (workload_text): seeds are the first k
+    vectors' slices (cluster id = rank order, identical for every subspace
+    because every subspace has the same vec_ids), assignment argmin via
+    c·c − 2·v·c with sequential-fold inner products, empty clusters keep
+    their previous centroid, intermediate centroids stay RAW and only the
+    final codebook rounds to 6 dp before the encode argmin (mirroring
+    pq_codebooks_kmeans(round_dp=6))."""
+    parts = [
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        (
+            "subs AS (SELECT vec_id, CAST(s.range AS INT) AS s, "
+            f"list_slice(v, CAST(s.range * {w} + 1 AS INT), CAST(s.range * {w} + {w} AS INT)) AS vs "
+            f"FROM e CROSS JOIN range({m}) s)"
+        ),
+        (
+            "c0 AS (SELECT s, cluster, cvec FROM ("
+            "SELECT subs.s, subs.vs AS cvec, "
+            "(row_number() OVER (PARTITION BY subs.s ORDER BY subs.vec_id)) - 1 AS cluster "
+            f"FROM subs) WHERE cluster < {k})"
+        ),
+    ]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f"a{i} AS (SELECT vec_id, s, vs, cluster FROM ("
+            "SELECT subs.vec_id, subs.s, subs.vs, c.cluster, "
+            "row_number() OVER (PARTITION BY subs.vec_id, subs.s "
+            "ORDER BY list_inner_product(c.cvec, c.cvec) - 2.0 * list_inner_product(subs.vs, c.cvec), "
+            f"c.cluster) AS rn FROM subs JOIN {prev} c ON c.s = subs.s) WHERE rn = 1)"
+        )
+        parts.append(
+            f"p{i} AS (SELECT s, cluster, r.range AS pos, avg(vs[CAST(r.range AS INT) + 1]) AS cv "
+            f"FROM a{i} CROSS JOIN range({w}) r GROUP BY 1, 2, 3)"
+        )
+        parts.append(
+            f"g{i} AS (SELECT s, cluster, list(cv ORDER BY pos) AS cvec FROM p{i} GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"c{i} AS (SELECT c.s, c.cluster, coalesce(g.cvec, c.cvec) AS cvec "
+            f"FROM {prev} c LEFT JOIN g{i} g ON g.s = c.s AND g.cluster = c.cluster)"
+        )
+        prev = f"c{i}"
+    parts.append(
+        "cbp AS (SELECT s, cluster AS code, r.range AS pos, "
+        "floor(cvec[CAST(r.range AS INT) + 1] * 1000000.0 + 0.5) / 1000000.0 AS cv "
+        f"FROM {prev} CROSS JOIN range({w}) r)"
+    )
+    parts.append("cbr AS (SELECT s, code, list(cv ORDER BY pos) AS cvec FROM cbp GROUP BY 1, 2)")
+    parts.append(
+        "enc AS (SELECT vec_id, s, code FROM ("
+        "SELECT subs.vec_id, subs.s, cb.code, "
+        "row_number() OVER (PARTITION BY subs.vec_id, subs.s "
+        "ORDER BY list_inner_product(cb.cvec, cb.cvec) - 2.0 * list_inner_product(subs.vs, cb.cvec), "
+        "cb.code) AS rn FROM subs JOIN cbr cb ON cb.s = subs.s) WHERE rn = 1)"
+    )
+    return ",\n".join(parts) + "\nSELECT vec_id, s, code FROM enc"
+
+
+@query(
+    "pq_codes_kmeans",
+    oracle=_pq_kmeans_oracle(),
+    description=(
+        "Production PQ encode: per-subspace k-means codebooks (k=8, 2 Lloyd "
+        "iterations per subspace — the FAISS training recipe) rounded 6dp, then "
+        "the per-(vector, subspace) argmin code; oracle unrolls all subspaces' "
+        "k-means jointly as grouped chained CTEs"
+    ),
+)
+def q_pq_codes_kmeans(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    cbs = similarity.pq_codebooks_kmeans(emb, m=8, dim=64, k=8, max_iter=2, round_dp=6)
+    return similarity.pq_encode(emb, cbs)

@@ -1289,3 +1289,36 @@ def q_quality_filter_fusion(spark, sf_dir):
         fround(score, 4).alias("quality_score"),
         (score >= 0.78).alias("keep"),
     )
+
+
+@query(
+    "shard_assignment",
+    oracle="""
+    SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 16 AS INT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0 THEN 0
+                         ELSE array_length(regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) END)
+                AS BIGINT) AS total_tokens
+    FROM documents
+    GROUP BY 1
+    """,
+    description=(
+        "Training-shard assignment: deterministic md5-bucket % 16 per doc (no RNG "
+        "state, reproducible across engines/partitionings) + per-shard doc and "
+        "token totals — the final fan-out of corpus assembly (mixture_sample -> "
+        "pack_sequences -> shards); one combiner-friendly groupBy"
+    ),
+)
+def q_shard_assignment(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    shard = (
+        F.expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT) % 16")
+    ).cast("int")
+    return (
+        docs.select(shard.alias("shard"), text.token_count(F.col("text")).alias("__nt"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__nt").cast("long").alias("total_tokens"),
+        )
+    )
