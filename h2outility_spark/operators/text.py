@@ -615,3 +615,79 @@ def decontaminate_spans(
             (F.col("__n_tok") - F.col("__n_kept")).cast("long").alias("n_removed"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (Rabin-style boundaries on the token stream)
+# ---------------------------------------------------------------------------
+
+
+def cdc_segments(
+    docs: DataFrame,
+    divisor: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-defined segmentation: a token position starts a new segment
+    when the hash of its 2-token context satisfies hash % divisor == 0 —
+    so boundaries follow CONTENT, not offsets. An insertion near the start
+    of a document only perturbs segments up to the next boundary, where
+    fixed-width segmentation (segments_expr) shifts every downstream
+    segment — CDC is what makes segment-level dedup robust to prefix edits
+    (the rsync/LBFS boundary trick applied to token streams).
+
+    Output: (id, seg_idx, seg) — average segment length ~= divisor tokens.
+    Scale: one per-doc window pass (lag + running sum), shuffle keyed by
+    doc id, reused by the downstream groupBy.
+    """
+    from pyspark.sql import Window as W, functions as F
+
+    toks = (
+        docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("i", "w"))
+    )
+    win = W.partitionBy(id_col).orderBy("i")
+    ctx = F.concat_ws(" ", F.lag("w", 1).over(win), F.col("w"))
+    bucket = F.expr("CAST(conv(substr(md5(__ctx), 1, 4), 16, 10) AS INT)")
+    marked = toks.withColumn("__ctx", ctx).withColumn(
+        "__bnd", F.when((F.col("i") > 0) & (bucket % divisor == 0), 1).otherwise(0)
+    )
+    seg_idx = F.sum("__bnd").over(win.rowsBetween(W.unboundedPreceding, 0))
+    segs = marked.withColumn("seg_idx", seg_idx)
+    return (
+        segs.groupBy(id_col, "seg_idx")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list(F.struct("i", "w"))), lambda s: s["w"]),
+                " ",
+            ).alias("seg")
+        )
+        .select(id_col, F.col("seg_idx").cast("long").alias("seg_idx"), "seg")
+    )
+
+
+def cdc_segment_dedup(
+    docs: DataFrame,
+    divisor: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """segment_dedup with content-defined boundaries: keep the first
+    corpus-wide occurrence of each CDC segment, reassemble documents from
+    the survivors. Same keep-first/reassembly machinery as segment_dedup —
+    only the segmenter differs."""
+    from pyspark.sql import Window as W, functions as F
+
+    segs = cdc_segments(docs, divisor, id_col, text_col)
+    w = W.partitionBy(F.md5(F.encode(F.col("seg"), "UTF-8"))).orderBy(id_col, "seg_idx")
+    kept = segs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").cast("long").alias("n_seg_kept"),
+    )

@@ -1322,3 +1322,50 @@ def q_shard_assignment(spark, sf_dir):
             F.sum("__nt").cast("long").alias("total_tokens"),
         )
     )
+
+
+@query(
+    "cdc_segment_dedup",
+    oracle="WITH "
+    + TOKS_CTE
+    + """,
+    lagged AS (
+      SELECT doc_id, i, w, lag(w) OVER (PARTITION BY doc_id ORDER BY i) AS lagw
+      FROM toks
+    ),
+    marked AS (
+      SELECT doc_id, i, w,
+             CASE WHEN i > 1
+                   AND CAST(('0x' || substr(md5(lagw || ' ' || w), 1, 4))::BIGINT AS INT) % 8 = 0
+                  THEN 1 ELSE 0 END AS bnd
+      FROM lagged
+    ),
+    segd AS (
+      SELECT doc_id, i, w,
+             sum(bnd) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_idx
+      FROM marked
+    ),
+    segs AS (
+      SELECT doc_id, seg_idx, string_agg(w, ' ' ORDER BY i) AS seg
+      FROM segd GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT doc_id, seg_idx, seg,
+             row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, seg_idx) AS rn
+      FROM segs
+    )
+    SELECT doc_id,
+           string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text,
+           CAST(count(*) AS BIGINT) AS n_seg_kept
+    FROM ranked WHERE rn = 1 GROUP BY doc_id
+    """,
+    description=(
+        "Content-defined-chunking dedup: Rabin-style boundaries on the token "
+        "stream (hash of 2-token context % 8 == 0) instead of fixed offsets, so "
+        "prefix insertions only perturb segments up to the next boundary; then "
+        "the same keep-first-occurrence dedup and document reassembly"
+    ),
+)
+def q_cdc_segment_dedup(spark, sf_dir):
+    return text.cdc_segment_dedup(_docs(spark, sf_dir), divisor=8)

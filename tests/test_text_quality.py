@@ -117,3 +117,27 @@ def test_decontaminate_spans_hand_computed(spark):
     assert out[1]["clean_text"] == "x y" and out[1]["n_removed"] == 3
     assert out[3]["clean_text"] == "p q r s" and out[3]["n_removed"] == 0
     assert out[4]["clean_text"] == "z" and out[4]["n_removed"] == 6
+
+
+def test_cdc_dedup_robust_to_prefix_insertion_where_fixed_is_not(spark):
+    """The CDC motivation, demonstrated: inserting ONE token at the front
+    of a duplicated document shifts every fixed-width segment (so fixed
+    segment_dedup dedups nothing), while content-defined boundaries
+    re-align after the insertion (so cdc_segment_dedup drops the shared
+    tail segments)."""
+    from h2outility_spark.operators.text import cdc_segment_dedup
+
+    words = [f"w{i}" for i in range(60)]
+    original = " ".join(words)
+    shifted = "NEW " + original
+    docs = _docs(spark, [(1, original), (2, shifted)])
+
+    fixed = {r["doc_id"]: r for r in segment_dedup(docs, k=8).collect()}
+    # offset shift -> no 8-token window of doc 2 equals any of doc 1's
+    assert fixed[2]["clean_text"] == shifted
+
+    cdc = {r["doc_id"]: r for r in cdc_segment_dedup(docs, divisor=8).collect()}
+    assert cdc[1]["clean_text"] == original  # first occurrence intact
+    kept2 = cdc[2]["clean_text"].split()
+    assert len(kept2) < len(shifted.split())  # shared tail segments dropped
+    assert kept2[0] == "NEW"                  # the novel prefix survives
