@@ -632,10 +632,27 @@ def q_pq_codes(spark, sf_dir):
 
 @query(
     "pq_search",
-    oracle="WITH " + _PQ_ENC_CTE + """,
+    oracle=None,  # assigned below — full production chain via _pq_kmeans_oracle
+    description=(
+        "Production PQ ANN search end-to-end: per-subspace k-means codebooks "
+        "(k=8, 2 Lloyd iterations), ADC scan over reconstructed (quantized) "
+        "vectors -> top-50 shortlist -> exact cosine re-rank -> top-3; at scale "
+        "the ADC scan reads 8-byte codes instead of 256-byte floats (32x "
+        "bandwidth), layerable under IVF cells for scan skipping"
+    ),
+)
+def q_pq_search(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    cbs = similarity.pq_codebooks_kmeans(emb, m=8, dim=64, k=8, max_iter=2, round_dp=6)
+    out = similarity.pq_search(emb, queries, k=3, shortlist=50, codebooks=cbs)
+    return out.select("query_id", "cand_id", fround(F.col("cos_sim"), 4).alias("cos_sim"))
+
+
+_PQ_SEARCH_TAIL = """
     recon AS (
       SELECT enc.vec_id, flatten(list(cb2.cvec ORDER BY enc.s)) AS rvec
-      FROM enc JOIN cb cb2 ON cb2.s = enc.s AND cb2.code = enc.code
+      FROM enc JOIN cbr cb2 ON cb2.s = enc.s AND cb2.code = enc.code
       GROUP BY enc.vec_id),
     q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
     approx AS (
@@ -654,19 +671,8 @@ def q_pq_codes(spark, sf_dir):
     SELECT query_id, cand_id, floor(cos_raw * 10000.0 + 0.5) / 10000.0 AS cos_sim
     FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, cand_id) AS rk FROM ex)
     WHERE rk <= 3
-    """,
-    description=(
-        "PQ ANN search: ADC scan over reconstructed (quantized) vectors -> top-50 "
-        "shortlist -> exact cosine re-rank -> top-3; at scale the ADC scan reads "
-        "8-byte codes instead of 256-byte floats (32x bandwidth), layerable under "
-        "IVF cells for scan skipping"
-    ),
-)
-def q_pq_search(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10)
-    out = similarity.pq_search(emb, queries, k=3, shortlist=50)
-    return out.select("query_id", "cand_id", fround(F.col("cos_sim"), 4).alias("cos_sim"))
+    """
+
 
 
 @query(
@@ -719,7 +725,7 @@ def q_ivfpq_search(spark, sf_dir):
     return out.select("query_id", "cand_id", fround(F.col("cos_sim"), 4).alias("cos_sim"))
 
 
-def _pq_kmeans_oracle(m: int = 8, w: int = 8, k: int = 8, iters: int = 2) -> str:
+def _pq_kmeans_oracle(m: int = 8, w: int = 8, k: int = 8, iters: int = 2, tail: str | None = None) -> str:
     """PQ with per-subspace k-means codebooks, unrolled as grouped chained
     CTEs — the production training recipe made driver-hashable. Same parity
     devices as _kmeans_oracle (workload_text): seeds are the first k
@@ -777,7 +783,9 @@ def _pq_kmeans_oracle(m: int = 8, w: int = 8, k: int = 8, iters: int = 2) -> str
         "ORDER BY list_inner_product(cb.cvec, cb.cvec) - 2.0 * list_inner_product(subs.vs, cb.cvec), "
         "cb.code) AS rn FROM subs JOIN cbr cb ON cb.s = subs.s) WHERE rn = 1)"
     )
-    return ",\n".join(parts) + "\nSELECT vec_id, s, code FROM enc"
+    if tail is None:
+        tail = "SELECT vec_id, s, code FROM enc"
+    return ",\n".join(parts) + "\n" + tail
 
 
 @query(
@@ -794,3 +802,10 @@ def q_pq_codes_kmeans(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     cbs = similarity.pq_codebooks_kmeans(emb, m=8, dim=64, k=8, max_iter=2, round_dp=6)
     return similarity.pq_encode(emb, cbs)
+
+
+# pq_search's oracle needs _pq_kmeans_oracle (defined above after the query
+# for readability): splice the search tail after the enc CTE.
+from h2outility_spark.workload import REGISTRY  # noqa: E402
+
+REGISTRY["pq_search"].oracle = _pq_kmeans_oracle(tail="," + _PQ_SEARCH_TAIL)
