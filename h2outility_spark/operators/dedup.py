@@ -543,3 +543,75 @@ def incremental_neardup_filter(
         .distinct()
     )
     return survivors.join(drops, id_col, "left_anti").select(id_col, "fp")
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-substring spans (the "Deduplicating Training Data Makes
+# Language Models Better" recipe, window-hashed instead of suffix-arrayed)
+# ---------------------------------------------------------------------------
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    window: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal per-document spans of text whose every ``window``-token
+    substring also occurs elsewhere in the corpus (another doc, or another
+    position of the same doc) — the exact-substring-duplication signal
+    Lee et al. remove with a suffix array. A window-hash formulation
+    distributes better than suffix arrays: any duplicated substring of
+    length >= window contains only duplicated windows, so the union of
+    duplicated windows covers it; consecutive covered positions then merge
+    into maximal spans (gaps-and-islands on the position sequence).
+
+    Output: (id, span_start, span_end, span_tokens) per maximal span,
+    positions 0-based token indices, end exclusive.
+
+    Scale: |tokens| window rows -> one count-keyed groupBy (combiner
+    collapses per-partition repeats) -> a broadcast-or-shuffle semi join
+    back, island merge per doc. No suffix sorting, no corpus x corpus.
+    """
+    from pyspark.sql import Window as W
+
+    from h2outility_spark.operators.text import tokens
+
+    toks = (
+        docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("i", "w"))
+    )
+    win = W.partitionBy(id_col).orderBy("i")
+    parts = [F.col("w")] + [F.lead("w", k).over(win) for k in range(1, window)]
+    wins = (
+        toks.select(F.col(id_col), F.col("i"), *[p.alias(f"__w{k}") for k, p in enumerate(parts)])
+        .filter(F.col(f"__w{window - 1}").isNotNull())
+        .select(
+            F.col(id_col),
+            F.col("i"),
+            F.md5(F.encode(F.concat_ws(" ", *[F.col(f"__w{k}") for k in range(window)]), "UTF-8")).alias("h"),
+        )
+    )
+    dup_hashes = wins.groupBy("h").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") >= 2).select("h")
+    dup_starts = wins.join(dup_hashes, "h").select(id_col, "i")
+    covered = (
+        dup_starts.select(
+            F.col(id_col), F.explode(F.sequence(F.col("i"), F.col("i") + F.lit(window - 1))).alias("pos")
+        )
+        .distinct()
+    )
+    # gaps-and-islands: consecutive covered positions merge into one span
+    wisl = W.partitionBy(id_col).orderBy("pos")
+    islands = covered.withColumn(
+        "grp", F.col("pos") - F.row_number().over(wisl)
+    )
+    return (
+        islands.groupBy(id_col, "grp")
+        .agg(F.min("pos").alias("span_start"), F.max("pos").alias("span_end_incl"))
+        .select(
+            id_col,
+            F.col("span_start").cast("long"),
+            (F.col("span_end_incl") + 1).cast("long").alias("span_end"),
+            (F.col("span_end_incl") + 1 - F.col("span_start")).cast("long").alias("span_tokens"),
+        )
+    )

@@ -480,7 +480,6 @@ CHECKED_WINDOW = [
     # driver_sim every run)
     "wide_export",           # A1-A4 pivot flagship
     "qc_interpolate",        # W4 (r2 red -> r3 green; keep watched)
-    "corpus_clean",          # minhash->LSH->CC full chain
     "ivf_search",            # ANN scale path (probe economics changed r4)
     # -- round-4 additions (10): first driver rows this round --------------
     # (kmeans_centroids ceded its slot to pq_codes_kmeans, which drives the
@@ -498,6 +497,8 @@ CHECKED_WINDOW = [
     "shard_assignment",      # deterministic training-shard fan-out
     "cdc_segment_dedup",     # content-defined chunking dedup (qc_drift ceded:
                              # same NTZ guard rationale as qc_gaps, keeps r3 row)
+    "duplicated_spans",      # exact-substring dup spans (corpus_clean ceded,
+                             # r3 green and unchanged in r4; keeps its row)
     # (qc_gaps ceded its slot: its r2 failure mode — NTZ timestamp drift —
     # is now guarded by two scan-boundary layers plus tests/test_ntz.py,
     # and it keeps its r3 driver row)

@@ -1369,3 +1369,42 @@ def q_shard_assignment(spark, sf_dir):
 )
 def q_cdc_segment_dedup(spark, sf_dir):
     return text.cdc_segment_dedup(_docs(spark, sf_dir), divisor=8)
+
+
+@query(
+    "duplicated_spans",
+    oracle="WITH "
+    + TOKS_CTE
+    + """,
+    dl AS (SELECT doc_id, list(w ORDER BY i) AS ws FROM toks GROUP BY 1),
+    starts AS (
+      SELECT doc_id, ws, unnest(range(greatest(len(ws) - 15, 0))) AS i0 FROM dl
+    ),
+    wins AS (
+      SELECT doc_id, CAST(i0 AS BIGINT) AS i0,
+             md5(array_to_string(list_slice(ws, CAST(i0 + 1 AS INT), CAST(i0 + 16 AS INT)), ' ')) AS h
+      FROM starts
+    ),
+    dh AS (SELECT h FROM wins GROUP BY h HAVING count(*) >= 2),
+    ds AS (SELECT w.doc_id, w.i0 FROM wins w JOIN dh USING (h)),
+    cov AS (SELECT DISTINCT doc_id, i0 + r.range AS pos FROM ds CROSS JOIN range(16) r),
+    isl AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM cov
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 1 AS BIGINT) AS span_end,
+           CAST(max(pos) + 1 - min(pos) AS BIGINT) AS span_tokens
+    FROM isl GROUP BY doc_id, grp
+    """,
+    description=(
+        "Exact duplicated-substring spans (the suffix-array dedup recipe, "
+        "window-hashed to distribute): positions covered by a corpus-duplicated "
+        "16-token window, merged into maximal per-doc spans via gaps-and-islands "
+        "— one count-keyed groupBy + a semi join, no suffix sorting"
+    ),
+)
+def q_duplicated_spans(spark, sf_dir):
+    return dedup.duplicated_spans(_docs(spark, sf_dir), window=16)

@@ -48,3 +48,34 @@ def test_batch_internal_duplicates_both_survive(spark):
     batch = _docs(spark, [(10, dup), (11, dup)])
     kept = {r["doc_id"] for r in incremental_neardup_filter(batch, existing).collect()}
     assert kept == {10, 11}
+
+
+def test_duplicated_spans_hand_computed(spark):
+    """One 16-token substring shared between two docs -> exactly one
+    maximal span in each, at the right positions."""
+    from h2outility_spark.operators.dedup import duplicated_spans
+
+    shared = [f"s{i}" for i in range(16)]
+    doc1 = shared + [f"a{i}" for i in range(4)]              # shared at 0..15
+    doc2 = [f"b{i}" for i in range(5)] + shared + ["c0"]     # shared at 5..20
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=" ".join(doc1)), Row(doc_id=2, text=" ".join(doc2))]
+    )
+    out = sorted(map(tuple, duplicated_spans(docs, window=16).collect()))
+    assert out == [(1, 0, 16, 16), (2, 5, 21, 16)]
+
+
+def test_duplicated_spans_merges_overlapping_windows(spark):
+    """A 18-token shared substring yields 3 duplicated windows per doc that
+    merge into ONE maximal 18-token span."""
+    from h2outility_spark.operators.dedup import duplicated_spans
+
+    shared = [f"s{i}" for i in range(18)]
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=" ".join(shared + ["x"])),
+            Row(doc_id=2, text=" ".join(["y"] + shared)),
+        ]
+    )
+    out = sorted(map(tuple, duplicated_spans(docs, window=16).collect()))
+    assert out == [(1, 0, 18, 18), (2, 1, 19, 18)]

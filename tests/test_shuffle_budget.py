@@ -46,6 +46,11 @@ BUDGETS = {
 
 @pytest.mark.parametrize("name", sorted(BUDGETS))
 def test_shuffle_budget(spark, name):
+    # Another test may have .cache()d a shared intermediate (e.g. the
+    # minhash signature frame) — an InMemoryRelation swaps part of the
+    # plan and changes the exchange profile. Budgets are about the COLD
+    # plan, so measure without cache entries.
+    spark.catalog.clearCache()
     max_shuffles, max_broadcasts = BUDGETS[name]
     plan = (
         workload.registry()[name]
