@@ -615,3 +615,66 @@ def duplicated_spans(
             (F.col("span_end_incl") + 1 - F.col("span_start")).cast("long").alias("span_tokens"),
         )
     )
+
+
+def remove_duplicated_spans(
+    docs: DataFrame,
+    window: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The removal stage on top of duplicated_spans' detection: keep the
+    FIRST corpus occurrence (by doc id, then position) of every duplicated
+    ``window``-token substring and delete the positions covered by every
+    LATER occurrence, then reassemble documents. This is the suffix-dedup
+    policy (all-but-one occurrence removed) at window granularity.
+
+    Output: (id, clean_text, n_removed); a fully-duplicated doc
+    disappears. Same scale shape as duplicated_spans plus one rank over
+    the (tiny) duplicated-window set.
+    """
+    from pyspark.sql import Window as W
+
+    from h2outility_spark.operators.text import tokens
+
+    toks = (
+        docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("i", "w"))
+    )
+    win = W.partitionBy(id_col).orderBy("i")
+    parts = [F.col("w")] + [F.lead("w", k).over(win) for k in range(1, window)]
+    wins = (
+        toks.select(F.col(id_col), F.col("i"), *[p.alias(f"__w{k}") for k, p in enumerate(parts)])
+        .filter(F.col(f"__w{window - 1}").isNotNull())
+        .select(
+            F.col(id_col),
+            F.col("i"),
+            F.md5(F.encode(F.concat_ws(" ", *[F.col(f"__w{k}") for k in range(window)]), "UTF-8")).alias("h"),
+        )
+    )
+    wrank = W.partitionBy("h").orderBy(id_col, "i")
+    later = wins.withColumn("rn", F.row_number().over(wrank)).filter(F.col("rn") > 1)
+    covered = (
+        later.select(
+            F.col(id_col), F.explode(F.sequence(F.col("i"), F.col("i") + F.lit(window - 1))).alias("i")
+        )
+        .distinct()
+    )
+    kept = toks.join(covered, [id_col, "i"], "left_anti")
+    totals = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n_tok"))
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list(F.struct("i", "w"))), lambda s: s["w"]),
+                " ",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("__n_kept"),
+        )
+        .join(totals, id_col)
+        .select(
+            id_col,
+            "clean_text",
+            (F.col("__n_tok") - F.col("__n_kept")).cast("long").alias("n_removed"),
+        )
+    )

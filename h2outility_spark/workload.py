@@ -479,7 +479,6 @@ CHECKED_WINDOW = [
     # keep their r1+r3 driver rows and stay covered by test_oracle_parity +
     # driver_sim every run)
     "wide_export",           # A1-A4 pivot flagship
-    "qc_interpolate",        # W4 (r2 red -> r3 green; keep watched)
     "ivf_search",            # ANN scale path (probe economics changed r4)
     # -- round-4 additions (10): first driver rows this round --------------
     # (kmeans_centroids ceded its slot to pq_codes_kmeans, which drives the
@@ -499,6 +498,8 @@ CHECKED_WINDOW = [
                              # same NTZ guard rationale as qc_gaps, keeps r3 row)
     "duplicated_spans",      # exact-substring dup spans (corpus_clean ceded,
                              # r3 green and unchanged in r4; keeps its row)
+    "remove_duplicated_spans",  # suffix-dedup removal policy (qc_interpolate
+                             # ceded — r3 green, guarded by property+unit tests)
     # (qc_gaps ceded its slot: its r2 failure mode — NTZ timestamp drift —
     # is now guarded by two scan-boundary layers plus tests/test_ntz.py,
     # and it keeps its r3 driver row)

@@ -1408,3 +1408,46 @@ def q_cdc_segment_dedup(spark, sf_dir):
 )
 def q_duplicated_spans(spark, sf_dir):
     return dedup.duplicated_spans(_docs(spark, sf_dir), window=16)
+
+
+@query(
+    "remove_duplicated_spans",
+    oracle="WITH "
+    + TOKS_CTE
+    + """,
+    dl AS (SELECT doc_id, list(w ORDER BY i) AS ws FROM toks GROUP BY 1),
+    starts AS (
+      SELECT doc_id, ws, unnest(range(greatest(len(ws) - 15, 0))) AS i0 FROM dl
+    ),
+    wins AS (
+      SELECT doc_id, CAST(i0 AS BIGINT) AS i0,
+             md5(array_to_string(list_slice(ws, CAST(i0 + 1 AS INT), CAST(i0 + 16 AS INT)), ' ')) AS h
+      FROM starts
+    ),
+    later AS (
+      SELECT doc_id, i0 FROM (
+        SELECT doc_id, i0, row_number() OVER (PARTITION BY h ORDER BY doc_id, i0) AS rn
+        FROM wins) WHERE rn > 1
+    ),
+    cov AS (SELECT DISTINCT doc_id, i0 + r.range AS pos FROM later CROSS JOIN range(16) r),
+    kept AS (
+      SELECT t.doc_id, t.i, t.w
+      FROM toks t
+      WHERE NOT EXISTS (SELECT 1 FROM cov c WHERE c.doc_id = t.doc_id AND c.pos = t.i - 1)
+    ),
+    tot AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1)
+    SELECT k.doc_id,
+           string_agg(k.w, ' ' ORDER BY k.i) AS clean_text,
+           CAST(any_value(tot.n) - count(*) AS BIGINT) AS n_removed
+    FROM kept k JOIN tot ON tot.doc_id = k.doc_id
+    GROUP BY k.doc_id
+    """,
+    description=(
+        "Suffix-dedup removal policy at window granularity: keep the FIRST "
+        "corpus occurrence of every duplicated 16-token substring, delete the "
+        "positions covered by later occurrences, reassemble docs — the removal "
+        "stage composing with duplicated_spans' detection"
+    ),
+)
+def q_remove_duplicated_spans(spark, sf_dir):
+    return dedup.remove_duplicated_spans(_docs(spark, sf_dir), window=16)
