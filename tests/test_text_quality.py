@@ -141,3 +141,42 @@ def test_cdc_dedup_robust_to_prefix_insertion_where_fixed_is_not(spark):
     kept2 = cdc[2]["clean_text"].split()
     assert len(kept2) < len(shifted.split())  # shared tail segments dropped
     assert kept2[0] == "NEW"                  # the novel prefix survives
+
+
+def test_operators_handle_empty_and_unicode_text(spark):
+    """Edge hardening: blank/whitespace-only docs drop out of the
+    token-based operators instead of crashing or emitting junk; unicode
+    survives normalization, segmentation, and fingerprint-keyed dedup."""
+    from h2outility_spark.operators.text import repetition_signals
+
+    docs = _docs(
+        spark,
+        [
+            (1, ""),
+            (2, "   "),
+            (3, "héllo wörld héllo wörld héllo wörld"),
+            (4, "日本語 テスト 日本語 テスト 日本語"),
+        ],
+    )
+    rep = {r["doc_id"]: r for r in repetition_signals(docs).collect()}
+    assert set(rep) == {3, 4}
+    assert rep[3]["top_word_frac"] == 0.5
+
+    seg = {r["doc_id"]: r for r in segment_dedup(docs, k=2).collect()}
+    assert set(seg) == {3, 4}
+    # doc-INTERNAL repeats collapse too (keep-first is corpus-wide)
+    assert seg[3]["clean_text"] == "héllo wörld"
+    assert seg[4]["clean_text"] == "日本語 テスト 日本語"
+
+
+def test_pii_counts_null_text_stays_null_parity_shaped(spark):
+    """A NULL text column yields NULL counts (not 0, not an error) — the
+    same thing the DuckDB oracle produces, so a future corpus with nulls
+    hash-matches instead of crashing."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    df = spark.createDataFrame(
+        [(None,)], StructType([StructField("text", StringType(), True)])
+    ).select(*pii_counts(F.col("text")))
+    r = df.collect()[0]
+    assert (r["n_email"], r["n_ssn"], r["n_phone"]) == (None, None, None)
