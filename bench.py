@@ -74,7 +74,12 @@ def main() -> None:
         "qc_interpolate", "sessionization", "text_stats",
         "minhash_signatures", "embedding_knn", "asof_join",
     ]
-    core11 = round(sum(timings.get(n, 0.0) for n in CORE11), 3)
+    core11_missing = [n for n in CORE11 if n not in timings]
+    # a failed/missing core query must NOT silently shrink the comparable
+    # subtotal into a fake speedup — publish it as null + name the holes
+    core11 = (
+        round(sum(timings[n] for n in CORE11), 3) if not core11_missing else None
+    )
     out = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -84,6 +89,8 @@ def main() -> None:
         "samples": all_samples,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if core11_missing:
+        out["core11_missing"] = core11_missing
     if errors:
         out["errors"] = errors
     print(json.dumps(out))

@@ -516,6 +516,12 @@ def incremental_neardup_filter(
     signature/fingerprint tables are precomputed once and appended per
     ingest, so each day pays only its own batch. Returns surviving batch
     rows as (id, fp).
+
+    Caching contract: ``survivors`` is cached here because three branches
+    reuse it (signatures, the shingle union, the final anti join) — one
+    batch-sized frame, session-lifetime. A caller looping over many
+    batches in one session should ``spark.catalog.clearCache()`` between
+    ingests (or run each batch in its own session, the cron-job shape).
     """
     from h2outility_spark.operators.text import fingerprint
 

@@ -93,7 +93,11 @@ def extract_image_features(
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             data = pdf[data_col]
-            decoded = [fn(b if b is not None else b"") for b in data]
+            # NULL/empty payload -> null features (schema is nullable for
+            # exactly this); a missing asset must not abort the job. An
+            # UNDECODABLE payload still raises: silently nulling real bytes
+            # would hide corruption.
+            decoded = [(None, None, None) if not b else fn(b) for b in data]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf[id_col],
@@ -173,7 +177,10 @@ def resize_images(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            resized = [fn(b if b is not None else b"", side) for b in pdf[data_col]]
+            # NULL/empty payload passes through as null output row parts
+            resized = [
+                (None, None, None) if not b else fn(b, side) for b in pdf[data_col]
+            ]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf[id_col],
@@ -240,7 +247,8 @@ def extract_audio_features(
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             data = pdf[data_col]
-            decoded = [fn(b if b is not None else b"") for b in data]
+            # NULL/empty payload -> null features (see extract_image_features)
+            decoded = [(None, None, None, None) if not b else fn(b) for b in data]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf[id_col],

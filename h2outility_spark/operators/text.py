@@ -26,6 +26,14 @@ def normalize_ws(col: Column) -> Column:
     return F.trim(F.regexp_replace(col, r"\s+", " "))
 
 
+def _round_half_up(col: Column, n: int) -> Column:
+    """floor(x*10^n + 0.5)/10^n — the engine-portable rounding formula
+    (same as workload.fround / similarity._round_half_up), kept as a leaf
+    helper so the operators layer never imports the query registry."""
+    factor = float(10**n)
+    return F.floor(col * F.lit(factor) + F.lit(0.5)) / F.lit(factor)
+
+
 def token_count(col: Column) -> Column:
     """Whitespace token count; 0 for empty/blank text."""
     norm = normalize_ws(col)
@@ -47,11 +55,20 @@ def tokens(col: Column) -> Column:
 
 def shingles_expr(text_col: str = "text", n: int = 3) -> Column:
     """Shingles as a pure SQL expression over a named column (usable in
-    selects that need to stay inside codegen)."""
+    selects that need to stay inside codegen).
+
+    Total on short/blank input: a document with fewer than n tokens yields
+    an EMPTY array. The guard matters because Spark's ``sequence(1, 0)``
+    is DESCENDING ([1, 0]) rather than empty, and the transform would then
+    call ``slice(toks, 0, n)``, which throws INVALID_PARAMETER_VALUE.START
+    — one short row would abort the whole job (found by review: any < n
+    token benchmark doc crashed decontaminate_spans/contamination_overlap).
+    """
     toks = f"split(trim(regexp_replace({text_col}, '\\\\s+', ' ')), ' ')"
     return F.expr(
-        f"transform(sequence(1, greatest(size({toks}) - {n - 1}, 0)), "
-        f"i -> array_join(slice({toks}, i, {n}), ' '))"
+        f"CASE WHEN size({toks}) < {n} THEN array() "
+        f"ELSE transform(sequence(1, size({toks}) - {n - 1}), "
+        f"i -> array_join(slice({toks}, i, {n}), ' ')) END"
     )
 
 
@@ -451,17 +468,15 @@ def repetition_signals(
         .groupBy(id_col)
         .agg(F.count("*").alias("n_tg"), F.countDistinct("t").alias("d_tg"))
     )
-    from h2outility_spark.workload import fround
-
     return (
         words.filter(F.col("n_tok") >= 3)
         .join(bigrams, id_col)
         .join(trigrams, id_col)
         .select(
             id_col,
-            fround(F.col("top_w").cast("double") / F.col("n_tok"), 4).alias("top_word_frac"),
-            fround(F.col("top_b").cast("double") / F.col("n_bg"), 4).alias("top_bigram_frac"),
-            fround(
+            _round_half_up(F.col("top_w").cast("double") / F.col("n_tok"), 4).alias("top_word_frac"),
+            _round_half_up(F.col("top_b").cast("double") / F.col("n_bg"), 4).alias("top_bigram_frac"),
+            _round_half_up(
                 F.lit(1.0) - F.col("d_tg").cast("double") / F.col("n_tg"), 4
             ).alias("dup_trigram_frac"),
         )

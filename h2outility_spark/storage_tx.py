@@ -147,7 +147,28 @@ class TxTable:
         if v is None:
             return None
         with open(_manifest_path(self.table_dir, v)) as f:
-            return json.load(f)
+            return self._normalize_manifest(json.load(f))
+
+    @staticmethod
+    def _normalize_manifest(m: dict) -> dict:
+        """Read-compatibility for pre-segmentation manifests that carried
+        the full entry list inline under ``files``: surface them through
+        the segment interface (``_inline_files``) so snapshot/files/
+        restore/vacuum work unchanged on an existing table. New commits
+        always write the segmented format."""
+        if "segments" not in m:
+            if "files" not in m:
+                raise ValueError(
+                    f"unsupported manifest format (neither 'segments' nor 'files'): keys={sorted(m)}"
+                )
+            m = dict(m)
+            m["_inline_files"] = m.pop("files")
+            m["segments"] = []
+            m.setdefault("n_files", len(m["_inline_files"]))
+        else:
+            m.setdefault("_inline_files", [])
+            m.setdefault("n_files", sum(d.get("n_files", 0) for d in m["segments"]))
+        return m
 
     def files(self, version: int | None = None) -> list[dict]:
         """The materialized file-entry list of ``version`` (default:
@@ -158,10 +179,20 @@ class TxTable:
         return self._files_of(m)
 
     def _files_of(self, m: dict) -> list[dict]:
-        out: list[dict] = []
+        out: list[dict] = list(m.get("_inline_files", []))
         for d in m["segments"]:
             out.extend(self._read_segment(d["name"]))
         return out
+
+    def _segments_of(self, m: dict) -> list[dict]:
+        """Parent segments for a new commit. An old-format parent's inline
+        entries are materialized into real segment files here (idempotent:
+        content-addressed), so the upgrade happens on the first write and
+        every later commit carries them by name."""
+        segs = list(m["segments"])
+        if m.get("_inline_files"):
+            segs += self._write_segments(m["_inline_files"])
+        return segs
 
     def snapshot(self, version: int | None = None) -> DataFrame:
         """The table as of ``version`` (default: latest). Empty manifests
@@ -181,7 +212,7 @@ class TxTable:
         out = []
         for p in sorted(glob.glob(os.path.join(self.table_dir, _MANIFEST_DIR, "v*.json"))):
             with open(p) as f:
-                m = json.load(f)
+                m = self._normalize_manifest(json.load(f))
             out.append({k: m[k] for k in ("version", "op", "parent")} | {"n_files": m["n_files"]})
         return out
 
@@ -211,6 +242,14 @@ class TxTable:
                 with open(tmp, "w") as f:
                     f.write(payload)
                 os.replace(tmp, path)
+            else:
+                # Reusing an orphaned segment (lost race / vacuumed
+                # version): refresh mtime so vacuum's retention window
+                # re-protects it until this writer's commit publishes a
+                # manifest that references it — otherwise a concurrent
+                # vacuum could reclaim it between here and _commit and
+                # the commit would publish a corrupt snapshot.
+                os.utime(path, None)
             descs.append(self._describe(name, chunk))
         return descs
 
@@ -314,7 +353,7 @@ class TxTable:
         new = self._write_segments(self._stage_files(df))
         for _ in range(_retries):
             m = self.manifest()
-            base = list(m["segments"]) if m else []
+            base = self._segments_of(m) if m else []
             try:
                 return self._commit(self._compact(base + new), self._ddl(df), "append")
             except CommitConflict:
@@ -366,6 +405,11 @@ class TxTable:
             return lo is None or (stat_min is not None and (stat_max < lo or stat_min > hi))
 
         untouched_segs, carried_entries, overlapping = [], [], []
+        for entry in m["_inline_files"]:  # old-format parent: per-entry prune
+            if _misses(entry["min"].get(k0), entry["max"].get(k0)):
+                carried_entries.append(entry)
+            else:
+                overlapping.append(entry)
         for d in m["segments"]:
             if _misses(d["min"].get(k0), d["max"].get(k0)):
                 untouched_segs.append(d)  # carried by name — segment never read
@@ -408,7 +452,7 @@ class TxTable:
             raise FileNotFoundError(f"version {version} does not exist")
         while True:
             try:
-                return self._commit(m["segments"], m["schema"], "restore")
+                return self._commit(self._segments_of(m), m["schema"], "restore")
             except CommitConflict:
                 continue
 
@@ -443,7 +487,8 @@ class TxTable:
         referenced: set[str] = set()
         for p in glob.glob(os.path.join(self.table_dir, _MANIFEST_DIR, "v*.json")):
             with open(p) as f:
-                m = json.load(f)
+                m = self._normalize_manifest(json.load(f))
+            referenced.update(e["path"] for e in m["_inline_files"])
             for d in m["segments"]:
                 ref_segments.add(d["name"])
                 referenced.update(e["path"] for e in self._read_segment(d["name"]))

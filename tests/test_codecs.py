@@ -128,3 +128,38 @@ def test_extract_audio_features_default_codec(spark):
     )
     with pytest.raises(Exception, match="decode_fn|NotImplemented|no built-in"):
         multimodal.extract_audio_features(bad).collect()
+
+
+def test_null_and_empty_payloads_yield_null_features_not_job_abort(spark):
+    """One missing asset among millions must not kill the extraction job:
+    NULL/empty payloads produce null feature columns; undecodable REAL
+    bytes still raise (corruption must not silently null out)."""
+    import pytest
+    from pyspark.sql import Row
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from h2outility_spark.codecs import encode_bmp
+    from h2outility_spark.operators.multimodal import (
+        extract_image_features,
+        resize_images,
+    )
+
+    schema = StructType(
+        [StructField("asset_id", LongType()), StructField("data", BinaryType(), True)]
+    )
+    good = encode_bmp([[(10, 20, 30)] * 4 for _ in range(4)])
+    assets = spark.createDataFrame(
+        [Row(asset_id=1, data=good), Row(asset_id=2, data=None), Row(asset_id=3, data=b"")],
+        schema,
+    )
+    feats = {r["asset_id"]: r for r in extract_image_features(assets).collect()}
+    assert feats[1]["width"] == 4 and feats[1]["mean_luma"] is not None
+    for aid in (2, 3):
+        assert feats[aid]["width"] is None and feats[aid]["n_bytes"] == 0
+
+    res = {r["asset_id"]: r for r in resize_images(assets, max_side=2).collect()}
+    assert res[1]["data"] is not None and res[2]["data"] is None
+
+    bad = spark.createDataFrame([Row(asset_id=9, data=b"JFIFnotbmp")], schema)
+    with pytest.raises(Exception, match="no built-in decoder"):
+        extract_image_features(bad).collect()

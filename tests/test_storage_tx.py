@@ -243,3 +243,60 @@ def test_timestamp_merge_key_prunes(spark, tmp_path):
     assert jan_file in after, "January file is disjoint from a June update"
     got = {r["v"] for r in t.snapshot().collect()}
     assert got == {0, 1, 2, 100, 999, 102}  # 101's key replaced by the update
+
+
+def test_reads_and_upgrades_pre_segmentation_manifest(spark, table):
+    """A table whose manifests predate segmentation (inline 'files' list)
+    must stay fully readable — snapshot, files, history, vacuum — and the
+    FIRST write upgrades it: inline entries materialize into real
+    segments and carry over."""
+    table.append(kv(spark, [(1, "a"), (2, "b")]))
+    # rewrite the first version in the OLD format: inline files only
+    v0 = table.latest_version()
+    v1 = _manifest_path(table.table_dir, v0)
+    with open(v1) as f:
+        m = json.load(f)
+    entries = table.files(v0)
+    old = {k: m[k] for k in ("version", "op", "parent", "schema")}
+    old["files"] = entries
+    os.remove(v1)
+    with open(v1, "w") as f:
+        json.dump(old, f)
+    for seg in glob.glob(os.path.join(table.table_dir, "_manifests", "seg-*.json")):
+        os.remove(seg)  # simulate: old table never had segment files
+
+    assert rows_of(table.snapshot()) == [(1, "a"), (2, "b")]
+    assert table.history()[0]["n_files"] > 0
+    assert len(table.files()) == len(entries)
+
+    # first write upgrades: appended version carries the old entries
+    table.append(kv(spark, [(3, "c")]))
+    assert rows_of(table.snapshot()) == [(1, "a"), (2, "b"), (3, "c")]
+    m2 = table.manifest()
+    assert m2["segments"] and not m2["_inline_files"]
+
+    # restore of the OLD version also works (materializes its inline list)
+    table.restore(v0)
+    assert rows_of(table.snapshot()) == [(1, "a"), (2, "b")]
+
+    # merge against an old-format parent prunes per entry, not per segment
+    os.remove(_manifest_path(table.table_dir, v0 + 1))
+    os.remove(_manifest_path(table.table_dir, v0 + 2))
+    table.merge_upsert(kv(spark, [(2, "B"), (4, "d")]))
+    assert rows_of(table.snapshot()) == [(1, "a"), (2, "B"), (4, "d")]
+
+
+def test_reused_orphan_segment_gets_fresh_mtime(spark, table):
+    """Content-addressed segment reuse must refresh mtime: an orphaned
+    segment picked up by a new writer may not look 'old' to vacuum's
+    retention guard while the writer is between staging and commit."""
+    table.append(kv(spark, [(1, "a")]))
+    seg = glob.glob(os.path.join(table.table_dir, "_manifests", "seg-*.json"))[0]
+    past = 10_000
+    os.utime(seg, (os.path.getmtime(seg) - past, os.path.getmtime(seg) - past))
+    aged = os.path.getmtime(seg)
+
+    # a writer packing the SAME entries reuses the file — and must bump mtime
+    entries = table.files(table.latest_version())
+    table._write_segments(entries)
+    assert os.path.getmtime(seg) > aged + past / 2
