@@ -236,6 +236,86 @@ def stream_upsert_to_txtable(
     )
 
 
+def stream_dedup_ingest(
+    stream_docs: DataFrame,
+    table_dir: str,
+    checkpoint_path: str,
+    num_hashes: int = 8,
+    threshold: float = 0.2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_name: str = "dedup-ingest",
+):
+    """Streaming twin of the ``dedup_incremental`` batch query: a document
+    stream is continuously deduplicated AGAINST the accumulated corpus and
+    only novel docs are committed.
+
+    Per micro-batch:
+      1. batch-internal exact dedup — one representative (min id) per
+         normalized fingerprint, so two copies arriving together insert once;
+      2. corpus dedup — ``incremental_neardup_filter`` drops batch docs that
+         are exact (fingerprint) or near (minhash band collision + Jaccard >=
+         ``threshold``) duplicates of the corpus snapshot;
+      3. atomic commit — survivors (id, text, fp) are MERGEd into a
+         ``storage_tx.TxTable`` keyed by ``id_col``; readers only ever see
+         whole batches.
+
+    Later batches automatically dedup against earlier ones because the
+    corpus snapshot is re-read each batch. Exactly-once: the checkpoint
+    replays a failed batch, and a replayed batch is a no-op — every replayed
+    doc is now an exact fingerprint duplicate of the corpus, so the survivor
+    set is empty and no commit happens (history stays clean).
+
+    Scale: each batch pays |batch| x collision-rate, never corpus x corpus
+    (the band join is corpus-signatures x batch-signatures). At 100 TB the
+    corpus fingerprint/signature tables would be materialized once and
+    appended per commit instead of recomputed from text; the TxTable commit
+    itself is O(batch) (copy-on-write over overlapping files only).
+    """
+    from h2outility_spark.operators.dedup import incremental_neardup_filter
+    from h2outility_spark.operators.text import fingerprint
+    from h2outility_spark.storage_tx import TxTable
+
+    spark = stream_docs.sparkSession
+    table = TxTable(spark, table_dir, key_cols=[id_col])
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        wfp = batch_df.select(
+            F.col(id_col), F.col(text_col), fingerprint(F.col(text_col)).alias("fp")
+        )
+        reps = wfp.groupBy("fp").agg(F.min(id_col).alias(id_col))
+        batch_u = wfp.join(reps, [id_col, "fp"]).select(id_col, text_col, "fp")
+        if table.latest_version() is None:
+            novel = batch_u
+        else:
+            existing = table.snapshot().select(id_col, text_col)
+            survivors = incremental_neardup_filter(
+                batch_u.select(id_col, text_col),
+                existing,
+                num_hashes=num_hashes,
+                threshold=threshold,
+                id_col=id_col,
+                text_col=text_col,
+            )
+            novel = survivors.join(batch_u.select(id_col, text_col), id_col).select(
+                id_col, text_col, "fp"
+            )
+        if novel.limit(1).count() > 0:
+            table.merge_upsert(novel)
+        # incremental_neardup_filter's documented caching contract: it caches
+        # the survivor frame for intra-plan reuse; release between ingests so
+        # a long-running stream doesn't accumulate batch-sized cache entries.
+        spark.catalog.clearCache()
+
+    return (
+        stream_docs.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_path)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_available_now(stream_df: DataFrame, query_name: str = "drain") -> list:
     """Drain everything currently available (Trigger.AvailableNow), collect
     from the in-memory sink, stop — the cron-equivalent one-shot run (I1)."""

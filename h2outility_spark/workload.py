@@ -478,8 +478,12 @@ CHECKED_WINDOW = [
     # below, which must start life inside the window; the ceded queries
     # keep their r1+r3 driver rows and stay covered by test_oracle_parity +
     # driver_sim every run)
-    "wide_export",           # A1-A4 pivot flagship
-    "ivf_search",            # ANN scale path (probe economics changed r4)
+    # (wide_export and ivf_search — the last two sentinels — ceded their
+    # slots to the two late-round-4 planning queries below; both keep
+    # multi-round green driver rows, wide_export since r1 and ivf_search
+    # since r3, and stay oracle-checked every run)
+    "quality_calibrate_per_source",  # per-source percentile threshold calibration
+    "mixture_plan_tokens",   # uniform-mixture token budgeting (epoch plan)
     # -- round-4 additions (10): first driver rows this round --------------
     # (kmeans_centroids ceded its slot to pq_codes_kmeans, which drives the
     # same Lloyd machinery through all 8 subspaces jointly)

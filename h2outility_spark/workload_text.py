@@ -1451,3 +1451,151 @@ def q_duplicated_spans(spark, sf_dir):
 )
 def q_remove_duplicated_spans(spark, sf_dir):
     return dedup.remove_duplicated_spans(_docs(spark, sf_dir), window=16)
+
+
+# ---------------------------------------------------------------------------
+# Corpus assembly planning: per-source quality calibration + mixture budgeting
+# ---------------------------------------------------------------------------
+
+# The quality score both calibration queries rank on: alpha ratio blended with
+# length saturation. Kept deliberately cheap (no n-gram shuffle) because the
+# point of the query is the PER-SOURCE PERCENTILE machinery, not the score.
+_CAL_SCORE_SQL = (
+    "0.6 * coalesce(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)"
+    " / (CASE WHEN length(text) > 0 THEN CAST(length(text) AS DOUBLE) END), 0.0)"
+    " + 0.4 * least(CAST("
+    "CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0 THEN 0"
+    " ELSE array_length(regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) END"
+    " AS DOUBLE) / 80.0, 1.0)"
+)
+
+
+def _cal_score_col():
+    from h2outility_spark.operators.text import token_count
+
+    c = F.col("text")
+    n = F.length(c).cast("double")
+    alpha = F.length(F.regexp_replace(c, "[^A-Za-z]", "")).cast("double")
+    alpha_ratio = F.coalesce(alpha / F.when(n > 0, n), F.lit(0.0))
+    sat = F.least(token_count(c).cast("double") / F.lit(80.0), F.lit(1.0))
+    return F.lit(0.6) * alpha_ratio + F.lit(0.4) * sat
+
+
+@query(
+    "quality_calibrate_per_source",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, source, """
+    + _CAL_SCORE_SQL
+    + """ AS score FROM documents
+    ),
+    ranked AS (
+      SELECT source, doc_id, score,
+             row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM scored
+    )
+    SELECT source,
+           CAST(max(n) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           """
+    + sql_round("min(score)", 6)
+    + """ AS threshold
+    FROM ranked
+    WHERE rn <= CAST(ceil(0.7 * n) AS BIGINT)
+    GROUP BY source
+    """,
+    description=(
+        "Per-source quality-threshold calibration: a single global cutoff "
+        "over-prunes weak sources and under-prunes strong ones, so real "
+        "pipelines calibrate the keep-threshold per source — here the exact "
+        "70th-percentile-by-rank score within each source (row_number keeps "
+        "it deterministic under ties, unlike approx_percentile). One shuffle "
+        "keyed by source; the rank window rides the same partitioning."
+    ),
+)
+def q_quality_calibrate_per_source(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    scored = _docs(spark, sf_dir).select("doc_id", "source", _cal_score_col().alias("score"))
+    ranked = (
+        scored.withColumn(
+            "rn", F.row_number().over(W.partitionBy("source").orderBy(F.desc("score"), "doc_id"))
+        )
+        .withColumn("n", F.count(F.lit(1)).over(W.partitionBy("source")))
+    )
+    kept = ranked.filter(F.col("rn") <= F.ceil(F.lit(0.7) * F.col("n")))
+    return kept.groupBy("source").agg(
+        F.max("n").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_kept"),
+        fround(F.min("score"), 6).alias("threshold"),
+    )
+
+
+@query(
+    "mixture_plan_tokens",
+    oracle="""
+    WITH tok AS (
+      SELECT source,
+             CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0 THEN 0
+                  ELSE array_length(regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) END
+               AS n_tokens
+      FROM documents
+    ),
+    per_src AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+      FROM tok GROUP BY source
+    ),
+    planned AS (
+      SELECT source, n_docs, total_tokens,
+             (200000.0 / count(*) OVER ()) / CAST(total_tokens AS DOUBLE) AS epochs
+      FROM per_src
+    )
+    SELECT source, n_docs, total_tokens,
+           """
+    + sql_round("epochs", 6)
+    + """ AS epochs,
+           """
+    + sql_round("least(epochs, 4.0)", 6)
+    + """ AS capped_epochs,
+           """
+    + sql_round("least(epochs, 4.0) * CAST(total_tokens AS DOUBLE)", 2)
+    + """ AS planned_tokens,
+           CAST(epochs < 1.0 AS BOOLEAN) AS downsampled
+    FROM planned
+    """,
+    description=(
+        "Uniform-mixture token budgeting: split a fixed 200k-token training "
+        "budget evenly across sources and compute per-source epoch counts "
+        "(epochs > 1 = upsample, < 1 = downsample), with the standard 4-epoch "
+        "upsampling cap. All divisions happen on exact BIGINT aggregates, so "
+        "the plan is reproducible bit-for-bit across engines — the planning "
+        "stage that precedes mixture_sample's execution stage."
+    ),
+)
+def q_mixture_plan_tokens(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from h2outility_spark.operators.text import token_count
+
+    per_src = (
+        _docs(spark, sf_dir)
+        .select("source", token_count(F.col("text")).cast("bigint").alias("n_tokens"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("total_tokens"))
+    )
+    nsrc = F.count(F.lit(1)).over(W.partitionBy())
+    planned = per_src.withColumn(
+        "epochs_raw", (F.lit(200000.0) / nsrc) / F.col("total_tokens").cast("double")
+    )
+    return planned.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        fround(F.col("epochs_raw"), 6).alias("epochs"),
+        fround(F.least(F.col("epochs_raw"), F.lit(4.0)), 6).alias("capped_epochs"),
+        fround(
+            F.least(F.col("epochs_raw"), F.lit(4.0)) * F.col("total_tokens").cast("double"), 2
+        ).alias("planned_tokens"),
+        (F.col("epochs_raw") < 1.0).alias("downsampled"),
+    )

@@ -184,3 +184,58 @@ def test_batch_incremental_append(spark):
     wm = old.agg(F.max("ts")).collect()[0][0]
     expected = 500 + ev.filter(F.col("ts") > F.lit(wm)).count()
     assert merged.count() == expected
+
+
+def test_stream_dedup_ingest(spark, tmp_path):
+    """Streaming twin of dedup_incremental: two micro-batches of documents;
+    each batch is deduped within itself (exact) and against the accumulated
+    corpus (exact + near), only novel docs reach the TxTable; a full replay
+    with a fresh checkpoint commits nothing new."""
+    from h2outility_spark.storage_tx import TxTable
+
+    src = str(tmp_path / "docs")
+    tdir = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+    base = "one two three four five six seven eight nine ten"
+
+    first = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "  alpha   beta gamma delta epsilon "),  # batch-internal exact dup of 1
+            (3, base),
+        ],
+        schema,
+    )
+    first.write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).format("parquet").load(src)
+    q = incremental.stream_dedup_ingest(stream, tdir, ckpt)
+    q.processAllAvailable(); q.stop(); q.awaitTermination(30)
+
+    table = TxTable(spark, tdir, key_cols=["doc_id"])
+    assert {r["doc_id"] for r in table.snapshot().collect()} == {1, 3}
+
+    second = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon"),  # exact dup of corpus doc 1
+            (11, base + " eleven"),                  # near dup of corpus doc 3
+            (12, "unrelated content entirely separate vocabulary set"),
+        ],
+        schema,
+    )
+    second.write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema(schema).format("parquet").load(src)
+    q2 = incremental.stream_dedup_ingest(stream2, tdir, ckpt)
+    q2.processAllAvailable(); q2.stop(); q2.awaitTermination(30)
+
+    assert {r["doc_id"] for r in table.snapshot().collect()} == {1, 3, 12}
+    # one merge commit per batch that carried novel docs
+    assert [h["op"] for h in table.history()] == ["merge", "merge"]
+
+    # replay everything with a FRESH checkpoint: every doc is now an exact
+    # duplicate of the corpus -> survivor set empty -> no new commit
+    stream3 = spark.readStream.schema(schema).format("parquet").load(src)
+    q3 = incremental.stream_dedup_ingest(stream3, tdir, str(tmp_path / "ckpt2"))
+    q3.processAllAvailable(); q3.stop(); q3.awaitTermination(30)
+    assert {r["doc_id"] for r in table.snapshot().collect()} == {1, 3, 12}
+    assert [h["op"] for h in table.history()] == ["merge", "merge"]
