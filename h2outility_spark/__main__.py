@@ -45,6 +45,20 @@ def main(argv: list[str] | None = None) -> int:
     p_hist = sub.add_parser("tx-history", help="print a transactional table's commit history")
     p_hist.add_argument("--table", required=True)
 
+    p_cmp = sub.add_parser(
+        "tx-compact",
+        help="OPTIMIZE a transactional table: rewrite small data files into "
+        "range-clustered large ones, then vacuum aged-out fragments "
+        "(cron-able maintenance; pairs with tx-upsert's per-batch files)",
+    )
+    p_cmp.add_argument("--table", required=True)
+    p_cmp.add_argument("--key", default="event_id", help="merge/cluster key (default event_id)")
+    p_cmp.add_argument("--target-rows", type=int, default=1_000_000)
+    p_cmp.add_argument(
+        "--vacuum-keep", type=int, default=10,
+        help="versions to retain when vacuuming after compaction (default 10)",
+    )
+
     p_q = sub.add_parser("query", help="run a registered workload query by name")
     p_q.add_argument("name", help="registry name (see `queries` subcommand)")
     p_q.add_argument("--data", required=True, help="sf_dir with the parquet tables")
@@ -95,6 +109,23 @@ def main(argv: list[str] | None = None) -> int:
         spark = get_spark("h2outility-cli")
         for h in TxTable(spark, args.table, key_cols=["event_id"]).history():
             print(h)
+        return 0
+
+    if args.cmd == "tx-compact":
+        from h2outility_spark.storage_tx import TxTable
+
+        spark = get_spark("h2outility-cli")
+        table = TxTable(spark, args.table, key_cols=[args.key])
+        before = len(table.files()) if table.latest_version() is not None else 0
+        v = table.compact_files(target_rows=args.target_rows)
+        if v is None:
+            print(f"nothing to compact ({before} files, all healthy)")
+        else:
+            reclaimed = table.vacuum(keep_versions=args.vacuum_keep)
+            print(
+                f"compacted {before} -> {len(table.files())} files at version {v}; "
+                f"vacuum reclaimed {len(reclaimed)} fragments"
+            )
         return 0
 
     from h2outility_spark.schema import events_as_datavalues

@@ -318,13 +318,17 @@ class TxTable:
                 self.spark.conf.set(conf_key, prev)
             shutil.rmtree(scratch, ignore_errors=True)
 
-    def _commit(self, segments: list[dict], schema: str, op: str) -> int:
-        """Publish a new manifest atomically; raises CommitConflict if a
-        concurrent writer took the version first. The manifest holds only
-        segment DESCRIPTORS — its size is O(segments), and a commit's total
-        write payload is the changed segments plus this file, never the
-        whole file inventory."""
-        parent = self.latest_version()
+    def _commit(self, segments: list[dict], schema: str, op: str, parent: int | None) -> int:
+        """Publish a new manifest atomically as ``parent + 1``; raises
+        CommitConflict if that version already exists. ``parent`` must be
+        the version the WRITER BASED ITS CHANGE ON (not re-resolved here):
+        if a concurrent writer committed after this writer read its
+        snapshot, the version slot is taken and the conflict surfaces —
+        re-resolving the parent at commit time would silently drop the
+        concurrent commit's files from the new version (lost update). The
+        manifest holds only segment DESCRIPTORS — its size is O(segments),
+        and a commit's total write payload is the changed segments plus
+        this file, never the whole file inventory."""
         version = 0 if parent is None else parent + 1
         manifest = {
             "version": version,
@@ -355,7 +359,10 @@ class TxTable:
             m = self.manifest()
             base = self._segments_of(m) if m else []
             try:
-                return self._commit(self._compact(base + new), self._ddl(df), "append")
+                return self._commit(
+                    self._compact(base + new), self._ddl(df), "append",
+                    m["version"] if m else None,
+                )
             except CommitConflict:
                 continue  # new snapshot appeared; re-read parent segments and retry
         raise CommitConflict(f"append lost the commit race {_retries} times")
@@ -364,7 +371,7 @@ class TxTable:
         new = self._write_segments(self._stage_files(df))
         while True:
             try:
-                return self._commit(new, self._ddl(df), "overwrite")
+                return self._commit(new, self._ddl(df), "overwrite", self.latest_version())
             except CommitConflict:
                 continue  # overwrite replaces whatever won; just take the next version
 
@@ -385,7 +392,7 @@ class TxTable:
         m = self.manifest()
         if m is None:
             new = self._write_segments(self._stage_files(updates))
-            return self._commit(new, self._ddl(updates), "merge")
+            return self._commit(new, self._ddl(updates), "merge", None)
 
         # Conform updates to the TABLE schema (column order + types): the
         # committed manifest keeps the table's schema, and carried-over
@@ -433,7 +440,7 @@ class TxTable:
 
         for _ in range(_retries):
             try:
-                return self._commit(untouched_segs + new, m["schema"], "merge")
+                return self._commit(untouched_segs + new, m["schema"], "merge", m["version"])
             except CommitConflict:
                 # A real lakehouse revalidates that the concurrent commit
                 # didn't touch the overlapping files before retrying; here
@@ -452,11 +459,76 @@ class TxTable:
             raise FileNotFoundError(f"version {version} does not exist")
         while True:
             try:
-                return self._commit(self._segments_of(m), m["schema"], "restore")
+                return self._commit(
+                    self._segments_of(m), m["schema"], "restore", self.latest_version()
+                )
             except CommitConflict:
                 continue
 
     # -- maintenance -------------------------------------------------------
+
+    def compact_files(
+        self, target_rows: int = 1_000_000, small_rows: int | None = None
+    ) -> int | None:
+        """OPTIMIZE: rewrite many small DATA files into few range-clustered
+        large ones (Delta OPTIMIZE / Iceberg rewrite_data_files). Streaming
+        upserts leave one file per micro-batch; at 100 TB that is millions
+        of tiny files whose per-file overhead (open cost, footer reads,
+        scheduler tasks) dominates scans. Compaction is a metadata-plus-IO
+        maintenance commit:
+
+          * files with ``rows < small_rows`` (default ``target_rows // 4``)
+            are read, re-sorted by the first merge key via
+            ``repartitionByRange`` — keeping per-file key ranges tight and
+            disjoint so merge_upsert's min/max pruning stays sharp — and
+            rewritten into files of ~``target_rows``;
+          * big files and whole segments without small files carry over by
+            reference (zero data IO for the already-healthy part);
+          * the result is published as one atomic ``compact`` commit; the
+            pre-compaction version stays fully time-travelable until
+            ``vacuum`` ages it out.
+
+        Data-identical by construction (pure rewrite, no filter). Returns
+        the new version, or None when fewer than two small files exist
+        (no-op — no empty commits). On a concurrent-writer conflict the
+        CommitConflict surfaces to the caller: the compaction inputs are
+        stale (the winner may have rewritten a compacted file), so the
+        whole operation must re-run against the new snapshot — never
+        blind-retried.
+        """
+        import math
+
+        m = self.manifest()
+        if m is None:
+            return None
+        cutoff = target_rows // 4 if small_rows is None else small_rows
+
+        carried_segs, carried_entries, small_entries = [], [], []
+        for e in m["_inline_files"]:
+            (small_entries if e["rows"] < cutoff else carried_entries).append(e)
+        for d in m["segments"]:
+            entries = self._read_segment(d["name"])
+            if all(e["rows"] >= cutoff for e in entries):
+                carried_segs.append(d)  # healthy segment: carried by name
+                continue
+            for e in entries:
+                (small_entries if e["rows"] < cutoff else carried_entries).append(e)
+        if len(small_entries) < 2:
+            return None
+
+        paths = [os.path.join(self.table_dir, e["path"]) for e in small_entries]
+        df = self.spark.read.schema(m["schema"]).parquet(*paths)
+        total = sum(e["rows"] for e in small_entries)
+        n_out = max(1, math.ceil(total / target_rows))
+        k0 = self.key_cols[0]
+        if k0 in df.columns:
+            from pyspark.sql import functions as F
+
+            packed = df.repartitionByRange(n_out, F.col(k0))
+        else:
+            packed = df.coalesce(n_out)
+        new = self._write_segments(carried_entries + self._stage_files(packed))
+        return self._commit(carried_segs + new, m["schema"], "compact", m["version"])
 
     def vacuum(self, keep_versions: int = 10, retention_seconds: float = 3600.0) -> list[str]:
         """Delete data files referenced by NO retained manifest (older

@@ -102,3 +102,34 @@ def test_cli_query_and_explain(spark, tmp_path, capsys):
 
     rc = main(["query", "no_such_query", "--data", SF_DIR])
     assert rc == 2
+
+
+def test_cli_tx_compact(spark, tmp_path, capsys):
+    """Maintenance subcommand: fragment a table with small appends, then
+    tx-compact merges the files and vacuums the fragments."""
+    from pyspark.sql import Row
+
+    from h2outility_spark.__main__ import main
+    from h2outility_spark.storage_tx import TxTable
+
+    tdir = str(tmp_path / "tx")
+    table = TxTable(spark, tdir, key_cols=["k"])
+    for i in range(5):
+        table.append(
+            spark.createDataFrame([Row(k=i * 10 + j, v=f"v{i}") for j in range(10)], "k int, v string")
+        )
+    assert len(table.files()) >= 5
+    rows_before = sorted(r["k"] for r in table.snapshot().collect())
+
+    rc = main(["tx-compact", "--table", tdir, "--key", "k", "--target-rows", "1000",
+               "--vacuum-keep", "1"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "compacted" in out
+    assert len(table.files()) == 1
+    assert sorted(r["k"] for r in table.snapshot().collect()) == rows_before
+
+    # healthy table: second run is a clean no-op
+    rc = main(["tx-compact", "--table", tdir, "--key", "k", "--target-rows", "1000"])
+    assert rc == 0
+    assert "nothing to compact" in capsys.readouterr().out

@@ -75,10 +75,8 @@ def test_commit_conflict_and_append_retry(spark, table, monkeypatch):
     racing = dict(table.manifest(), version=base + 1, parent=base, op="append")
     with open(_manifest_path(table.table_dir, base + 1), "w") as f:
         json.dump(racing, f)
-    with monkeypatch.context() as mp:
-        mp.setattr(table, "latest_version", lambda: base)
-        with pytest.raises(CommitConflict):
-            table._commit(segs, "`k` int, `v` string", "append")
+    with pytest.raises(CommitConflict):
+        table._commit(segs, "`k` int, `v` string", "append", base)
     # Unfrozen, append sees the racer's snapshot and lands after it.
     v = table.append(kv(spark, [(2, "b")]))
     assert v == base + 2
@@ -150,7 +148,7 @@ def test_vacuum_retention_spares_inflight_staged_files(spark, table):
     # the in-flight writer can still finish its commit and read it back
     new_segs = table._write_segments(staged)
     m = table.manifest()
-    v = table._commit(m["segments"] + new_segs, m["schema"], "append")
+    v = table._commit(m["segments"] + new_segs, m["schema"], "append", m["version"])
     assert rows_of(table.snapshot(v)) == [(1, "a"), (99, "inflight")]
 
 
@@ -300,3 +298,102 @@ def test_reused_orphan_segment_gets_fresh_mtime(spark, table):
     entries = table.files(table.latest_version())
     table._write_segments(entries)
     assert os.path.getmtime(seg) > aged + past / 2
+
+
+def test_compact_files_merges_small_files_content_identical(spark, table):
+    """OPTIMIZE: ten 10-row commits leave >=10 small data files; compaction
+    rewrites them into one range-clustered file, content-identical, as a
+    'compact' commit; the pre-compaction version stays time-travelable."""
+    for i in range(10):
+        table.append(kv(spark, [(i * 10 + j, f"v{i}") for j in range(10)]))
+    before = rows_of(table.snapshot())
+    v_before = table.latest_version()
+    n_before = len(table.files())
+    assert n_before >= 10
+
+    v = table.compact_files(target_rows=1000)
+    assert v == v_before + 1
+    assert len(table.files()) == 1
+    assert rows_of(table.snapshot()) == before
+    assert table.history()[-1]["op"] == "compact"
+    # time travel: the fragmented version still reads in full
+    assert rows_of(table.snapshot(version=v_before)) == before
+    # the rewritten file carries key stats (merge pruning stays possible)
+    entry = table.files()[0]
+    assert entry["min"]["k"] == 0 and entry["max"]["k"] == 99
+
+
+def test_compact_files_noop_when_healthy(spark, table):
+    table.append(kv(spark, [(i, "a") for i in range(100)]).coalesce(1))
+    v = table.latest_version()
+    # the single 100-row file is >= target_rows//4 -> nothing to do
+    assert table.compact_files(target_rows=100) is None
+    assert table.latest_version() == v
+
+
+def test_compact_files_respects_target_size_and_clusters_by_key(spark, table):
+    """300 rows of small files at target 100 -> 3 output files with tight,
+    non-overlapping key ranges (repartitionByRange clustering)."""
+    for i in range(30):
+        table.append(kv(spark, [(i * 10 + j, "x") for j in range(10)]))
+    table.compact_files(target_rows=100)
+    entries = table.files()
+    assert len(entries) == 3
+    spans = sorted((e["min"]["k"], e["max"]["k"]) for e in entries)
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2  # disjoint ranges
+    assert sum(e["rows"] for e in entries) == 300
+
+
+def test_compact_then_vacuum_reclaims_fragments(spark, table):
+    for i in range(6):
+        table.append(kv(spark, [(i, f"v{i}")]))
+    frag_files = {e["path"] for e in table.files()}
+    table.compact_files(target_rows=1000)
+    deleted = table.vacuum(keep_versions=1, retention_seconds=0)
+    assert set(deleted) == frag_files
+    assert len(rows_of(table.snapshot())) == 6
+
+
+def test_compact_conflict_surfaces_not_retried(spark, table, monkeypatch):
+    """A writer that lands between compaction's read and commit must surface
+    CommitConflict (stale inputs), never blind-retry."""
+    for i in range(4):
+        table.append(kv(spark, [(i, "a")]))
+
+    real_commit = table._commit
+
+    def racing_commit(segments, schema, op, parent):
+        if op == "compact" and not getattr(racing_commit, "raced", False):
+            racing_commit.raced = True
+            # concurrent writer takes the version first
+            other = TxTable(spark, table.table_dir, key_cols=["k"])
+            other.append(kv(spark, [(99, "z")]))
+        return real_commit(segments, schema, op, parent)
+
+    monkeypatch.setattr(table, "_commit", racing_commit)
+    with pytest.raises(CommitConflict):
+        table.compact_files(target_rows=1000)
+    # the loser's commit did not land: latest is the racer's append
+    assert table.history()[-1]["op"] == "append"
+
+
+def test_merge_lost_update_surfaces_as_conflict(spark, table, monkeypatch):
+    """Regression: a writer landing between merge's snapshot read and its
+    commit must surface CommitConflict — committing would silently drop the
+    concurrent writer's files from the new version (lost update)."""
+    table.append(kv(spark, [(1, "a")]))
+    real_commit = table._commit
+
+    def racing_commit(segments, schema, op, parent):
+        if op == "merge" and not getattr(racing_commit, "raced", False):
+            racing_commit.raced = True
+            other = TxTable(spark, table.table_dir, key_cols=["k"])
+            other.append(kv(spark, [(50, "concurrent")]))
+        return real_commit(segments, schema, op, parent)
+
+    monkeypatch.setattr(table, "_commit", racing_commit)
+    with pytest.raises(CommitConflict):
+        table.merge_upsert(kv(spark, [(1, "A2")]))
+    # the concurrent append is intact in the latest snapshot
+    assert (50, "concurrent") in rows_of(table.snapshot())
