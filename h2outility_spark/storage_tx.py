@@ -375,7 +375,7 @@ class TxTable:
             except CommitConflict:
                 continue  # overwrite replaces whatever won; just take the next version
 
-    def merge_upsert(self, updates: DataFrame, _retries: int = 3) -> int:
+    def merge_upsert(self, updates: DataFrame, _retries: int = 3, evolve_schema: bool = False) -> int:
         """MERGE (upsert on ``key_cols``): rows matching an update's key are
         replaced; others are kept; unmatched updates are inserted.
 
@@ -388,6 +388,15 @@ class TxTable:
         the FIRST merge key's min/max, which matches range-clustered
         layouts (storage.write_sized on the same key); extra keys still
         participate in the anti-join, only the pruning is single-axis.
+
+        ``evolve_schema=True`` enables ADD-COLUMN evolution (Delta's
+        mergeSchema): update columns unknown to the table are appended to
+        the table schema, and columns the updates lack are null-filled.
+        Carried-over files are never rewritten — parquet reads with the
+        evolved schema surface the new columns as null for old files, so
+        evolution is a metadata change plus the normal copy-on-write.
+        Default (False) keeps the strict contract: unknown update columns
+        are dropped by the conform-select and missing ones raise.
         """
         m = self.manifest()
         if m is None:
@@ -402,7 +411,23 @@ class TxTable:
         from pyspark.sql.types import StructType
 
         target = StructType.fromDDL(m["schema"])
-        updates = updates.select([F.col(f.name).cast(f.dataType) for f in target.fields])
+        if evolve_schema:
+            known = {f.name for f in target.fields}
+            target = StructType(
+                list(target.fields)
+                + [f for f in updates.schema.fields if f.name not in known]
+            )
+            updates = updates.select(
+                [
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    if f.name in updates.columns
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in target.fields
+                ]
+            )
+        else:
+            updates = updates.select([F.col(f.name).cast(f.dataType) for f in target.fields])
+        schema_ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in target.fields)
 
         k0 = self.key_cols[0]
         bounds = updates.selectExpr(f"min(`{k0}`) AS lo", f"max(`{k0}`) AS hi").collect()[0]
@@ -429,7 +454,9 @@ class TxTable:
 
         if overlapping:
             paths = [os.path.join(self.table_dir, e["path"]) for e in overlapping]
-            current = self.spark.read.schema(m["schema"]).parquet(*paths)
+            # Read with the (possibly evolved) schema: parquet fills columns
+            # absent from a file with nulls, so old files conform for free.
+            current = self.spark.read.schema(schema_ddl).parquet(*paths)
             survivors = current.join(
                 updates.select(*self.key_cols).distinct(), self.key_cols, "left_anti"
             )
@@ -440,7 +467,7 @@ class TxTable:
 
         for _ in range(_retries):
             try:
-                return self._commit(untouched_segs + new, m["schema"], "merge", m["version"])
+                return self._commit(untouched_segs + new, schema_ddl, "merge", m["version"])
             except CommitConflict:
                 # A real lakehouse revalidates that the concurrent commit
                 # didn't touch the overlapping files before retrying; here

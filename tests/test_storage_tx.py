@@ -397,3 +397,58 @@ def test_merge_lost_update_surfaces_as_conflict(spark, table, monkeypatch):
         table.merge_upsert(kv(spark, [(1, "A2")]))
     # the concurrent append is intact in the latest snapshot
     assert (50, "concurrent") in rows_of(table.snapshot())
+
+
+def test_merge_schema_evolution_adds_column(spark, table):
+    """evolve_schema=True: an update with a new column widens the table
+    schema; carried-over rows read the new column as NULL (parquet
+    fill-missing), update rows carry their values; a later old-shape
+    update null-fills. Default mode still drops unknown columns."""
+    table.append(kv(spark, [(1, "a"), (2, "b")]))
+
+    wide = spark.createDataFrame(
+        [Row(k=2, v="B2", score=0.9), Row(k=3, v="c", score=0.5)],
+        "k int, v string, score double",
+    )
+    table.merge_upsert(wide, evolve_schema=True)
+    got = {r["k"]: (r["v"], r["score"]) for r in table.snapshot().collect()}
+    assert got == {1: ("a", None), 2: ("B2", 0.9), 3: ("c", 0.5)}
+    assert "`score` double" in table.manifest()["schema"]
+
+    # old-shape update against the evolved table: score null-fills
+    table.merge_upsert(kv(spark, [(1, "A2")]), evolve_schema=True)
+    got = {r["k"]: (r["v"], r["score"]) for r in table.snapshot().collect()}
+    assert got[1] == ("A2", None) and got[2] == ("B2", 0.9)
+
+
+def test_merge_strict_mode_drops_unknown_and_requires_known(spark, table):
+    """Default (strict) merge contract: update columns the table doesn't
+    know are dropped by the conform-select; an update MISSING a table
+    column raises instead of silently null-filling."""
+    table.append(kv(spark, [(1, "a")]))
+    wider = spark.createDataFrame([Row(k=9, v="z", extra=1)], "k int, v string, extra int")
+    table.merge_upsert(wider)
+    assert "extra" not in table.manifest()["schema"]
+    assert {r["k"]: r["v"] for r in table.snapshot().collect()}[9] == "z"
+
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        table.merge_upsert(spark.createDataFrame([Row(k=5)], "k int"))
+
+
+def test_merge_schema_evolution_spares_pruned_files(spark, table):
+    """Evolution must stay metadata-only for pruned files: a disjoint file
+    is carried by reference (not rewritten) and still reads with the new
+    column as NULL."""
+    table.append(kv(spark, [(1, "a"), (2, "b")]).coalesce(1))      # k in [1,2]
+    table.append(kv(spark, [(100, "x"), (200, "y")]).coalesce(1))  # k in [100,200]
+    file_low = next(e["path"] for e in table.files() if e["min"]["k"] == 1)
+
+    wide = spark.createDataFrame([Row(k=150, v="X", score=1.5)], "k int, v string, score double")
+    table.merge_upsert(wide, evolve_schema=True)
+    after = {e["path"] for e in table.files()}
+    assert file_low in after, "disjoint file must be carried by reference"
+    got = {r["k"]: (r["v"], r["score"]) for r in table.snapshot().collect()}
+    assert got == {1: ("a", None), 2: ("b", None), 100: ("x", None),
+                   150: ("X", 1.5), 200: ("y", None)}

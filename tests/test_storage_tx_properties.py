@@ -18,6 +18,7 @@ op_strategy = st.one_of(
     st.tuples(st.just("merge"), st.lists(st.tuples(KEYS, VALS), min_size=1, max_size=4, unique_by=lambda t: t[0])),
     st.tuples(st.just("overwrite"), st.lists(st.tuples(KEYS, VALS), min_size=1, max_size=4)),
     st.tuples(st.just("restore"), st.integers(min_value=0, max_value=5)),
+    st.tuples(st.just("compact"), st.just(None)),
 )
 
 
@@ -51,6 +52,11 @@ def test_txtable_matches_model(spark, tmp_path_factory, ops):
             v = min(arg, len(model_history) - 1)
             model = list(model_history[v])
             table.restore(v)
+        elif op == "compact":
+            # data-identical maintenance: model unchanged; a no-op (None)
+            # creates no version, a real compaction commits one
+            if table.compact_files(target_rows=1000, small_rows=1_000_000) is None:
+                continue
         model_history.append(list(model))
 
         got = sorted(tuple(r) for r in table.snapshot().collect())
