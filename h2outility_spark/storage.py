@@ -105,25 +105,19 @@ def zorder_expr(norm_cols: list[str], bits: int = 16) -> str:
     return " + ".join(terms)
 
 
-def write_zordered(
-    df: DataFrame,
-    path: str,
-    cols: list[str],
-    bits: int = 16,
-    target_rows_per_file: int = 1_000_000,
-    mode: str = "overwrite",
-) -> None:
-    """Z-order-clustered parquet: files cover compact rectangles of the
-    (col1, col2, ...) space, so footer min/max stats prune file reads for
-    selective filters on ANY of the clustered columns — where a single-axis
-    sort (write_sized) only prunes its own axis.
+def zordered_frame(
+    df: DataFrame, cols: list[str], bits: int = 16, num_partitions: int | None = None
+) -> DataFrame:
+    """``df`` range-partitioned and sorted by its Morton code over ``cols``
+    (helper columns dropped) — the clustering step shared by
+    ``write_zordered`` and ``TxTable.compact_files(zorder=True)``.
 
     Implementation: min/max-normalize each column to ``bits`` bits (one
     tiny global aggregate, broadcast back), interleave bits into a Morton
-    code, range-repartition + sort on it, write with a per-file row cap.
-    The normalization is rank-free (linear min/max) — skewed distributions
-    cluster less evenly than a true rank-based Z-order, the standard trade
-    all practical implementations make without a histogram pass.
+    code, range-repartition + sort on it. The normalization is rank-free
+    (linear min/max) — skewed distributions cluster less evenly than a
+    true rank-based Z-order, the standard trade all practical
+    implementations make without a histogram pass.
     """
     aggs = []
     for c in cols:
@@ -143,10 +137,31 @@ def write_zordered(
             ),
         )
     out = out.withColumn("__z", F.expr(zorder_expr(norm_names, bits)))
+    rp = (
+        out.repartitionByRange(num_partitions, "__z")
+        if num_partitions is not None
+        else out.repartitionByRange("__z")
+    )
+    return rp.sortWithinPartitions("__z").drop(
+        "__z", *norm_names, *[f"__min_{c}" for c in cols], *[f"__max_{c}" for c in cols]
+    )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    target_rows_per_file: int = 1_000_000,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet: files cover compact rectangles of the
+    (col1, col2, ...) space, so footer min/max stats prune file reads for
+    selective filters on ANY of the clustered columns — where a single-axis
+    sort (write_sized) only prunes its own axis. See ``zordered_frame``
+    for the clustering mechanics."""
     (
-        out.repartitionByRange("__z")
-        .sortWithinPartitions("__z")
-        .drop("__z", *norm_names, *[f"__min_{c}" for c in cols], *[f"__max_{c}" for c in cols])
+        zordered_frame(df, cols, bits)
         .write.mode(mode)
         .option("maxRecordsPerFile", target_rows_per_file)
         .parquet(path)

@@ -213,8 +213,30 @@ class TxTable:
         for p in sorted(glob.glob(os.path.join(self.table_dir, _MANIFEST_DIR, "v*.json"))):
             with open(p) as f:
                 m = self._normalize_manifest(json.load(f))
-            out.append({k: m[k] for k in ("version", "op", "parent")} | {"n_files": m["n_files"]})
+            out.append(
+                {k: m[k] for k in ("version", "op", "parent")}
+                | {"n_files": m["n_files"], "committed_at": m.get("committed_at")}
+            )
         return out
+
+    def version_as_of(self, ts: float) -> int:
+        """The latest version committed at or before unix-seconds ``ts``
+        (timestamp time travel). Pre-timestamp manifests (no
+        ``committed_at``) count as arbitrarily old. Raises if the table's
+        first commit is younger than ``ts``."""
+        best = None
+        for h in self.history():
+            at = h["committed_at"] or 0.0
+            if at <= ts:
+                best = h["version"]
+        if best is None:
+            raise FileNotFoundError(f"no version committed at or before {ts}")
+        return best
+
+    def snapshot_as_of(self, ts: float) -> DataFrame:
+        """The table as it was at unix-seconds ``ts`` — reproducing the
+        exact training-data snapshot a past job read is a one-liner."""
+        return self.snapshot(version=self.version_as_of(ts))
 
     # -- segment layer -----------------------------------------------------
 
@@ -329,12 +351,15 @@ class TxTable:
         manifest holds only segment DESCRIPTORS — its size is O(segments),
         and a commit's total write payload is the changed segments plus
         this file, never the whole file inventory."""
+        import time as _time
+
         version = 0 if parent is None else parent + 1
         manifest = {
             "version": version,
             "parent": parent,
             "op": op,
             "schema": schema,
+            "committed_at": _time.time(),
             "n_files": sum(d["n_files"] for d in segments),
             "segments": segments,
         }
@@ -495,7 +520,7 @@ class TxTable:
     # -- maintenance -------------------------------------------------------
 
     def compact_files(
-        self, target_rows: int = 1_000_000, small_rows: int | None = None
+        self, target_rows: int = 1_000_000, small_rows: int | None = None, zorder: bool = False
     ) -> int | None:
         """OPTIMIZE: rewrite many small DATA files into few range-clustered
         large ones (Delta OPTIMIZE / Iceberg rewrite_data_files). Streaming
@@ -548,7 +573,16 @@ class TxTable:
         total = sum(e["rows"] for e in small_entries)
         n_out = max(1, math.ceil(total / target_rows))
         k0 = self.key_cols[0]
-        if k0 in df.columns:
+        cluster_cols = [k for k in self.key_cols if k in df.columns]
+        if zorder and len(cluster_cols) >= 2:
+            # Multi-axis maintenance: rewrite on the Morton code over ALL
+            # merge keys, so footer min/max stats prune selective filters
+            # (and merge overlap checks) on any key axis, not just the
+            # first — Delta's OPTIMIZE ZORDER BY.
+            from h2outility_spark.storage import zordered_frame
+
+            packed = zordered_frame(df, cluster_cols, num_partitions=n_out)
+        elif k0 in df.columns:
             from pyspark.sql import functions as F
 
             packed = df.repartitionByRange(n_out, F.col(k0))

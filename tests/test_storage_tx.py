@@ -452,3 +452,50 @@ def test_merge_schema_evolution_spares_pruned_files(spark, table):
     got = {r["k"]: (r["v"], r["score"]) for r in table.snapshot().collect()}
     assert got == {1: ("a", None), 2: ("b", None), 100: ("x", None),
                    150: ("X", 1.5), 200: ("y", None)}
+
+
+def test_compact_zorder_clusters_all_key_axes(spark, tmp_path):
+    """OPTIMIZE ZORDER: a two-key table fragmented into row-major small
+    files is rewritten on the Morton code, so every output file covers a
+    compact rectangle — both axes prune, where single-key range clustering
+    leaves the second axis spanning everything."""
+    from pyspark.sql import Row
+
+    table = TxTable(spark, str(tmp_path / "zt"), key_cols=["x", "y"])
+    # 32x32 grid appended row-by-row: each file spans ALL of y
+    for x in range(32):
+        table.append(
+            spark.createDataFrame([Row(x=x, y=y, v=x * 32 + y) for y in range(32)],
+                                  "x int, y int, v int").coalesce(1)
+        )
+    before = rows_of(table.snapshot())
+
+    v = table.compact_files(target_rows=256, zorder=True)
+    assert v is not None
+    entries = table.files()
+    assert len(entries) == 4
+    assert rows_of(table.snapshot()) == before
+    for e in entries:
+        x_span = e["max"]["x"] - e["min"]["x"]
+        y_span = e["max"]["y"] - e["min"]["y"]
+        # quadrant-shaped coverage: each axis spans about half the domain
+        assert x_span <= 19, f"x span too wide: {e}"
+        assert y_span <= 19, f"y span too wide: {e}"
+
+
+def test_snapshot_as_of_timestamp(spark, table):
+    import time
+
+    table.append(kv(spark, [(1, "a")]))
+    t0 = time.time()
+    time.sleep(0.05)
+    table.merge_upsert(kv(spark, [(1, "A2"), (2, "b")]))
+    t1 = time.time()
+
+    assert table.version_as_of(t0) == 0
+    assert rows_of(table.snapshot_as_of(t0)) == [(1, "a")]
+    assert table.version_as_of(t1) == 1
+    assert rows_of(table.snapshot_as_of(t1)) == [(1, "A2"), (2, "b")]
+    with pytest.raises(FileNotFoundError):
+        table.version_as_of(t0 - 10_000)
+    assert all(h["committed_at"] is not None for h in table.history())
