@@ -517,6 +517,33 @@ class TxTable:
             except CommitConflict:
                 continue
 
+    def clone(self, dest_dir: str, version: int | None = None) -> "TxTable":
+        """Cheap independent copy of ``version`` (default latest) at
+        ``dest_dir`` — the experiment-branch primitive: fork the corpus,
+        mutate the fork, leave the source untouched.
+
+        Data files are HARD-LINKED (same filesystem; falls back to a real
+        copy across devices), so the clone is O(files) metadata work, not
+        O(bytes). Unlike a Delta shallow clone, the link means the clone
+        stays readable even after the source vacuums the shared file: the
+        inode lives until both sides drop it. Histories are independent —
+        the clone starts at version 0 with op 'clone'."""
+        m = self.manifest(version)
+        if m is None:
+            raise FileNotFoundError(f"no committed version in {self.table_dir}")
+        dest = TxTable(self.spark, dest_dir, key_cols=self.key_cols)
+        entries = self._files_of(m)
+        for e in entries:
+            src = os.path.join(self.table_dir, e["path"])
+            dst = os.path.join(dest_dir, e["path"])
+            try:
+                os.link(src, dst)
+            except OSError:  # cross-device or fs without hard links
+                shutil.copy2(src, dst)
+        segs = dest._write_segments(entries)
+        dest._commit(segs, m["schema"], "clone", None)
+        return dest
+
     # -- maintenance -------------------------------------------------------
 
     def compact_files(

@@ -499,3 +499,30 @@ def test_snapshot_as_of_timestamp(spark, table):
     with pytest.raises(FileNotFoundError):
         table.version_as_of(t0 - 10_000)
     assert all(h["committed_at"] is not None for h in table.history())
+
+
+def test_clone_is_independent_and_survives_source_vacuum(spark, table, tmp_path):
+    """Hard-link clone: content-equal at the cloned version, histories
+    fork independently, and vacuuming the source does not break the clone
+    (the shared inode lives until both sides drop it)."""
+    table.append(kv(spark, [(1, "a"), (2, "b")]))
+    table.merge_upsert(kv(spark, [(2, "B2")]))
+
+    c = table.clone(str(tmp_path / "fork"))
+    assert rows_of(c.snapshot()) == rows_of(table.snapshot())
+    assert [h["op"] for h in c.history()] == ["clone"]
+
+    # fork evolves; source untouched
+    c.merge_upsert(kv(spark, [(3, "fork-only")]))
+    assert (3, "fork-only") in rows_of(c.snapshot())
+    assert (3, "fork-only") not in rows_of(table.snapshot())
+
+    # cloning a historical version works too (before vacuum ages it out)
+    c0 = table.clone(str(tmp_path / "fork0"), version=0)
+    assert rows_of(c0.snapshot()) == [(1, "a"), (2, "b")]
+
+    # source rewrites + vacuums everything it can; clones still read
+    table.overwrite(kv(spark, [(9, "z")]))
+    table.vacuum(keep_versions=1, retention_seconds=0)
+    assert rows_of(c.snapshot()) == [(1, "a"), (2, "B2"), (3, "fork-only")]
+    assert rows_of(c0.snapshot()) == [(1, "a"), (2, "b")]
