@@ -501,6 +501,7 @@ def incremental_neardup_filter(
     threshold: float = 0.2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """The daily-ingest shape of dedup: keep only batch docs that are
     neither EXACT duplicates (normalized fingerprint seen in the corpus)
@@ -519,15 +520,19 @@ def incremental_neardup_filter(
 
     Caching contract: ``survivors`` is cached here because three branches
     reuse it (signatures, the shingle union, the final anti join) — one
-    batch-sized frame, session-lifetime. A caller looping over many
-    batches in one session should ``spark.catalog.clearCache()`` between
-    ingests (or run each batch in its own session, the cron-job shape).
+    batch-sized frame. Pass ``cache_registry`` (a list) to receive the
+    cached frame handle and ``unpersist()`` it precisely once the result
+    is consumed — the right pattern for a caller looping over many batches
+    in one session. Without it the cache lives for the session (the
+    one-shot cron-job shape).
     """
     from h2outility_spark.operators.text import fingerprint
 
     bfp = batch.select(F.col(id_col), F.col(text_col), fingerprint(F.col(text_col)).alias("fp"))
     efp = existing.select(fingerprint(F.col(text_col)).alias("fp")).distinct()
     survivors = bfp.join(efp, "fp", "left_anti").cache()
+    if cache_registry is not None:
+        cache_registry.append(survivors)
 
     bands = [[i] for i in range(num_hashes)]
     bs = minhash_signatures(survivors, num_hashes, id_col, text_col)

@@ -532,6 +532,11 @@ class TxTable:
         if m is None:
             raise FileNotFoundError(f"no committed version in {self.table_dir}")
         dest = TxTable(self.spark, dest_dir, key_cols=self.key_cols)
+        if dest.latest_version() is not None:
+            # Fail BEFORE linking: a late commit failure would leave the
+            # existing table polluted with orphaned (retention-guarded)
+            # data files, and the copy fallback could overwrite its files.
+            raise FileExistsError(f"{dest_dir} already holds a committed table")
         entries = self._files_of(m)
         for e in entries:
             src = os.path.join(self.table_dir, e["path"])
@@ -601,6 +606,23 @@ class TxTable:
         n_out = max(1, math.ceil(total / target_rows))
         k0 = self.key_cols[0]
         cluster_cols = [k for k in self.key_cols if k in df.columns]
+        if zorder:
+            # Morton normalization casts each key to DOUBLE; a string key
+            # would die at runtime under ANSI mode — fail fast with the
+            # actual constraint instead.
+            from pyspark.sql.types import NumericType, TimestampNTZType, TimestampType
+
+            bad = [
+                f.name
+                for f in df.schema.fields
+                if f.name in cluster_cols
+                and not isinstance(f.dataType, (NumericType, TimestampType, TimestampNTZType))
+            ]
+            if bad:
+                raise ValueError(
+                    f"zorder=True needs numeric/timestamp merge keys; "
+                    f"non-numeric: {bad}"
+                )
         if zorder and len(cluster_cols) >= 2:
             # Multi-axis maintenance: rewrite on the Morton code over ALL
             # merge keys, so footer min/max stats prune selective filters

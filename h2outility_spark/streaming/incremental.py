@@ -280,11 +280,26 @@ def stream_dedup_ingest(
     table = TxTable(spark, table_dir, key_cols=[id_col])
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
-        wfp = batch_df.select(
+        from pyspark.sql import Window as W
+
+        # NULL-text docs are dropped up front (policy: un-fingerprintable,
+        # nothing to dedup against); empty strings are real, fingerprinted
+        # content and flow through.
+        wfp = batch_df.filter(F.col(text_col).isNotNull()).select(
             F.col(id_col), F.col(text_col), fingerprint(F.col(text_col)).alias("fp")
         )
+        # Batch-internal dedup, both directions: one representative (min id)
+        # per fingerprint AND one row per id (an at-least-once source can
+        # redeliver the same id in one batch; min-fp tie-break keeps the
+        # choice deterministic).
         reps = wfp.groupBy("fp").agg(F.min(id_col).alias(id_col))
-        batch_u = wfp.join(reps, [id_col, "fp"]).select(id_col, text_col, "fp")
+        batch_u = (
+            wfp.join(reps, [id_col, "fp"])
+            .withColumn("__rn", F.row_number().over(W.partitionBy(id_col).orderBy("fp")))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        caches: list[DataFrame] = []
         if table.latest_version() is None:
             novel = batch_u
         else:
@@ -296,16 +311,22 @@ def stream_dedup_ingest(
                 threshold=threshold,
                 id_col=id_col,
                 text_col=text_col,
+                cache_registry=caches,
             )
             novel = survivors.join(batch_u.select(id_col, text_col), id_col).select(
                 id_col, text_col, "fp"
             )
-        if novel.limit(1).count() > 0:
-            table.merge_upsert(novel)
-        # incremental_neardup_filter's documented caching contract: it caches
-        # the survivor frame for intra-plan reuse; release between ingests so
-        # a long-running stream doesn't accumulate batch-sized cache entries.
-        spark.catalog.clearCache()
+        # The emptiness probe, merge bounds collect, and staged write each
+        # action `novel` — cache it so the band join + Jaccard verification
+        # run once per batch, and unpersist both handles before returning.
+        novel = novel.cache()
+        caches.append(novel)
+        try:
+            if novel.limit(1).count() > 0:
+                table.merge_upsert(novel)
+        finally:
+            for c in caches:
+                c.unpersist()
 
     return (
         stream_docs.writeStream.foreachBatch(ingest)

@@ -1460,13 +1460,10 @@ def q_remove_duplicated_spans(spark, sf_dir):
 # The quality score both calibration queries rank on: alpha ratio blended with
 # length saturation. Kept deliberately cheap (no n-gram shuffle) because the
 # point of the query is the PER-SOURCE PERCENTILE machinery, not the score.
+# Built from the module's shared fragments so tokenization/ratio tweaks
+# happen in exactly one place.
 _CAL_SCORE_SQL = (
-    "0.6 * coalesce(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)"
-    " / (CASE WHEN length(text) > 0 THEN CAST(length(text) AS DOUBLE) END), 0.0)"
-    " + 0.4 * least(CAST("
-    "CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0 THEN 0"
-    " ELSE array_length(regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) END"
-    " AS DOUBLE) / 80.0, 1.0)"
+    f"0.6 * {_ALPHA_RATIO_SQL} + 0.4 * least(CAST({_N_TOKENS_SQL} AS DOUBLE) / 80.0, 1.0)"
 )
 
 
@@ -1534,12 +1531,9 @@ def q_quality_calibrate_per_source(spark, sf_dir):
 
 @query(
     "mixture_plan_tokens",
-    oracle="""
+    oracle=f"""
     WITH tok AS (
-      SELECT source,
-             CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0 THEN 0
-                  ELSE array_length(regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) END
-               AS n_tokens
+      SELECT source, {_N_TOKENS_SQL} AS n_tokens
       FROM documents
     ),
     per_src AS (
@@ -1548,7 +1542,8 @@ def q_quality_calibrate_per_source(spark, sf_dir):
     ),
     planned AS (
       SELECT source, n_docs, total_tokens,
-             (200000.0 / count(*) OVER ()) / CAST(total_tokens AS DOUBLE) AS epochs
+             (200000.0 / count(*) OVER ())
+               / (CASE WHEN total_tokens > 0 THEN CAST(total_tokens AS DOUBLE) END) AS epochs
       FROM per_src
     )
     SELECT source, n_docs, total_tokens,
@@ -1585,9 +1580,11 @@ def q_mixture_plan_tokens(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("total_tokens"))
     )
     nsrc = F.count(F.lit(1)).over(W.partitionBy())
-    planned = per_src.withColumn(
-        "epochs_raw", (F.lit(200000.0) / nsrc) / F.col("total_tokens").cast("double")
-    )
+    # Zero-token source guard (ANSI mode raises on /0): NULL epochs means
+    # "nothing to sample here", and every downstream column stays NULL —
+    # the oracle's CASE produces the same NULL, so parity holds.
+    safe_tokens = F.when(F.col("total_tokens") > 0, F.col("total_tokens").cast("double"))
+    planned = per_src.withColumn("epochs_raw", (F.lit(200000.0) / nsrc) / safe_tokens)
     return planned.select(
         "source",
         "n_docs",

@@ -79,3 +79,16 @@ def test_duplicated_spans_merges_overlapping_windows(spark):
     )
     out = sorted(map(tuple, duplicated_spans(docs, window=16).collect()))
     assert out == [(1, 0, 18, 18), (2, 1, 19, 18)]
+
+
+def test_cache_registry_receives_handle(spark):
+    from pyspark.sql import DataFrame
+
+    existing = _docs(spark, [(1, "alpha beta gamma delta epsilon")])
+    batch = _docs(spark, [(10, "totally different words here now")])
+    caches: list[DataFrame] = []
+    kept = incremental_neardup_filter(batch, existing, cache_registry=caches)
+    assert kept.count() == 1
+    assert len(caches) == 1 and caches[0].is_cached
+    caches[0].unpersist()
+    assert not caches[0].is_cached

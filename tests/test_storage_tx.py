@@ -526,3 +526,24 @@ def test_clone_is_independent_and_survives_source_vacuum(spark, table, tmp_path)
     table.vacuum(keep_versions=1, retention_seconds=0)
     assert rows_of(c.snapshot()) == [(1, "a"), (2, "B2"), (3, "fork-only")]
     assert rows_of(c0.snapshot()) == [(1, "a"), (2, "b")]
+
+
+def test_compact_zorder_rejects_string_keys(spark, tmp_path):
+    from pyspark.sql import Row
+
+    t = TxTable(spark, str(tmp_path / "st"), key_cols=["site", "k"])
+    t.append(spark.createDataFrame([Row(site="a", k=1, v=1.0), Row(site="b", k=2, v=2.0)],
+                                   "site string, k int, v double"))
+    t.append(spark.createDataFrame([Row(site="c", k=3, v=3.0)], "site string, k int, v double"))
+    with pytest.raises(ValueError, match="zorder=True needs numeric"):
+        t.compact_files(target_rows=1000, zorder=True)
+
+
+def test_clone_refuses_existing_table(spark, table, tmp_path):
+    table.append(kv(spark, [(1, "a")]))
+    dest = str(tmp_path / "occupied")
+    other = TxTable(spark, dest, key_cols=["k"])
+    other.append(kv(spark, [(9, "z")]))
+    with pytest.raises(FileExistsError):
+        table.clone(dest)
+    assert rows_of(other.snapshot()) == [(9, "z")]  # untouched

@@ -239,3 +239,32 @@ def test_stream_dedup_ingest(spark, tmp_path):
     q3.processAllAvailable(); q3.stop(); q3.awaitTermination(30)
     assert {r["doc_id"] for r in table.snapshot().collect()} == {1, 3, 12}
     assert [h["op"] for h in table.history()] == ["merge", "merge"]
+
+
+def test_stream_dedup_ingest_redelivery_and_null_text(spark, tmp_path):
+    """Review regressions: (1) an at-least-once source redelivering the
+    same doc twice in ONE batch must insert it once; (2) NULL-text docs
+    are dropped by policy, not crashed on or silently half-handled."""
+    from h2outility_spark.storage_tx import TxTable
+
+    src = str(tmp_path / "docs")
+    tdir = str(tmp_path / "corpus")
+    schema = "doc_id long, text string"
+
+    spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (1, "alpha beta gamma delta epsilon"),  # exact redelivery, same batch
+            (2, None),                               # null text: dropped by policy
+            (3, "completely different content here"),
+        ],
+        schema,
+    ).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).format("parquet").load(src)
+    q = incremental.stream_dedup_ingest(stream, tdir, str(tmp_path / "ckpt"))
+    q.processAllAvailable(); q.stop(); q.awaitTermination(30)
+
+    table = TxTable(spark, tdir, key_cols=["doc_id"])
+    rows = table.snapshot().collect()
+    assert {r["doc_id"] for r in rows} == {1, 3}
+    assert len(rows) == 2  # doc 1 exactly once despite the redelivery
