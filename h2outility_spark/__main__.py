@@ -59,6 +59,16 @@ def main(argv: list[str] | None = None) -> int:
         help="versions to retain when vacuuming after compaction (default 10)",
     )
 
+    p_bc = sub.add_parser(
+        "build-corpus",
+        help="run the full corpus pipeline (quality gate, exact+near dedup, "
+        "shard) and commit to a transactional table",
+    )
+    p_bc.add_argument("--data", required=True, help="sf_dir with documents.parquet")
+    p_bc.add_argument("--table", required=True, help="TxTable root directory")
+    p_bc.add_argument("--keep-frac", type=float, default=0.7)
+    p_bc.add_argument("--shards", type=int, default=16)
+
     p_q = sub.add_parser("query", help="run a registered workload query by name")
     p_q.add_argument("name", help="registry name (see `queries` subcommand)")
     p_q.add_argument("--data", required=True, help="sf_dir with the parquet tables")
@@ -109,6 +119,17 @@ def main(argv: list[str] | None = None) -> int:
         spark = get_spark("h2outility-cli")
         for h in TxTable(spark, args.table, key_cols=["event_id"]).history():
             print(h)
+        return 0
+
+    if args.cmd == "build-corpus":
+        from h2outility_spark.pipeline import build_corpus
+
+        spark = get_spark("h2outility-cli")
+        stats = build_corpus(
+            spark, args.data, args.table, keep_frac=args.keep_frac, n_shards=args.shards
+        )
+        for k, v in stats.items():
+            print(f"{k}: {v}")
         return 0
 
     if args.cmd == "tx-compact":
