@@ -296,6 +296,19 @@ def quality_columns(text_col: str = "text") -> list[Column]:
     ]
 
 
+def calibration_score_col(text_col: str = "text") -> Column:
+    """The cheap calibration quality score (alpha ratio blended with
+    length saturation) shared by the per-source calibration query, the
+    corpus pipeline's quality gate, and the streaming drift monitor —
+    one definition so the three surfaces cannot drift."""
+    c = F.col(text_col)
+    n = F.length(c).cast("double")
+    alpha = F.length(F.regexp_replace(c, "[^A-Za-z]", "")).cast("double")
+    alpha_ratio = F.coalesce(alpha / F.when(n > 0, n), F.lit(0.0))
+    sat = F.least(token_count(c).cast("double") / F.lit(80.0), F.lit(1.0))
+    return F.lit(0.6) * alpha_ratio + F.lit(0.4) * sat
+
+
 def quality_sql_columns(text_col: str = "text") -> str:
     """The DuckDB-mirror of quality_columns (identical arithmetic)."""
     return f"""

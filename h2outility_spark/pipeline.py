@@ -35,9 +35,7 @@ def quality_gate_per_source(docs: DataFrame, keep_frac: float = 0.7) -> DataFram
     (alpha ratio + length saturation) — the per-source percentile gate of
     the ``quality_calibrate_per_source`` query, applied instead of merely
     reported. Deterministic under ties (rank falls back to doc_id)."""
-    from h2outility_spark.workload_text import _cal_score_col
-
-    scored = docs.withColumn("__score", _cal_score_col())
+    scored = docs.withColumn("__score", text.calibration_score_col())
     ranked = scored.withColumn(
         "__rn", F.row_number().over(W.partitionBy("source").orderBy(F.desc("__score"), "doc_id"))
     ).withColumn("__n", F.count(F.lit(1)).over(W.partitionBy("source")))

@@ -90,3 +90,82 @@ def streaming_ema_alerts(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source corpus quality drift monitor
+# ---------------------------------------------------------------------------
+
+DRIFT_OUTPUT_SCHEMA = (
+    "source string, doc_id long, score double, running_mean double, zscore double"
+)
+DRIFT_STATE_SCHEMA = "n long, mean double, m2 double"
+
+
+def make_quality_drift_detector(z_threshold: float = 3.0, min_n: int = 20):
+    """Per-source Welford running mean/variance over document quality
+    scores; emits an alert row for every doc whose score is more than
+    ``z_threshold`` standard deviations from the source's running mean
+    (once ``min_n`` docs have been seen). The streaming guard a corpus
+    ingest runs next to the batch quality gate: a crawler regression or a
+    source gone spammy shows up as a z-score burst long before the nightly
+    batch calibration re-runs.
+
+    State per source is three numbers — bounded by |sources|, independent
+    of throughput. Docs inside a batch are processed in doc_id order so
+    replays are deterministic."""
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        import math
+
+        n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+        out_rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("doc_id")
+            for row in pdf.itertuples(index=False):
+                s = float(row.score)
+                if n >= min_n:
+                    var = m2 / (n - 1) if n > 1 else 0.0
+                    std = math.sqrt(var)
+                    if std > 0.0:
+                        z = (s - mean) / std
+                        if abs(z) >= z_threshold:
+                            out_rows.append(
+                                (key[0], row.doc_id, s, round(mean, 6), round(z, 4))
+                            )
+                    elif s != mean:
+                        # zero-variance history: any deviation is infinite-z;
+                        # emit with NULL zscore rather than dividing by zero
+                        out_rows.append((key[0], row.doc_id, s, round(mean, 6), None))
+                # Welford update AFTER the test: the doc is judged against
+                # history, then becomes history
+                n += 1
+                delta = s - mean
+                mean += delta / n
+                m2 += delta * (s - mean)
+        state.update((int(n), float(mean), float(m2)))
+        if out_rows:
+            yield pd.DataFrame(
+                out_rows, columns=["source", "doc_id", "score", "running_mean", "zscore"]
+            )
+
+    return update
+
+
+def streaming_quality_drift(
+    scored_docs: DataFrame, z_threshold: float = 3.0, min_n: int = 20
+) -> DataFrame:
+    """Wire the drift detector over a (source, doc_id, score) frame —
+    score the stream JVM-side first (``text.calibration_score_col()``)
+    so only three narrow columns cross into Python."""
+    return scored_docs.groupBy("source").applyInPandasWithState(
+        make_quality_drift_detector(z_threshold, min_n),
+        outputStructType=DRIFT_OUTPUT_SCHEMA,
+        stateStructType=DRIFT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

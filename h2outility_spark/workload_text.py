@@ -1468,14 +1468,7 @@ _CAL_SCORE_SQL = (
 
 
 def _cal_score_col():
-    from h2outility_spark.operators.text import token_count
-
-    c = F.col("text")
-    n = F.length(c).cast("double")
-    alpha = F.length(F.regexp_replace(c, "[^A-Za-z]", "")).cast("double")
-    alpha_ratio = F.coalesce(alpha / F.when(n > 0, n), F.lit(0.0))
-    sat = F.least(token_count(c).cast("double") / F.lit(80.0), F.lit(1.0))
-    return F.lit(0.6) * alpha_ratio + F.lit(0.4) * sat
+    return text.calibration_score_col("text")
 
 
 @query(
