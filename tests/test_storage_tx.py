@@ -547,3 +547,31 @@ def test_clone_refuses_existing_table(spark, table, tmp_path):
     with pytest.raises(FileExistsError):
         table.clone(dest)
     assert rows_of(other.snapshot()) == [(9, "z")]  # untouched
+
+
+def test_changes_feed_between_versions(spark, table):
+    """CDC: a merge shows as delete+insert for the replaced key and a bare
+    insert for the new key; a compaction (pure rewrite) yields an EMPTY
+    feed because unchanged rows cancel in the file-diff exceptAll."""
+    table.append(kv(spark, [(1, "a"), (2, "b")]))                    # v0
+    table.merge_upsert(kv(spark, [(2, "B2"), (4, "d")]))             # v1
+    v2 = table.compact_files(target_rows=1000, small_rows=1_000_000)  # v2: rewrite only
+
+    feed = {(r["k"], r["v"], r["_change_type"]) for r in table.changes(0, 1).collect()}
+    assert feed == {(2, "b", "delete"), (2, "B2", "insert"), (4, "d", "insert")}
+    assert table.changes(1, v2).count() == 0
+    assert {(r["k"], r["v"], r["_change_type"]) for r in table.changes(0, v2).collect()} == feed
+    # default v_to = latest
+    assert table.changes(0).count() == 3
+
+
+def test_changes_feed_with_schema_evolution(spark, table):
+    """The feed reads both sides with the DESTINATION schema: pre-evolution
+    rows surface the new column as NULL, like the snapshots do."""
+    from pyspark.sql import Row
+
+    table.append(kv(spark, [(1, "a")]))
+    wide = spark.createDataFrame([Row(k=1, v="A2", score=0.5)], "k int, v string, score double")
+    table.merge_upsert(wide, evolve_schema=True)
+    feed = {(r["k"], r["v"], r["score"], r["_change_type"]) for r in table.changes(0, 1).collect()}
+    assert feed == {(1, "a", None, "delete"), (1, "A2", 0.5, "insert")}
