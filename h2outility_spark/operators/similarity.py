@@ -678,3 +678,88 @@ def ivfpq_search(
         .filter(F.col("rk") <= k)
         .drop("rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: lexical + semantic rankings fused with RRF
+# ---------------------------------------------------------------------------
+
+
+def hybrid_search(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-``k`` docs per query by Reciprocal Rank Fusion of a LEXICAL
+    ranking (count of shared whitespace tokens, tf-free overlap — the
+    BM25-lite that needs no global statistics) and a SEMANTIC ranking
+    (exact cosine over the embedding column). The standard
+    retrieval-fusion shape for corpus exploration: RRF is rank-based, so
+    the two scores need no calibration against each other.
+
+    ``queries`` carries (query_id, text, embedding). Scale shape: the
+    lexical leg is an exploded token equi-join (shuffle keyed by token —
+    never docs x queries); the semantic leg broadcasts the (small) query
+    set like brute_force_topk; ranks come from one window per leg keyed
+    by query_id; ties break on candidate id for determinism. Fused score
+    = sum over legs of 1/(rrf_k + rank), docs absent from a leg simply
+    contribute nothing (the RRF convention).
+    """
+    from pyspark.sql import Window
+
+    from h2outility_spark.operators.text import tokens
+
+    d_tok = docs.select(
+        F.col(id_col).alias("cand_id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).distinct()
+    q_tok = queries.select(
+        F.col("query_id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).distinct()
+    lex = (
+        q_tok.join(d_tok, "tok")
+        .groupBy("query_id", "cand_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    lex_rank = lex.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.desc("n_shared"), "cand_id")
+        ),
+    ).select("query_id", "cand_id", "rank")
+
+    sem = (
+        docs.select(F.col(id_col).alias("cand_id"), as_double(F.col(vec_col)).alias("cv"))
+        .join(
+            F.broadcast(
+                queries.select("query_id", as_double(F.col(vec_col)).alias("qv"))
+            )
+        )
+        .select("query_id", "cand_id", cosine(F.col("qv"), F.col("cv")).alias("cos_sim"))
+    )
+    sem_rank = sem.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "cand_id")
+        ),
+    ).select("query_id", "cand_id", "rank")
+
+    rrf = F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("rank"))
+    fused = (
+        lex_rank.select("query_id", "cand_id", rrf.alias("contrib"))
+        .unionByName(sem_rank.select("query_id", "cand_id", rrf.alias("contrib")))
+        .groupBy("query_id", "cand_id")
+        .agg(F.sum("contrib").alias("rrf_score"))
+    )
+    return (
+        fused.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("rrf_score"), "cand_id")
+            ),
+        )
+        .filter(F.col("rank") <= k)
+    )

@@ -105,3 +105,31 @@ def test_ivf_search_stays_in_cell(spark):
     for r in rows:
         per_query.setdefault(r["query_id"], set()).add(labels[r["cand_id"]])
     assert all(len(cells) == 1 for cells in per_query.values())
+
+
+def test_hybrid_search_rrf_fusion(spark):
+    """Hand-computable hybrid retrieval: doc A wins the lexical leg, doc B
+    wins the semantic leg, doc C trails both; RRF must rank the two
+    leg-winners above C, and the exact RRF scores must match the formula."""
+    from pyspark.sql import Row
+
+    from h2outility_spark.operators.similarity import hybrid_search
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="spark shuffle partitions tuning guide", embedding=[1.0, 0.0, 0.0]),
+            Row(doc_id=2, text="unrelated cooking recipe entirely", embedding=[0.9, 0.1, 0.0]),
+            Row(doc_id=3, text="gardening tips for spring flowers", embedding=[0.0, 1.0, 0.0]),
+        ]
+    )
+    queries = spark.createDataFrame(
+        [Row(query_id=100, text="spark shuffle tuning", embedding=[1.0, 0.0, 0.0])]
+    )
+    out = hybrid_search(docs, queries, k=3, rrf_k=60)
+    rows = {r["cand_id"]: (r["rank"], r["rrf_score"]) for r in out.collect()}
+
+    # lexical ranks: doc1 (3 shared toks) rank1; docs 2,3 share none -> absent
+    # semantic ranks: doc1 cos=1 rank1, doc2 ~0.994 rank2, doc3 0 rank3
+    assert rows[1][0] == 1 and abs(rows[1][1] - (1 / 61 + 1 / 61)) < 1e-12
+    assert rows[2][0] == 2 and abs(rows[2][1] - 1 / 62) < 1e-12
+    assert rows[3][0] == 3 and abs(rows[3][1] - 1 / 63) < 1e-12
