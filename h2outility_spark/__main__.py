@@ -52,8 +52,15 @@ def main(argv: list[str] | None = None) -> int:
         "(cron-able maintenance; pairs with tx-upsert's per-batch files)",
     )
     p_cmp.add_argument("--table", required=True)
-    p_cmp.add_argument("--key", default="event_id", help="merge/cluster key (default event_id)")
+    p_cmp.add_argument(
+        "--key", action="append", default=None,
+        help="merge/cluster key, repeatable (default event_id)",
+    )
     p_cmp.add_argument("--target-rows", type=int, default=1_000_000)
+    p_cmp.add_argument(
+        "--zorder", action="store_true",
+        help="cluster rewritten files on the Morton code over all keys",
+    )
     p_cmp.add_argument(
         "--vacuum-keep", type=int, default=10,
         help="versions to retain when vacuuming after compaction (default 10)",
@@ -136,9 +143,9 @@ def main(argv: list[str] | None = None) -> int:
         from h2outility_spark.storage_tx import TxTable
 
         spark = get_spark("h2outility-cli")
-        table = TxTable(spark, args.table, key_cols=[args.key])
+        table = TxTable(spark, args.table, key_cols=args.key or ["event_id"])
         before = len(table.files()) if table.latest_version() is not None else 0
-        v = table.compact_files(target_rows=args.target_rows)
+        v = table.compact_files(target_rows=args.target_rows, zorder=args.zorder)
         if v is None:
             print(f"nothing to compact ({before} files, all healthy)")
         else:

@@ -409,10 +409,12 @@ class TxTable:
         never even read); inside overlapping segments, files are split by
         their recorded key range into untouched (repacked by reference —
         zero data IO) and overlapping (read, matching keys anti-joined
-        out, survivors rewritten together with the updates). Pruning uses
-        the FIRST merge key's min/max, which matches range-clustered
-        layouts (storage.write_sized on the same key); extra keys still
-        participate in the anti-join, only the pruning is single-axis.
+        out, survivors rewritten together with the updates). Pruning is
+        MULTI-AXIS: a file/segment is skipped when ANY merge key's
+        recorded [min, max] is disjoint from the updates' bounds — with
+        range-clustered files only the first key bites, but after
+        ``compact_files(zorder=True)`` every axis is tight and the rewrite
+        set shrinks to the intersection box.
 
         ``evolve_schema=True`` enables ADD-COLUMN evolution (Delta's
         mergeSchema): update columns unknown to the table are appended to
@@ -454,25 +456,43 @@ class TxTable:
             updates = updates.select([F.col(f.name).cast(f.dataType) for f in target.fields])
         schema_ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in target.fields)
 
-        k0 = self.key_cols[0]
-        bounds = updates.selectExpr(f"min(`{k0}`) AS lo", f"max(`{k0}`) AS hi").collect()[0]
-        lo, hi = _norm_stat(bounds["lo"]), _norm_stat(bounds["hi"])
+        # Per-key update bounds: a file/segment is prunable if ANY key axis
+        # is provably disjoint. With range-clustered files only the first
+        # key prunes (the others span everything), but after
+        # compact_files(zorder=True) every axis is tight, so multi-axis
+        # checks turn an O(axis-slab) rewrite into O(intersection-box).
+        row = updates.select(
+            *[F.min(k).alias(f"lo_{k}") for k in self.key_cols],
+            *[F.max(k).alias(f"hi_{k}") for k in self.key_cols],
+        ).collect()[0]
+        bounds = {
+            k: (_norm_stat(row[f"lo_{k}"]), _norm_stat(row[f"hi_{k}"])) for k in self.key_cols
+        }
+        empty_updates = all(lo is None for lo, _ in bounds.values())
 
-        def _misses(stat_min, stat_max) -> bool:
-            return lo is None or (stat_min is not None and (stat_max < lo or stat_min > hi))
+        def _misses(stat_min: dict, stat_max: dict) -> bool:
+            if empty_updates:
+                return True
+            for k, (lo, hi) in bounds.items():
+                if lo is None:
+                    continue  # all-null update keys on this axis: can't prune by it
+                smin, smax = stat_min.get(k), stat_max.get(k)
+                if smin is not None and (smax < lo or smin > hi):
+                    return True
+            return False
 
         untouched_segs, carried_entries, overlapping = [], [], []
         for entry in m["_inline_files"]:  # old-format parent: per-entry prune
-            if _misses(entry["min"].get(k0), entry["max"].get(k0)):
+            if _misses(entry["min"], entry["max"]):
                 carried_entries.append(entry)
             else:
                 overlapping.append(entry)
         for d in m["segments"]:
-            if _misses(d["min"].get(k0), d["max"].get(k0)):
+            if _misses(d["min"], d["max"]):
                 untouched_segs.append(d)  # carried by name — segment never read
                 continue
             for entry in self._read_segment(d["name"]):
-                if _misses(entry["min"].get(k0), entry["max"].get(k0)):
+                if _misses(entry["min"], entry["max"]):
                     carried_entries.append(entry)
                 else:
                     overlapping.append(entry)

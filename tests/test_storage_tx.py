@@ -575,3 +575,31 @@ def test_changes_feed_with_schema_evolution(spark, table):
     table.merge_upsert(wide, evolve_schema=True)
     feed = {(r["k"], r["v"], r["score"], r["_change_type"]) for r in table.changes(0, 1).collect()}
     assert feed == {(1, "a", None, "delete"), (1, "A2", 0.5, "insert")}
+
+
+def test_merge_multi_axis_pruning_after_zorder(spark, tmp_path):
+    """After a z-order compaction of a two-key table into quadrant files,
+    a merge touching one quadrant must rewrite ONLY that quadrant's file —
+    the secondary axis prunes too, not just the first key."""
+    from pyspark.sql import Row
+
+    t = TxTable(spark, str(tmp_path / "mz"), key_cols=["x", "y"])
+    for x in range(32):
+        t.append(
+            spark.createDataFrame([Row(x=x, y=y, v=x * 32 + y) for y in range(32)],
+                                  "x int, y int, v int").coalesce(1)
+        )
+    t.compact_files(target_rows=256, zorder=True)
+    quadrants = {e["path"] for e in t.files()}
+    assert len(quadrants) == 4
+    before = rows_of(t.snapshot())
+
+    # update one point deep inside the low-low quadrant
+    t.merge_upsert(
+        spark.createDataFrame([Row(x=2, y=3, v=-1)], "x int, y int, v int").coalesce(1)
+    )
+    after = {e["path"] for e in t.files()}
+    assert len(quadrants & after) == 3, "exactly one quadrant file rewritten"
+    got = rows_of(t.snapshot())
+    expected = sorted([r for r in before if (r[0], r[1]) != (2, 3)] + [(2, 3, -1)])
+    assert got == expected
