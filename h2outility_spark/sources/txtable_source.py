@@ -4,8 +4,8 @@
 Offsets are TABLE VERSIONS — the manifest log IS the write-ahead log, so
 the source needs no extra bookkeeping: each micro-batch emits the rows of
 the data files ADDED by versions ``(last_seen, latest]``. Replays are
-exact (``readBetweenOffsets`` re-reads the same immutable files), giving
-end-to-end exactly-once into any checkpointed sink.
+exact (the same immutable files are re-read for the same offset range),
+giving end-to-end exactly-once into any checkpointed sink.
 
 Contract: APPEND-ONLY tables. ``append`` versions emit their added files'
 rows; ``compact`` versions emit nothing (pure rewrites of already-emitted
@@ -15,11 +15,11 @@ raises, because rewritten files would re-emit old rows. This matches the
 Kafka-ish ingest shape the table plays in pipelines; the batch
 ``TxTable.changes()`` feed covers the general case.
 
-Driver-side reader (``SimpleDataSourceStreamReader``): rows are read with
-pyarrow on the driver, the documented trade of the simple API for modest
-per-batch volumes; at high throughput the same offset scheme moves into a
-partition-planning ``DataSourceStreamReader`` (one partition per added
-file).
+Execution shape: a partition-planning ``DataSourceStreamReader`` — the
+driver only diffs manifests (metadata) and plans ONE PARTITION PER ADDED
+FILE; executors read the parquet with pyarrow in parallel. Per-batch cost
+on the driver is O(changed manifest entries), the data plane scales with
+the cluster.
 
 Usage::
 
@@ -32,9 +32,9 @@ from __future__ import annotations
 import glob
 import json
 import os
-from collections.abc import Iterator
+from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
 
 from h2outility_spark.storage_tx import TxTable, _MANIFEST_DIR
 
@@ -60,7 +60,27 @@ def _file_paths(table_dir: str, m: dict) -> set[str]:
     return out
 
 
-class _TxAppendTailReader(SimpleDataSourceStreamReader):
+def _added_files(table_dir: str, v: int) -> list[str]:
+    """Relative paths of the data files version ``v`` ADDED, enforcing the
+    append-only contract (compact → none; other non-append ops → error)."""
+    m = _manifest(table_dir, v)
+    if m["op"] == "compact":
+        return []
+    if m["op"] != "append":
+        raise ValueError(
+            f"txtable_stream is an append-only tail (version {v} is "
+            f"op={m['op']!r}); use TxTable.changes() for the general feed"
+        )
+    prev = _file_paths(table_dir, _manifest(table_dir, v - 1)) if v > 0 else set()
+    return sorted(_file_paths(table_dir, m) - prev)
+
+
+class _TxFilePartition(InputPartition):
+    def __init__(self, abs_path: str):
+        self.abs_path = abs_path
+
+
+class _TxAppendTailReader(DataSourceStreamReader):
     def __init__(self, table_dir: str, field_names: list[str]):
         self.table_dir = table_dir
         self.field_names = field_names
@@ -68,40 +88,31 @@ class _TxAppendTailReader(SimpleDataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"version": -1}
 
-    def _rows_of_version(self, v: int) -> list[tuple]:
+    def latestOffset(self) -> dict:
+        latest = _latest_version(self.table_dir)
+        return {"version": -1 if latest is None else latest}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        parts: list[InputPartition] = []
+        for v in range(start["version"] + 1, end["version"] + 1):
+            parts.extend(
+                _TxFilePartition(os.path.join(self.table_dir, rel))
+                for rel in _added_files(self.table_dir, v)
+            )
+        return parts
+
+    def read(self, partition: _TxFilePartition) -> Iterator[tuple]:
+        # Runs on EXECUTORS: one immutable parquet file per task.
         import pyarrow.parquet as pq
 
-        m = _manifest(self.table_dir, v)
-        if m["op"] == "compact":
-            return []
-        if m["op"] != "append":
-            raise ValueError(
-                f"txtable_stream is an append-only tail (version {v} is "
-                f"op={m['op']!r}); use TxTable.changes() for the general feed"
-            )
-        prev = _file_paths(self.table_dir, _manifest(self.table_dir, v - 1)) if v > 0 else set()
-        added = sorted(_file_paths(self.table_dir, m) - prev)
-        rows: list[tuple] = []
-        for rel in added:
-            tbl = pq.read_table(os.path.join(self.table_dir, rel), columns=self.field_names)
-            cols = [tbl.column(n).to_pylist() for n in self.field_names]
-            rows.extend(zip(*cols))
-        return rows
+        tbl = pq.read_table(partition.abs_path, columns=self.field_names)
+        cols = [tbl.column(n).to_pylist() for n in self.field_names]
+        return iter(zip(*cols))
 
-    def _rows_between(self, after: int, upto: int) -> list[tuple]:
-        rows: list[tuple] = []
-        for v in range(after + 1, upto + 1):
-            rows.extend(self._rows_of_version(v))
-        return rows
-
-    def read(self, start: dict):
-        latest = _latest_version(self.table_dir)
-        if latest is None or latest <= start["version"]:
-            return iter([]), start
-        return iter(self._rows_between(start["version"], latest)), {"version": latest}
-
-    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
-        return iter(self._rows_between(start["version"], end["version"]))
+    def commit(self, end: dict) -> None:
+        # Nothing to clean up: offsets are durable table versions and the
+        # files they name are immutable (vacuum retention is the guard).
+        pass
 
 
 class TxTableStreamDataSource(DataSource):
@@ -118,5 +129,5 @@ class TxTableStreamDataSource(DataSource):
             raise FileNotFoundError(f"no committed version in {table_dir}")
         return _manifest(table_dir, latest)["schema"]
 
-    def simpleStreamReader(self, schema) -> _TxAppendTailReader:
+    def streamReader(self, schema) -> _TxAppendTailReader:
         return _TxAppendTailReader(self.options["path"], [f.name for f in schema.fields])
