@@ -67,3 +67,19 @@ def test_txtable_matches_model(spark, tmp_path_factory, ops):
     for v, expected in enumerate(model_history):
         got = sorted(tuple(r) for r in table.snapshot(version=v).collect())
         assert got == sorted(expected), f"version {v} drifted"
+
+    # CDC invariant: the change feed between consecutive versions equals
+    # the multiset diff of the model states (inserts = new-minus-old,
+    # deletes = old-minus-new); rewrites (compact) cancel to empty.
+    from collections import Counter
+
+    for v in range(1, len(model_history)):
+        old, new = Counter(model_history[v - 1]), Counter(model_history[v])
+        want_ins, want_del = new - old, old - new
+        got_ins: Counter = Counter()
+        got_del: Counter = Counter()
+        for r in table.changes(v - 1, v).collect():
+            row = (r["k"], r["v"])
+            (got_ins if r["_change_type"] == "insert" else got_del)[row] += 1
+        assert got_ins == want_ins, f"insert feed {v - 1}->{v}"
+        assert got_del == want_del, f"delete feed {v - 1}->{v}"
