@@ -140,3 +140,155 @@ def wav_audio_decoder(data: bytes) -> tuple[int, int, int, float]:
     samples = struct.unpack_from(f"<{size // 2}h", data, off)
     mean_abs = round(sum(abs(s) for s in samples) / (len(samples) * 32768.0), 6) if samples else 0.0
     return h["sample_rate"], h["n_channels"], h["duration_ms"], mean_abs
+
+
+# -- PNG ---------------------------------------------------------------------
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(data: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """Decode a non-interlaced 8-bit PNG (gray, gray+alpha, RGB, RGBA) to
+    (width, height, rows of (r, g, b)) with stdlib zlib + struct: chunk
+    walk, IDAT inflate, and the five scanline filters inverted per the
+    spec. Alpha is dropped; grayscale replicates to RGB. Palette, 16-bit,
+    and interlaced variants raise (inject a real codec for those)."""
+    import zlib
+
+    if data[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload (missing signature)")
+    pos, idat, hdr = 8, b"", None
+    while pos + 8 <= len(data):
+        size = struct.unpack_from(">I", data, pos)[0]
+        cid = data[pos + 4 : pos + 8]
+        body = pos + 8
+        if cid == b"IHDR":
+            w, h, bitd, color, _comp, _filt, interlace = struct.unpack_from(
+                ">IIBBBBB", data, body
+            )
+            if bitd != 8 or interlace != 0 or color not in (0, 2, 4, 6):
+                raise ValueError(
+                    f"unsupported PNG variant (bit depth {bitd}, color {color}, "
+                    f"interlace {interlace}); inject a full decoder"
+                )
+            hdr = (w, h, color)
+        elif cid == b"IDAT":
+            idat += data[body : body + size]
+        elif cid == b"IEND":
+            break
+        pos = body + size + 4  # skip CRC
+    if hdr is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    w, h, color = hdr
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+    stride = w * nch
+    raw = zlib.decompress(idat)
+    if len(raw) < h * (stride + 1):
+        raise ValueError("PNG pixel data truncated")
+    rows: list[list[tuple[int, int, int]]] = []
+    prev = bytearray(stride)
+    p = 0
+    for _y in range(h):
+        ftype = raw[p]
+        line = bytearray(raw[p + 1 : p + 1 + stride])
+        p += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(nch, stride):
+                line[i] = (line[i] + line[i - nch]) & 255
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 255
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - nch] if i >= nch else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 255
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - nch] if i >= nch else 0
+                c = prev[i - nch] if i >= nch else 0
+                line[i] = (line[i] + _paeth(a, prev[i], c)) & 255
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        prev = line
+        if nch == 1:
+            row = [(g, g, g) for g in line]
+        elif nch == 2:
+            row = [(line[i], line[i], line[i]) for i in range(0, stride, 2)]
+        elif nch == 3:
+            row = [tuple(line[i : i + 3]) for i in range(0, stride, 3)]
+        else:
+            row = [tuple(line[i : i + 3]) for i in range(0, stride, 4)]
+        rows.append(row)
+    return w, h, rows
+
+
+def encode_png(rows: list[list[tuple[int, int, int]]]) -> bytes:
+    """Encode (r, g, b) rows as an 8-bit RGB PNG (filter 0, one IDAT)."""
+    import zlib
+
+    h = len(rows)
+    w = len(rows[0]) if h else 0
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + cid
+            + body
+            + struct.pack(">I", zlib.crc32(cid + body) & 0xFFFFFFFF)
+        )
+
+    raw = b"".join(b"\x00" + bytes(v for px in row for v in px) for row in rows)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_image_decoder(data: bytes) -> tuple[int, int, float]:
+    """(width, height, mean luma) of a supported PNG — PNG twin of
+    bmp_image_decoder."""
+    width, height, rows = decode_png(data)
+    n = width * height
+    total = sum(_luma(r, g, b) for row in rows for (r, g, b) in row)
+    return width, height, round(total / n, 6) if n else 0.0
+
+
+def png_resizer(data: bytes, max_side: int) -> tuple[bytes, int, int]:
+    """Nearest-neighbor bounding-box downscale of a PNG, re-encoded as
+    8-bit RGB PNG (alpha dropped). Never upscales."""
+    width, height, rows = decode_png(data)
+    scale = min(1.0, max_side / max(width, height, 1))
+    out_w, out_h = max(1, int(width * scale)), max(1, int(height * scale))
+    out_rows = []
+    for r in range(out_h):
+        src_r = min(height - 1, int(r * height / out_h))
+        out_rows.append([rows[src_r][min(width - 1, int(c * width / out_w))] for c in range(out_w)])
+    return encode_png(out_rows), out_w, out_h
+
+
+def sniff_image_decoder(data: bytes) -> tuple[int, int, float]:
+    """Format-sniffing default ``decode_fn``: BMP or PNG by magic bytes."""
+    if data[:2] == b"BM":
+        return bmp_image_decoder(data)
+    if data[:8] == _PNG_MAGIC:
+        return png_image_decoder(data)
+    raise ValueError("unsupported image format (built-ins: BMP, PNG) — inject decode_fn")
+
+
+def sniff_image_resizer(data: bytes, max_side: int) -> tuple[bytes, int, int]:
+    """Format-sniffing default ``resize_fn``: stays in the input format."""
+    if data[:2] == b"BM":
+        return bmp_resizer(data, max_side)
+    if data[:8] == _PNG_MAGIC:
+        return png_resizer(data, max_side)
+    raise ValueError("unsupported image format (built-ins: BMP, PNG) — inject resize_fn")

@@ -72,21 +72,25 @@ def extract_image_features(
 ) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
-    ``decode_fn=None`` uses the built-in pure-Python BMP decoder
-    (codecs.bmp_image_decoder); payloads in formats that need an external
-    codec library raise NotImplementedError at the decode site.
+    ``decode_fn=None`` sniffs the format and uses the built-in pure-Python
+    codecs (uncompressed 24-bit BMP; non-interlaced 8-bit PNG via stdlib
+    zlib — codecs.sniff_image_decoder); payloads in formats that need an
+    external codec library raise NotImplementedError at the decode site.
     """
     if decode_fn is None:
-        from h2outility_spark.codecs import bmp_image_decoder
+        from h2outility_spark.codecs import sniff_image_decoder
 
         def decode_fn(b: bytes) -> tuple[int, int, float]:  # noqa: ANN001
-            if b[:2] == b"BM":
-                return bmp_image_decoder(b)
-            raise NotImplementedError(
-                f"no built-in decoder for payload starting {b[:4]!r}: only uncompressed "
-                "24-bit BMP decodes stdlib-only; JPEG/PNG need PIL/turbojpeg (absent in "
-                "this container) — inject decode_fn"
-            )
+            try:
+                return sniff_image_decoder(b)
+            except ValueError as e:
+                if "unsupported image format" in str(e):
+                    raise NotImplementedError(
+                        f"no built-in decoder for payload starting {b[:4]!r}: BMP and "
+                        "8-bit PNG decode stdlib-only; JPEG/WebP need PIL/turbojpeg "
+                        "(absent in this container) — inject decode_fn"
+                    ) from e
+                raise
 
     fn = decode_fn
 
@@ -157,21 +161,24 @@ def resize_images(
     standard normalization pass before vision-model training.
 
     Same codec contract as ``extract_image_features``: ``resize_fn=None``
-    uses the built-in BMP nearest-neighbor resizer (codecs.bmp_resizer);
-    other formats raise at the codec site. The output keeps payloads in
-    the SELECT path only — downstream writers partition by bytes; nothing
-    here shuffles the binary column.
+    sniffs BMP/PNG and resizes with the matching built-in (staying in the
+    input format); other formats raise at the codec site. The output keeps
+    payloads in the SELECT path only — downstream writers partition by
+    bytes; nothing here shuffles the binary column.
     """
     if resize_fn is None:
-        from h2outility_spark.codecs import bmp_resizer
+        from h2outility_spark.codecs import sniff_image_resizer
 
         def resize_fn(b: bytes, side_: int) -> tuple[bytes, int, int]:  # noqa: ANN001
-            if b[:2] == b"BM":
-                return bmp_resizer(b, side_)
-            raise NotImplementedError(
-                f"no built-in resizer for payload starting {b[:4]!r}: only uncompressed "
-                "24-bit BMP resizes stdlib-only; inject resize_fn for other formats"
-            )
+            try:
+                return sniff_image_resizer(b, side_)
+            except ValueError as e:
+                if "unsupported image format" in str(e):
+                    raise NotImplementedError(
+                        f"no built-in resizer for payload starting {b[:4]!r}: BMP and "
+                        "8-bit PNG resize stdlib-only; inject resize_fn for other formats"
+                    ) from e
+                raise
 
     fn, side = resize_fn, max_side
 

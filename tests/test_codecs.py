@@ -163,3 +163,119 @@ def test_null_and_empty_payloads_yield_null_features_not_job_abort(spark):
     bad = spark.createDataFrame([Row(asset_id=9, data=b"JFIFnotbmp")], schema)
     with pytest.raises(Exception, match="no built-in decoder"):
         extract_image_features(bad).collect()
+
+
+# -- PNG ---------------------------------------------------------------------
+
+
+def _png_chunk(cid: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body)) + cid + body
+        + struct.pack(">I", zlib.crc32(cid + body) & 0xFFFFFFFF)
+    )
+
+
+def _build_gray_png(true_rows, filters):
+    """Hand-build a grayscale PNG applying the FORWARD filter per row —
+    the decoder must invert each one exactly (forward formulas here are
+    the spec's, written in the encode direction, so this is an
+    independent check of the decoder's inversion)."""
+    import struct
+    import zlib
+
+    h, w = len(true_rows), len(true_rows[0])
+    raw = bytearray()
+    prev = [0] * w
+    for y, row in enumerate(true_rows):
+        ftype = filters[y]
+        raw.append(ftype)
+        for i, x in enumerate(row):
+            left = row[i - 1] if i > 0 else 0
+            up = prev[i]
+            ul = prev[i - 1] if i > 0 else 0
+            if ftype == 0:
+                raw.append(x & 255)
+            elif ftype == 1:
+                raw.append((x - left) & 255)
+            elif ftype == 2:
+                raw.append((x - up) & 255)
+            elif ftype == 3:
+                raw.append((x - ((left + up) >> 1)) & 255)
+            elif ftype == 4:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+                raw.append((x - pred) & 255)
+        prev = row
+    magic = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit grayscale
+    return magic + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IDAT", zlib.compress(bytes(raw))) + _png_chunk(b"IEND", b"")
+
+
+def test_png_roundtrip_rgb():
+    from h2outility_spark.codecs import decode_png, encode_png
+
+    rows = [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (10, 20, 30)]]
+    w, h, back = decode_png(encode_png(rows))
+    assert (w, h) == (2, 2)
+    assert back == rows
+
+
+def test_png_all_filter_types_invert_exactly():
+    from h2outility_spark.codecs import decode_png
+
+    true_rows = [
+        [10, 15, 20, 200],
+        [12, 18, 25, 199],
+        [240, 3, 130, 77],
+        [1, 255, 0, 128],
+        [9, 9, 9, 9],
+    ]
+    data = _build_gray_png(true_rows, filters=[0, 1, 2, 3, 4])
+    w, h, rows = decode_png(data)
+    assert (w, h) == (4, 5)
+    assert rows == [[(g, g, g) for g in row] for row in true_rows]
+
+
+def test_png_decoder_and_resizer_through_operators(spark):
+    """PNG payloads flow through the default (sniffing) multimodal path:
+    features decode and the resizer halves a 4x2 to 2x1, staying PNG."""
+    from pyspark.sql import Row
+
+    from h2outility_spark.codecs import decode_png, encode_png
+    from h2outility_spark.operators.multimodal import extract_image_features, resize_images
+
+    rows = [[(0, 0, 0), (255, 255, 255), (0, 0, 0), (255, 255, 255)],
+            [(255, 255, 255), (0, 0, 0), (255, 255, 255), (0, 0, 0)]]
+    png = encode_png(rows)
+    assets = spark.createDataFrame([Row(asset_id=1, data=bytearray(png))])
+
+    feats = extract_image_features(assets).collect()[0]
+    assert (feats["width"], feats["height"]) == (4, 2)
+    assert abs(feats["mean_luma"] - 0.5) < 1e-6
+
+    resized = resize_images(assets, max_side=2).collect()[0]
+    assert (resized["width"], resized["height"]) == (2, 1)
+    w2, h2, back = decode_png(bytes(resized["data"]))
+    assert (w2, h2) == (2, 1)
+
+
+def test_png_unsupported_variants_raise():
+    import pytest as _pytest
+
+    from h2outility_spark.codecs import decode_png
+
+    with _pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"JUNKJUNKJUNK")
+    # 16-bit depth header
+    import struct
+    import zlib
+
+    magic = b"\x89PNG\r\n\x1a\n"
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    data = magic + _png_chunk(b"IHDR", ihdr16) + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 26)) + _png_chunk(b"IEND", b"")
+    with _pytest.raises(ValueError, match="unsupported PNG variant"):
+        decode_png(data)
