@@ -206,6 +206,54 @@ class TxTable:
             return self.spark.createDataFrame([], m["schema"])
         return self.spark.read.schema(m["schema"]).parquet(*paths)
 
+    def scan(
+        self, key: str, lo, hi, version: int | None = None
+    ) -> DataFrame:
+        """Manifest-pruned range scan: read ONLY the data files whose
+        recorded [min, max] for ``key`` overlaps [lo, hi], then apply the
+        residual filter. Spark's own planner prunes row groups from
+        footers, but it must still LIST and OPEN every file to get there —
+        at ~1M files the listing alone dominates. Here the manifest
+        answers the file-level question without touching storage: whole
+        segments are skipped by their aggregated stats, then files by
+        theirs (the same two-level prune merge_upsert uses). Files without
+        recorded stats for ``key`` are read (cannot prove them skippable).
+        Bounds are inclusive; either may be None for half-open ranges."""
+        m = self.manifest(version)
+        if m is None:
+            raise FileNotFoundError(f"no committed version in {self.table_dir}")
+        nlo, nhi = _norm_stat(lo), _norm_stat(hi)
+
+        def _misses(smin, smax) -> bool:
+            if smin is None:
+                return False
+            return (nhi is not None and smin > nhi) or (nlo is not None and smax < nlo)
+
+        paths: list[str] = []
+        for entry in m["_inline_files"]:
+            if not _misses(entry["min"].get(key), entry["max"].get(key)):
+                paths.append(entry["path"])
+        for d in m["segments"]:
+            if _misses(d["min"].get(key), d["max"].get(key)):
+                continue  # whole segment skipped — never read
+            for entry in self._read_segment(d["name"]):
+                if not _misses(entry["min"].get(key), entry["max"].get(key)):
+                    paths.append(entry["path"])
+        if not paths:
+            df = self.spark.createDataFrame([], m["schema"])
+        else:
+            df = self.spark.read.schema(m["schema"]).parquet(
+                *[os.path.join(self.table_dir, p) for p in paths]
+            )
+        from pyspark.sql import functions as F
+
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col(key) >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (F.col(key) <= F.lit(hi))
+        return df.filter(cond)
+
     def history(self) -> list[dict]:
         """Commit log. Reads only top-level manifests — O(versions), never
         touches segment files (the at-scale requirement)."""

@@ -603,3 +603,27 @@ def test_merge_multi_axis_pruning_after_zorder(spark, tmp_path):
     got = rows_of(t.snapshot())
     expected = sorted([r for r in before if (r[0], r[1]) != (2, 3)] + [(2, 3, -1)])
     assert got == expected
+
+
+def test_scan_prunes_files_from_manifest(spark, table):
+    """Manifest-pruned range scan: only overlapping files are opened
+    (inputFiles proves it), results equal the filtered snapshot, and
+    half-open ranges work."""
+    table.append(kv(spark, [(1, "a"), (2, "b")]).coalesce(1))       # [1,2]
+    table.append(kv(spark, [(50, "m"), (60, "n")]).coalesce(1))     # [50,60]
+    table.append(kv(spark, [(100, "x"), (200, "y")]).coalesce(1))   # [100,200]
+
+    s = table.scan("k", 40, 70)
+    assert len(s.inputFiles()) == 1, "exactly the middle file opened"
+    assert rows_of(s) == [(50, "m"), (60, "n")]
+
+    # residual filter still applies inside a partially-overlapping file
+    assert rows_of(table.scan("k", 55, 150)) == [(60, "n"), (100, "x")]
+    # half-open
+    assert rows_of(table.scan("k", 100, None)) == [(100, "x"), (200, "y")]
+    assert rows_of(table.scan("k", None, 2)) == [(1, "a"), (2, "b")]
+    # empty overlap -> empty frame with the table schema
+    empty = table.scan("k", 300, 400)
+    assert empty.count() == 0 and empty.columns == ["k", "v"]
+    # time travel composes
+    assert rows_of(table.scan("k", 40, 70, version=0)) == []
