@@ -292,3 +292,35 @@ def sniff_image_resizer(data: bytes, max_side: int) -> tuple[bytes, int, int]:
     if data[:8] == _PNG_MAGIC:
         return png_resizer(data, max_side)
     raise ValueError("unsupported image format (built-ins: BMP, PNG) — inject resize_fn")
+
+
+def wav_window_features(data: bytes, window_ms: int = 100) -> list[tuple[int, int, float, float]]:
+    """Windowed features of a 16-bit PCM WAV: per non-overlapping window of
+    ``window_ms``, (window_idx, start_ms, rms, zero_crossing_rate), both in
+    [0, 1], 6 dp. Multi-channel audio is mixed to mono by sample averaging
+    first — the standard front-end before VAD / silence trimming / speech
+    quality gates in audio-corpus pipelines."""
+    import math
+
+    h = parse_wav_header(data)
+    if h["audio_format"] != 1 or h["bits_per_sample"] != 16:
+        raise ValueError("only 16-bit PCM WAV supported for window features")
+    off, size = h["data_span"]
+    flat = struct.unpack_from(f"<{size // 2}h", data, off)
+    nch = h["n_channels"]
+    mono = (
+        list(flat)
+        if nch == 1
+        else [sum(flat[i : i + nch]) // nch for i in range(0, len(flat) - nch + 1, nch)]
+    )
+    spw = max(1, h["sample_rate"] * window_ms // 1000)
+    out = []
+    for w_idx in range(0, (len(mono) + spw - 1) // spw):
+        chunk = mono[w_idx * spw : (w_idx + 1) * spw]
+        rms = math.sqrt(sum((s / 32768.0) ** 2 for s in chunk) / len(chunk))
+        crossings = sum(
+            1 for a, b in zip(chunk, chunk[1:]) if (a < 0 <= b) or (b < 0 <= a)
+        )
+        zcr = crossings / (len(chunk) - 1) if len(chunk) > 1 else 0.0
+        out.append((w_idx, w_idx * spw * 1000 // h["sample_rate"], round(rms, 6), round(zcr, 6)))
+    return out

@@ -270,6 +270,64 @@ def extract_audio_features(
     return assets.select(F.col(id_col), F.col(data_col)).mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
 
 
+AUDIO_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("window_idx", T.IntegerType(), True),
+        T.StructField("start_ms", T.IntegerType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("zcr", T.DoubleType(), True),
+    ]
+)
+
+
+def extract_audio_frames(
+    assets: DataFrame,
+    window_ms: int = 100,
+    frames_fn: Callable[[bytes, int], list] | None = None,
+    id_col: str = "asset_id",
+    data_col: str = "data",
+) -> DataFrame:
+    """Windowed audio features — one output row per (asset, window) with
+    RMS level and zero-crossing rate: the front-end for VAD, silence
+    trimming, and speech-quality gating in audio-corpus pipelines.
+    Default codec is the stdlib 16-bit PCM WAV path
+    (codecs.wav_window_features); NULL/empty payloads produce no windows
+    rather than aborting the batch. The explode happens inside
+    ``mapInPandas``, so the binary column never enters a shuffle — output
+    is already the narrow numeric frame."""
+    if frames_fn is None:
+        from h2outility_spark.codecs import wav_window_features
+
+        def frames_fn(b: bytes, ms: int) -> list:  # noqa: ANN001
+            if b[:4] == b"RIFF":
+                return wav_window_features(b, ms)
+            raise NotImplementedError(
+                f"no built-in decoder for payload starting {b[:4]!r}: only PCM WAV "
+                "decodes stdlib-only; inject frames_fn for compressed audio"
+            )
+
+    fn, ms = frames_fn, window_ms
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, widx, starts, rms, zcr = [], [], [], [], []
+            for aid, b in zip(pdf[id_col], pdf[data_col]):
+                if not b:
+                    continue
+                for w, s, r, z in fn(b, ms):
+                    ids.append(aid)
+                    widx.append(w)
+                    starts.append(s)
+                    rms.append(r)
+                    zcr.append(z)
+            yield pd.DataFrame(
+                {"asset_id": ids, "window_idx": widx, "start_ms": starts, "rms": rms, "zcr": zcr}
+            )
+
+    return assets.select(F.col(id_col), F.col(data_col)).mapInPandas(batches, AUDIO_FRAMES_SCHEMA)
+
+
 def binarize_text_fixture(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Build a multimodal asset fixture from the documents table (UTF-8
     payload bytes + mime + meta) — this container has no image test data, so

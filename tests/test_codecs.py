@@ -279,3 +279,61 @@ def test_png_unsupported_variants_raise():
     data = magic + _png_chunk(b"IHDR", ihdr16) + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 26)) + _png_chunk(b"IEND", b"")
     with _pytest.raises(ValueError, match="unsupported PNG variant"):
         decode_png(data)
+
+
+# -- windowed audio features --------------------------------------------------
+
+
+def _pcm_wav(samples, rate=8000, nch=1):
+    import struct
+
+    body = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, nch, rate, rate * nch * 2, nch * 2, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(body)) + body
+    )
+
+
+def test_wav_window_features_square_wave_exact():
+    """A +/-16384 square wave with period 4 at 8 kHz, 100 ms windows (800
+    samples): RMS is exactly 0.5 and the zero-crossing count is exactly
+    one crossing every two samples."""
+    from h2outility_spark.codecs import wav_window_features
+
+    period = [16384, 16384, -16384, -16384]
+    samples = period * 400  # 1600 samples = 2 windows
+    feats = wav_window_features(_pcm_wav(samples), window_ms=100)
+    assert [f[0] for f in feats] == [0, 1]
+    assert [f[1] for f in feats] == [0, 100]
+    for _w, _s, rms, zcr in feats:
+        assert rms == 0.5
+        assert abs(zcr - (400 - 1 + 0.5) / 799) < 2e-3  # ~1 crossing / 2 samples
+
+
+def test_wav_window_features_stereo_mixes_to_mono():
+    from h2outility_spark.codecs import wav_window_features
+
+    # L = +1000, R = -1000 -> mono mix 0 everywhere -> rms 0, zcr 0
+    samples = [1000, -1000] * 800
+    feats = wav_window_features(_pcm_wav(samples, nch=2), window_ms=100)
+    assert all(f[2] == 0.0 and f[3] == 0.0 for f in feats)
+
+
+def test_extract_audio_frames_operator(spark):
+    from pyspark.sql import Row
+
+    from h2outility_spark.operators.multimodal import extract_audio_frames
+
+    period = [16384, 16384, -16384, -16384]
+    wav = _pcm_wav(period * 400)
+    assets = spark.createDataFrame(
+        [Row(asset_id=1, data=bytearray(wav)), Row(asset_id=2, data=None)]
+    )
+    rows = extract_audio_frames(assets, window_ms=100).collect()
+    assert {r["asset_id"] for r in rows} == {1}  # null payload -> no windows
+    assert sorted((r["window_idx"], r["start_ms"], r["rms"]) for r in rows) == [
+        (0, 0, 0.5),
+        (1, 100, 0.5),
+    ]
