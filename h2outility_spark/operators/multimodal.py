@@ -328,6 +328,42 @@ def extract_audio_frames(
     return assets.select(F.col(id_col), F.col(data_col)).mapInPandas(batches, AUDIO_FRAMES_SCHEMA)
 
 
+def audio_activity_segments(
+    assets: DataFrame,
+    rms_threshold: float = 0.05,
+    window_ms: int = 100,
+    frames_fn: Callable[[bytes, int], list] | None = None,
+) -> DataFrame:
+    """Energy-based voice-activity segmentation: windows above
+    ``rms_threshold`` are merged into maximal runs (gaps-and-islands on
+    ``window_idx`` — the same gap grouping as the QC islands operator,
+    W3) and emitted as (asset_id, segment, start_ms, end_ms, n_windows,
+    mean_rms). The speech/silence splitter an audio-corpus pipeline runs
+    before transcription or chunking.
+
+    All segmentation happens JVM-side on the narrow frame
+    ``extract_audio_frames`` produced — one window shuffle keyed by
+    asset, no Python past the codec."""
+    from pyspark.sql import Window as W
+
+    frames = extract_audio_frames(assets, window_ms=window_ms, frames_fn=frames_fn)
+    active = frames.filter(F.col("rms") >= rms_threshold)
+    w = W.partitionBy("asset_id").orderBy("window_idx")
+    runs = active.withColumn(
+        "segment", F.col("window_idx") - F.row_number().over(w)
+    )
+    return (
+        runs.groupBy("asset_id", "segment")
+        .agg(
+            F.min("start_ms").alias("start_ms"),
+            (F.max("start_ms") + F.lit(window_ms)).alias("end_ms"),
+            F.count(F.lit(1)).cast("int").alias("n_windows"),
+            F.round(F.avg("rms"), 6).alias("mean_rms"),
+        )
+        .drop("segment")
+    )
+
+
 def binarize_text_fixture(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Build a multimodal asset fixture from the documents table (UTF-8
     payload bytes + mime + meta) — this container has no image test data, so

@@ -337,3 +337,24 @@ def test_extract_audio_frames_operator(spark):
         (0, 0, 0.5),
         (1, 100, 0.5),
     ]
+
+
+def test_audio_activity_segments(spark):
+    """Loud / silent / loud WAV -> exactly two activity segments with the
+    right window spans; fully silent asset yields none."""
+    from pyspark.sql import Row
+
+    from h2outility_spark.operators.multimodal import audio_activity_segments
+
+    loud = [16384, 16384, -16384, -16384] * 200   # 800 samples = 1 window @8kHz/100ms
+    quiet = [0] * 800
+    wav = _pcm_wav(loud + loud + quiet + loud)    # active, active, silent, active
+    assets = spark.createDataFrame(
+        [Row(asset_id=1, data=bytearray(wav)),
+         Row(asset_id=2, data=bytearray(_pcm_wav(quiet)))]
+    )
+    segs = sorted(
+        (r["asset_id"], r["start_ms"], r["end_ms"], r["n_windows"], r["mean_rms"])
+        for r in audio_activity_segments(assets, rms_threshold=0.05).collect()
+    )
+    assert segs == [(1, 0, 200, 2, 0.5), (1, 300, 400, 1, 0.5)]
