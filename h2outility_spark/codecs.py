@@ -324,3 +324,30 @@ def wav_window_features(data: bytes, window_ms: int = 100) -> list[tuple[int, in
         zcr = crossings / (len(chunk) - 1) if len(chunk) > 1 else 0.0
         out.append((w_idx, w_idx * spw * 1000 // h["sample_rate"], round(rms, 6), round(zcr, 6)))
     return out
+
+
+def dhash64(data: bytes) -> int:
+    """64-bit difference hash (dHash) of a BMP/PNG payload: decode, mix to
+    luma, nearest-neighbor resample to a 9x8 grid, emit one bit per
+    horizontal neighbor pair (left < right). Near-identical images land
+    within a few Hamming bits — the standard perceptual fingerprint for
+    image dedup, here format-independent (same pixels => same hash
+    whether the container was BMP or PNG)."""
+    if data[:2] == b"BM":
+        w, h, rows = decode_bmp(data)
+    elif data[:8] == _PNG_MAGIC:
+        w, h, rows = decode_png(data)
+    else:
+        raise ValueError("unsupported image format for dhash (built-ins: BMP, PNG)")
+    gw, gh = 9, 8
+    grid = []
+    for gy in range(gh):
+        sy = min(h - 1, gy * h // gh)
+        grid.append(
+            [_luma(*rows[sy][min(w - 1, gx * w // gw)]) for gx in range(gw)]
+        )
+    bits = 0
+    for gy in range(gh):
+        for gx in range(gw - 1):
+            bits = (bits << 1) | (1 if grid[gy][gx] < grid[gy][gx + 1] else 0)
+    return bits

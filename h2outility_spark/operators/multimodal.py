@@ -374,3 +374,90 @@ def binarize_text_fixture(docs: DataFrame, id_col: str = "doc_id", text_col: str
         F.lit("text/plain").alias("mime"),
         F.create_map(F.lit("origin"), F.lit("documents")).alias("meta"),
     )
+
+
+def image_dhash(
+    assets: DataFrame,
+    hash_fn: Callable[[bytes], int] | None = None,
+    id_col: str = "asset_id",
+    data_col: str = "data",
+) -> DataFrame:
+    """Perceptual fingerprint per image: (asset_id, dhash) with the 64-bit
+    difference hash (codecs.dhash64, BMP/PNG built-in). NULL payloads
+    yield NULL hashes. The binary column stays inside mapInPandas; only
+    the 8-byte hash continues into the pipeline."""
+    if hash_fn is None:
+        from h2outility_spark.codecs import dhash64
+
+        hash_fn = dhash64
+    fn = hash_fn
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    # signed-64 view keeps the LongType column exact
+                    "dhash": [
+                        None if not b else (fn(b) ^ 0x8000000000000000) - 0x8000000000000000
+                        for b in pdf[data_col]
+                    ],
+                }
+            )
+
+    return assets.select(F.col(id_col), F.col(data_col)).mapInPandas(
+        batches, "asset_id long, dhash long"
+    )
+
+
+def image_neardup_pairs(
+    assets: DataFrame,
+    max_hamming: int = 6,
+    hash_fn: Callable[[bytes], int] | None = None,
+    id_col: str = "asset_id",
+) -> DataFrame:
+    """Near-duplicate image pairs by perceptual hash: band each 64-bit
+    dHash into four 16-bit keys. Pigeonhole guarantee: at Hamming
+    distance <= 3 the differing bits occupy at most 3 bands, so at least
+    one band matches exactly and the pair is ALWAYS a candidate; at
+    distances 4..``max_hamming`` a shared band is likely but not
+    guaranteed (the standard pHash-banding recall trade — add bands to
+    tighten it). Candidates come from a band-key self-join, never all
+    pairs; the exact Hamming distance is then verified JVM-side with
+    ``bit_count(xor)``."""
+    hashes = image_dhash(assets, hash_fn=hash_fn, id_col=id_col).filter(
+        F.col("dhash").isNotNull()
+    )
+    banded = hashes.select(
+        id_col,
+        "dhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("dhash"), s).bitwiseAND(F.lit(0xFFFF))
+                    for s in (0, 16, 32, 48)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.dhash").alias("ha"),
+            F.col("b.dhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

@@ -358,3 +358,58 @@ def test_audio_activity_segments(spark):
         for r in audio_activity_segments(assets, rms_threshold=0.05).collect()
     )
     assert segs == [(1, 0, 200, 2, 0.5), (1, 300, 400, 1, 0.5)]
+
+
+# -- perceptual image hashing -------------------------------------------------
+
+
+def _gradient_rows(w, h, tweak=None):
+    rows = [[((x * 255) // max(1, w - 1),) * 3 for x in range(w)] for _y in range(h)]
+    if tweak:
+        x, y, px = tweak
+        rows[y][x] = px
+    return rows
+
+
+def test_dhash_format_independent_and_locality():
+    from h2outility_spark.codecs import dhash64, encode_bmp, encode_png
+
+    rows = _gradient_rows(18, 16)
+    h_bmp = dhash64(encode_bmp(rows))
+    h_png = dhash64(encode_png(rows))
+    assert h_bmp == h_png  # same pixels, different container
+
+    # one flipped pixel moves few bits; an inverted gradient moves many
+    h_tweak = dhash64(encode_png(_gradient_rows(18, 16, tweak=(9, 4, (0, 0, 0)))))
+    h_inv = dhash64(encode_png([list(reversed(r)) for r in rows]))
+    assert bin(h_bmp ^ h_tweak).count("1") <= 6
+    assert bin(h_bmp ^ h_inv).count("1") >= 32
+
+
+def test_image_neardup_pairs_operator(spark):
+    from pyspark.sql import Row
+
+    from h2outility_spark.codecs import encode_bmp, encode_png
+    from h2outility_spark.operators.multimodal import image_neardup_pairs
+
+    rows = _gradient_rows(18, 16)
+    assets = spark.createDataFrame(
+        [
+            Row(asset_id=1, data=bytearray(encode_bmp(rows))),
+            Row(asset_id=2, data=bytearray(encode_png(rows))),  # same pixels as 1
+            Row(
+                asset_id=3,
+                data=bytearray(encode_png(_gradient_rows(18, 16, tweak=(9, 4, (0, 0, 0))))),
+            ),  # near dup of 1/2
+            Row(asset_id=4, data=bytearray(encode_png([list(reversed(r)) for r in rows]))),
+            Row(asset_id=5, data=None),
+        ]
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in image_neardup_pairs(assets, max_hamming=6).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and (2, 3) in pairs
+    assert all(h <= 6 for h in pairs.values())
+    assert not any(4 in k or 5 in k for k in pairs)
