@@ -10,12 +10,13 @@ Design:
     ``mapInPandas`` operators: one Python worker per partition, whole
     column batches across the Arrow boundary, never row-at-a-time.
   * Codecs are INJECTABLE; the defaults are real pure-Python decoders for
-    the formats stdlib can handle (uncompressed 24-bit BMP, 16-bit PCM
-    WAV — ``h2outility_spark.codecs``). Formats that need PIL/ffmpeg
-    (JPEG/PNG/MP4), absent in this container, raise NotImplementedError at
-    the decode site with the magic bytes named; swap in a real decoder on
-    a cluster with the libs installed. ``deterministic_fake_decoder``
-    remains as a reproducible stand-in for plumbing tests.
+    the formats stdlib can handle (uncompressed 24-bit BMP, non-interlaced
+    8-bit PNG, 16-bit PCM WAV — ``h2outility_spark.codecs``, sniffed by
+    magic bytes). Formats that need PIL/ffmpeg (JPEG/WebP/MP4), absent in
+    this container, raise NotImplementedError at the decode site with the
+    magic bytes named; swap in a real decoder on a cluster with the libs
+    installed. ``deterministic_fake_decoder`` remains as a reproducible
+    stand-in for plumbing tests.
 
 Scale notes: binary payloads dominate partition size — size partitions by
 bytes (``spark.sql.files.maxPartitionBytes``), never by row count; keep
@@ -461,3 +462,24 @@ def image_neardup_pairs(
         "id_b",
         F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def canonical_images(
+    assets: DataFrame,
+    max_hamming: int = 6,
+    hash_fn: Callable[[bytes], int] | None = None,
+    id_col: str = "asset_id",
+) -> DataFrame:
+    """Image-dedup canonicalization: perceptual near-dup pairs →
+    connected components (the same log-rounds pointer jumping the text
+    dedup uses) → keep the min-id member of every duplicate cluster plus
+    all unclustered assets. The image twin of the text pipeline's
+    exact+near dedup stage."""
+    from h2outility_spark.operators.dedup import connected_components
+
+    pairs = image_neardup_pairs(assets, max_hamming=max_hamming, hash_fn=hash_fn, id_col=id_col)
+    clusters = connected_components(pairs.select("id_a", "id_b"))
+    losers = clusters.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias(id_col)
+    )
+    return assets.join(losers, id_col, "left_anti")

@@ -413,3 +413,25 @@ def test_image_neardup_pairs_operator(spark):
     assert (1, 3) in pairs and (2, 3) in pairs
     assert all(h <= 6 for h in pairs.values())
     assert not any(4 in k or 5 in k for k in pairs)
+
+
+def test_canonical_images_keeps_one_per_cluster(spark):
+    from pyspark.sql import Row
+
+    from h2outility_spark.codecs import encode_bmp, encode_png
+    from h2outility_spark.operators.multimodal import canonical_images
+
+    rows = _gradient_rows(18, 16)
+    assets = spark.createDataFrame(
+        [
+            Row(asset_id=1, data=bytearray(encode_bmp(rows))),
+            Row(asset_id=2, data=bytearray(encode_png(rows))),
+            Row(
+                asset_id=3,
+                data=bytearray(encode_png(_gradient_rows(18, 16, tweak=(9, 4, (0, 0, 0))))),
+            ),
+            Row(asset_id=4, data=bytearray(encode_png([list(reversed(r)) for r in rows]))),
+        ]
+    )
+    kept = {r["asset_id"] for r in canonical_images(assets).collect()}
+    assert kept == {1, 4}  # 1,2,3 cluster -> keep 1; 4 unclustered
