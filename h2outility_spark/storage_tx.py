@@ -99,7 +99,7 @@ def _file_stats(path: str, key_cols: list[str]) -> dict:
     import pyarrow.parquet as pq
 
     md = pq.read_metadata(path)
-    stats: dict = {"rows": md.num_rows, "min": {}, "max": {}}
+    stats: dict = {"rows": md.num_rows, "bytes": os.path.getsize(path), "min": {}, "max": {}}
     name_to_idx = {md.schema.column(i).name: i for i in range(len(md.schema))}
     for key in key_cols:
         idx = name_to_idx.get(key)
@@ -658,7 +658,11 @@ class TxTable:
     # -- maintenance -------------------------------------------------------
 
     def compact_files(
-        self, target_rows: int = 1_000_000, small_rows: int | None = None, zorder: bool = False
+        self,
+        target_rows: int = 1_000_000,
+        small_rows: int | None = None,
+        zorder: bool = False,
+        target_bytes: int | None = None,
     ) -> int | None:
         """OPTIMIZE: rewrite many small DATA files into few range-clustered
         large ones (Delta OPTIMIZE / Iceberg rewrite_data_files). Streaming
@@ -691,6 +695,16 @@ class TxTable:
         m = self.manifest()
         if m is None:
             return None
+        if target_bytes is not None:
+            # Files are sized in BYTES on real storage (the 128 MB-ish
+            # object-store sweet spot); translate through the table's own
+            # observed bytes/row so target_rows tracks the actual schema
+            # width instead of a guess. Entries written before byte stats
+            # existed contribute rows only.
+            sized = [e for e in self._files_of(m) if e.get("bytes")]
+            if sized:
+                bpr = sum(e["bytes"] for e in sized) / max(1, sum(e["rows"] for e in sized))
+                target_rows = max(1, int(target_bytes / bpr))
         cutoff = target_rows // 4 if small_rows is None else small_rows
 
         carried_segs, carried_entries, small_entries = [], [], []

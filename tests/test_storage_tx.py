@@ -627,3 +627,22 @@ def test_scan_prunes_files_from_manifest(spark, table):
     assert empty.count() == 0 and empty.columns == ["k", "v"]
     # time travel composes
     assert rows_of(table.scan("k", 40, 70, version=0)) == []
+
+
+def test_compact_target_bytes_sizes_from_observed_density(spark, table):
+    """target_bytes translates through the table's own observed bytes/row:
+    the output file count matches ceil(total_rows / (target_bytes /
+    bytes_per_row)) within one file."""
+    for i in range(10):
+        table.append(kv(spark, [(i * 20 + j, f"val{j}") for j in range(20)]).coalesce(1))
+    entries = table.files()
+    total_rows = sum(e["rows"] for e in entries)
+    total_bytes = sum(e["bytes"] for e in entries)
+    assert total_rows == 200 and total_bytes > 0
+
+    # aim for ~half the table per file -> expect 2 (+/- rounding) files
+    v = table.compact_files(target_bytes=total_bytes // 2)
+    assert v is not None
+    n_files = len(table.files())
+    assert n_files in (2, 3)
+    assert sum(e["rows"] for e in table.files()) == 200
