@@ -45,6 +45,12 @@ def main(argv: list[str] | None = None) -> int:
     p_hist = sub.add_parser("tx-history", help="print a transactional table's commit history")
     p_hist.add_argument("--table", required=True)
 
+    p_desc = sub.add_parser(
+        "tx-describe", help="print a transactional table's health snapshot "
+        "(files, rows, bytes, small-file fraction) from metadata only"
+    )
+    p_desc.add_argument("--table", required=True)
+
     p_cmp = sub.add_parser(
         "tx-compact",
         help="OPTIMIZE a transactional table: rewrite small data files into "
@@ -126,6 +132,15 @@ def main(argv: list[str] | None = None) -> int:
         spark = get_spark("h2outility-cli")
         for h in TxTable(spark, args.table, key_cols=["event_id"]).history():
             print(h)
+        return 0
+
+    if args.cmd == "tx-describe":
+        import json as _json
+
+        from h2outility_spark.storage_tx import TxTable
+
+        spark = get_spark("h2outility-cli")
+        print(_json.dumps(TxTable(spark, args.table, key_cols=["event_id"]).describe()))
         return 0
 
     if args.cmd == "build-corpus":

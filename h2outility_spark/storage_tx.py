@@ -267,6 +267,34 @@ class TxTable:
             )
         return out
 
+    def describe(self, version: int | None = None) -> dict:
+        """Table health snapshot for ops dashboards / compaction policy:
+        rows, files, bytes, small-file count and fraction, bytes/row
+        density, version count and latest op — all from manifests and
+        segment metadata, zero data IO. ``small`` uses the median file's
+        rows/4 as the cutoff, mirroring compact_files' default shape."""
+        m = self.manifest(version)
+        if m is None:
+            raise FileNotFoundError(f"no committed version in {self.table_dir}")
+        entries = self._files_of(m)
+        rows = sum(e["rows"] for e in entries)
+        nbytes = sum(e.get("bytes", 0) for e in entries)
+        sizes = sorted(e["rows"] for e in entries)
+        median_rows = sizes[len(sizes) // 2] if sizes else 0
+        small = sum(1 for e in entries if e["rows"] < max(1, median_rows // 4))
+        return {
+            "version": m["version"],
+            "op": m["op"],
+            "n_versions": len(self.history()),
+            "n_files": len(entries),
+            "n_segments": len(m["segments"]),
+            "rows": rows,
+            "bytes": nbytes,
+            "bytes_per_row": round(nbytes / rows, 2) if rows and nbytes else None,
+            "n_small_files": small,
+            "small_file_fraction": round(small / len(entries), 4) if entries else 0.0,
+        }
+
     def version_as_of(self, ts: float) -> int:
         """The latest version committed at or before unix-seconds ``ts``
         (timestamp time travel). Pre-timestamp manifests (no

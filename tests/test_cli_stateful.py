@@ -168,3 +168,20 @@ def test_streaming_quality_drift_two_batches(spark, tmp_path):
     assert a["source"] == "s1" and a["score"] == 0.95
     assert abs(a["running_mean"] - 0.5) < 0.01
     assert a["zscore"] is not None and a["zscore"] > 3.0
+
+
+def test_cli_tx_describe(spark, tmp_path, capsys):
+    import json
+
+    from pyspark.sql import Row
+
+    from h2outility_spark.__main__ import main
+    from h2outility_spark.storage_tx import TxTable
+
+    tdir = str(tmp_path / "dt")
+    t = TxTable(spark, tdir, key_cols=["event_id"])
+    t.append(spark.createDataFrame([Row(event_id=i, v=float(i)) for i in range(50)]))
+    rc = main(["tx-describe", "--table", tdir])
+    assert rc == 0
+    d = json.loads(capsys.readouterr().out)
+    assert d["rows"] == 50 and d["n_files"] >= 1 and d["op"] == "append"

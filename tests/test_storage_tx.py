@@ -646,3 +646,20 @@ def test_compact_target_bytes_sizes_from_observed_density(spark, table):
     n_files = len(table.files())
     assert n_files in (2, 3)
     assert sum(e["rows"] for e in table.files()) == 200
+
+
+def test_describe_health_snapshot(spark, table):
+    for i in range(4):
+        table.append(kv(spark, [(i * 10 + j, "x") for j in range(10)]).coalesce(1))
+    d = table.describe()
+    assert d["rows"] == 40 and d["n_files"] == 4
+    assert d["op"] == "append" and d["n_versions"] == 4
+    assert d["bytes"] > 0 and d["bytes_per_row"] > 0
+    assert d["n_small_files"] == 0  # uniform sizes: none below median/4
+
+    table.append(kv(spark, [(999, "tiny")]).coalesce(1))
+    d2 = table.describe()
+    assert d2["n_files"] == 5 and d2["n_small_files"] == 1
+    assert d2["small_file_fraction"] == 0.2
+    # historical describe composes with time travel
+    assert table.describe(version=0)["n_files"] == 1
