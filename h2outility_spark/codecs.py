@@ -277,21 +277,37 @@ def png_resizer(data: bytes, max_side: int) -> tuple[bytes, int, int]:
 
 
 def sniff_image_decoder(data: bytes) -> tuple[int, int, float]:
-    """Format-sniffing default ``decode_fn``: BMP or PNG by magic bytes."""
+    """Format-sniffing default ``decode_fn``: BMP, PNG, or GIF by magic."""
     if data[:2] == b"BM":
         return bmp_image_decoder(data)
     if data[:8] == _PNG_MAGIC:
         return png_image_decoder(data)
-    raise ValueError("unsupported image format (built-ins: BMP, PNG) — inject decode_fn")
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return gif_image_decoder(data)
+    raise ValueError("unsupported image format (built-ins: BMP, PNG, GIF) — inject decode_fn")
 
 
 def sniff_image_resizer(data: bytes, max_side: int) -> tuple[bytes, int, int]:
-    """Format-sniffing default ``resize_fn``: stays in the input format."""
+    """Format-sniffing default ``resize_fn``. BMP/PNG stay in their input
+    format; GIF re-encodes as PNG (writing LZW is not worth a stdlib
+    encoder when PNG is the archival target anyway)."""
     if data[:2] == b"BM":
         return bmp_resizer(data, max_side)
     if data[:8] == _PNG_MAGIC:
         return png_resizer(data, max_side)
-    raise ValueError("unsupported image format (built-ins: BMP, PNG) — inject resize_fn")
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        width, height, rows = decode_gif(data)
+        scale = min(1.0, max_side / max(width, height, 1))
+        out_w, out_h = max(1, int(width * scale)), max(1, int(height * scale))
+        out_rows = [
+            [
+                rows[min(height - 1, r * height // out_h)][min(width - 1, c * width // out_w)]
+                for c in range(out_w)
+            ]
+            for r in range(out_h)
+        ]
+        return encode_png(out_rows), out_w, out_h
+    raise ValueError("unsupported image format (built-ins: BMP, PNG, GIF) — inject resize_fn")
 
 
 def wav_window_features(data: bytes, window_ms: int = 100) -> list[tuple[int, int, float, float]]:
@@ -337,8 +353,10 @@ def dhash64(data: bytes) -> int:
         w, h, rows = decode_bmp(data)
     elif data[:8] == _PNG_MAGIC:
         w, h, rows = decode_png(data)
+    elif data[:6] in (b"GIF87a", b"GIF89a"):
+        w, h, rows = decode_gif(data)
     else:
-        raise ValueError("unsupported image format for dhash (built-ins: BMP, PNG)")
+        raise ValueError("unsupported image format for dhash (built-ins: BMP, PNG, GIF)")
     gw, gh = 9, 8
     grid = []
     for gy in range(gh):
@@ -351,3 +369,114 @@ def dhash64(data: bytes) -> int:
         for gx in range(gw - 1):
             bits = (bits << 1) | (1 if grid[gy][gx] < grid[gy][gx + 1] else 0)
     return bits
+
+
+# -- GIF ---------------------------------------------------------------------
+
+
+def _lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> list[int]:
+    """GIF-flavor LZW: LSB-first variable-width codes, clear/end specials,
+    dictionary resets, width bumps at 2^width (cap 12 bits)."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+
+    def fresh():
+        return {i: [i] for i in range(clear)}
+
+    table = fresh()
+    width = min_code_size + 1
+    next_code = end + 1
+    out: list[int] = []
+    prev: list[int] | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table, width, next_code, prev = fresh(), min_code_size + 1, end + 1, None
+                continue
+            if code == end:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + [prev[0]]  # the KwKwK case
+            else:
+                raise ValueError(f"corrupt GIF LZW stream (code {code})")
+            out.extend(entry)
+            if prev is not None:
+                table[next_code] = prev + [entry[0]]
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+            if len(out) >= n_pixels:
+                return out
+    return out
+
+
+def decode_gif(data: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """Decode the first frame of a non-interlaced GIF87a/89a to (width,
+    height, rows of (r, g, b)) — stdlib-only LZW. Extension blocks are
+    skipped; interlaced frames raise (inject a full decoder)."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload (missing GIF87a/89a magic)")
+    sw, sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = [tuple(data[pos + 3 * i : pos + 3 * i + 3]) for i in range(n)]
+        pos += 3 * n
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x21:  # extension: label + length-prefixed sub-blocks
+            pos += 2
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            _left, _top, w, h, ipacked = struct.unpack_from("<HHHHB", data, pos + 1)
+            pos += 10
+            palette = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                palette = [tuple(data[pos + 3 * i : pos + 3 * i + 3]) for i in range(n)]
+                pos += 3 * n
+            if ipacked & 0x40:
+                raise ValueError("interlaced GIF unsupported (inject a full decoder)")
+            if palette is None:
+                raise ValueError("GIF frame without a color table")
+            min_code = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while data[pos] != 0:
+                size = data[pos]
+                lzw += data[pos + 1 : pos + 1 + size]
+                pos += 1 + size
+            pos += 1
+            idx = _lzw_decode(min_code, bytes(lzw), w * h)
+            if len(idx) < w * h:
+                raise ValueError("GIF pixel data truncated")
+            rows = [
+                [palette[idx[y * w + x]] for x in range(w)] for y in range(h)
+            ]
+            return w, h, rows
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+    raise ValueError("GIF contained no image frame")
+
+
+def gif_image_decoder(data: bytes) -> tuple[int, int, float]:
+    """(width, height, mean luma) of a GIF first frame."""
+    width, height, rows = decode_gif(data)
+    n = width * height
+    total = sum(_luma(r, g, b) for row in rows for (r, g, b) in row)
+    return width, height, round(total / n, 6) if n else 0.0

@@ -435,3 +435,92 @@ def test_canonical_images_keeps_one_per_cluster(spark):
     )
     kept = {r["asset_id"] for r in canonical_images(assets).collect()}
     assert kept == {1, 4}  # 1,2,3 cluster -> keep 1; 4 unclustered
+
+
+# -- GIF ----------------------------------------------------------------------
+
+
+def _pack_codes(codes_with_widths):
+    """LSB-first bit packing of (code, width) pairs — the GIF LZW wire
+    format, built independently of the decoder's unpacking loop."""
+    acc = nbits = 0
+    out = bytearray()
+    for code, width in codes_with_widths:
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _build_gif_2x2():
+    """Hand-assembled 4-color 2x2 GIF: pixels are palette indices
+    [0, 1, 2, 3]. LZW min code size 2 -> clear=4, end=5; width starts at
+    3 and bumps to 4 after the dictionary reaches code 8 (so the end code
+    is written 4 bits wide) — exercising the width-bump path."""
+    import struct as _s
+
+    palette = b"\x00\x00\x00" + b"\xff\x00\x00" + b"\x00\xff\x00" + b"\xff\xff\xff"
+    lzw = _pack_codes([(4, 3), (0, 3), (1, 3), (2, 3), (3, 4), (5, 4)])
+    return (
+        b"GIF89a"
+        + _s.pack("<HHBBB", 2, 2, 0x81, 0, 0)  # gct present, 4 entries (2<<1)
+        + palette
+        + b"\x2c" + _s.pack("<HHHHB", 0, 0, 2, 2, 0)
+        + bytes([2])  # LZW min code size
+        + bytes([len(lzw)]) + lzw + b"\x00"
+        + b"\x3b"
+    )
+
+
+def test_gif_decode_hand_assembled():
+    from h2outility_spark.codecs import decode_gif, gif_image_decoder, sniff_image_decoder
+
+    w, h, rows = decode_gif(_build_gif_2x2())
+    assert (w, h) == (2, 2)
+    assert rows == [
+        [(0, 0, 0), (255, 0, 0)],
+        [(0, 255, 0), (255, 255, 255)],
+    ]
+    gw, gh, luma = gif_image_decoder(_build_gif_2x2())
+    assert (gw, gh) == (2, 2) and 0.4 < luma < 0.6
+    assert sniff_image_decoder(_build_gif_2x2())[:2] == (2, 2)
+
+
+def test_gif_run_length_uses_dictionary_codes():
+    """A solid-color 4x1 image emitted as literal+dict-code (the KwKwK
+    case: code == next_code) decodes to four identical pixels."""
+    import struct as _s
+
+    from h2outility_spark.codecs import decode_gif
+
+    palette = b"\x10\x20\x30" + b"\x00\x00\x00" * 3
+    # clear, literal 0, code 6 (KwKwK -> 0,0), literal 0, end
+    lzw = _pack_codes([(4, 3), (0, 3), (6, 3), (0, 3), (5, 3)])
+    gif = (
+        b"GIF87a"
+        + _s.pack("<HHBBB", 4, 1, 0x81, 0, 0)
+        + palette
+        + b"\x2c" + _s.pack("<HHHHB", 0, 0, 4, 1, 0)
+        + bytes([2]) + bytes([len(lzw)]) + lzw + b"\x00" + b"\x3b"
+    )
+    w, h, rows = decode_gif(gif)
+    assert (w, h) == (4, 1)
+    assert rows == [[(0x10, 0x20, 0x30)] * 4]
+
+
+def test_gif_resize_reencodes_as_png(spark):
+    from pyspark.sql import Row
+
+    from h2outility_spark.codecs import decode_png
+    from h2outility_spark.operators.multimodal import resize_images
+
+    assets = spark.createDataFrame([Row(asset_id=1, data=bytearray(_build_gif_2x2()))])
+    out = resize_images(assets, max_side=1).collect()[0]
+    assert (out["width"], out["height"]) == (1, 1)
+    w, h, rows = decode_png(bytes(out["data"]))
+    assert (w, h) == (1, 1)
