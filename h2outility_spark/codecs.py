@@ -1,14 +1,20 @@
 """Pure-Python (stdlib-only) media codecs for the multimodal operators.
 
-This container has no PIL/ffmpeg, so the heavy formats (JPEG/PNG/MP4) stay
-behind injectable ``decode_fn``/``resize_fn`` hooks — but two formats are
-simple enough to decode with ``struct`` alone, which un-stubs the default
-codec path end-to-end:
+This container has no PIL/ffmpeg, so the heavy formats (JPEG/WebP/MP4) stay
+behind injectable ``decode_fn``/``resize_fn`` hooks — but four formats are
+simple enough for stdlib ``struct``/``zlib``, which un-stubs the default
+codec path end-to-end (sniffed by magic bytes):
 
   * **Uncompressed 24-bit BMP** (BITMAPINFOHEADER, BI_RGB): decode to
     (width, height, mean_luma), and nearest-neighbor resize with re-encode.
+  * **Non-interlaced 8-bit PNG** (gray, gray+alpha, RGB, RGBA): full
+    scanline unfiltering (all five filter types) over zlib-inflated IDAT;
+    encode as filter-0 RGB for the resize round-trip.
+  * **GIF87a/89a first frame**: variable-width LSB-first LZW decode with
+    clear/end codes and the KwKwK case; resize re-encodes as PNG.
   * **PCM WAV**: RIFF header parse to (channels, sample_rate, bits,
-    n_frames, duration_ms) plus mean absolute amplitude for 16-bit PCM.
+    n_frames, duration_ms), mean absolute amplitude, windowed RMS /
+    zero-crossing features, and ``dhash64`` perceptual image hashing.
 
 These run inside Arrow-batched ``mapInPandas`` workers (operators/
 multimodal.py); per-pixel Python costs what it costs, but the *plumbing* is
@@ -190,7 +196,11 @@ def decode_png(data: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]
     w, h, color = hdr
     nch = {0: 1, 2: 3, 4: 2, 6: 4}[color]
     stride = w * nch
-    raw = zlib.decompress(idat)
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as e:
+        # normalize to the codec contract: corrupt payloads raise ValueError
+        raise ValueError(f"PNG IDAT inflate failed: {e}") from e
     if len(raw) < h * (stride + 1):
         raise ValueError("PNG pixel data truncated")
     rows: list[list[tuple[int, int, int]]] = []

@@ -524,3 +524,65 @@ def test_gif_resize_reencodes_as_png(spark):
     assert (out["width"], out["height"]) == (1, 1)
     w, h, rows = decode_png(bytes(out["data"]))
     assert (w, h) == (1, 1)
+
+
+# -- codec hardening properties ----------------------------------------------
+
+
+def test_codecs_never_crash_on_fuzz_bytes():
+    """Arbitrary bytes must raise ValueError (or decode), never hang or
+    die with an unrelated exception — a corrupt asset in a 100 TB corpus
+    must fail the row, not the executor."""
+    import random
+
+    from h2outility_spark.codecs import (
+        decode_bmp, decode_gif, decode_png, parse_wav_header, sniff_image_decoder,
+    )
+
+    rng = random.Random(42)
+    magics = [b"", b"BM", b"\x89PNG\r\n\x1a\n", b"GIF89a", b"RIFF", b"GIF87a\x00\x00"]
+    for trial in range(200):
+        payload = rng.choice(magics) + bytes(rng.randrange(256) for _ in range(rng.randrange(0, 120)))
+        for fn in (decode_bmp, decode_png, decode_gif, parse_wav_header, sniff_image_decoder):
+            try:
+                fn(payload)
+            except (ValueError, struct_error, IndexError, KeyError):
+                pass  # structured rejection of garbage is fine
+
+    # truncated REAL files must also reject, not hang
+    from h2outility_spark.codecs import encode_png
+
+    good = encode_png(_gradient_rows(8, 8))
+    for cut in range(1, len(good), 7):
+        try:
+            decode_png(good[:cut])
+        except (ValueError, struct_error, IndexError, KeyError):
+            pass
+
+
+def test_png_roundtrip_property():
+    """encode->decode is the identity for arbitrary RGB images (hypothesis)."""
+    from hypothesis import given, settings, strategies as st
+
+    from h2outility_spark.codecs import decode_png, encode_png
+
+    px = st.tuples(*[st.integers(0, 255)] * 3)
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.integers(1, 12),
+        st.integers(1, 12),
+        st.integers(0, 2**32 - 1),
+    )
+    def check(w, h, seed):
+        import random
+
+        rng = random.Random(seed)
+        rows = [[(rng.randrange(256), rng.randrange(256), rng.randrange(256)) for _ in range(w)] for _ in range(h)]
+        got_w, got_h, back = decode_png(encode_png(rows))
+        assert (got_w, got_h) == (w, h) and back == rows
+
+    check()
+
+
+from struct import error as struct_error  # noqa: E402
