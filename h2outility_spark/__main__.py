@@ -139,8 +139,9 @@ def main(argv: list[str] | None = None) -> int:
 
         from h2outility_spark.storage_tx import TxTable
 
-        spark = get_spark("h2outility-cli")
-        print(_json.dumps(TxTable(spark, args.table, key_cols=["event_id"]).describe()))
+        # describe() is metadata-only (manifests + segment JSON) — no
+        # SparkSession, so a dashboard/cron poll prints instantly.
+        print(_json.dumps(TxTable(None, args.table, key_cols=["event_id"]).describe()))
         return 0
 
     if args.cmd == "build-corpus":

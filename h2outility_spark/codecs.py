@@ -83,26 +83,60 @@ def _luma(r: int, g: int, b: int) -> float:
     return (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
 
 
+def _mean_luma_of(width: int, height: int, rows) -> float:
+    """Shared mean-luma reduction for every image decoder."""
+    n = width * height
+    total = sum(_luma(r, g, b) for row in rows for (r, g, b) in row)
+    return round(total / n, 6) if n else 0.0
+
+
+def _resize_rows(rows, width: int, height: int, max_side: int):
+    """Shared nearest-neighbor bounding-box downscale (never upscales,
+    like PIL's thumbnail). Integer source-index arithmetic so every
+    format resizes identically."""
+    scale = min(1.0, max_side / max(width, height, 1))
+    out_w, out_h = max(1, int(width * scale)), max(1, int(height * scale))
+    out = [
+        [
+            rows[min(height - 1, r * height // out_h)][min(width - 1, c * width // out_w)]
+            for c in range(out_w)
+        ]
+        for r in range(out_h)
+    ]
+    return out, out_w, out_h
+
+
+def _codec_guard(fn):
+    """Normalize parser slips on corrupt payloads (KeyError / IndexError /
+    struct.error) to the codec contract: corrupt bytes raise ValueError —
+    a bad asset fails its row with a structured error, never escapes with
+    an implementation-detail exception."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except ValueError:
+            raise
+        except (KeyError, IndexError, struct.error) as e:
+            raise ValueError(f"corrupt payload in {fn.__name__}: {type(e).__name__}: {e}") from e
+
+    return wrapped
+
+
 def bmp_image_decoder(data: bytes) -> tuple[int, int, float]:
     """Default ``decode_fn`` for extract_image_features: (width, height,
     mean luma in [0, 1], 6 dp) of an uncompressed 24-bit BMP."""
     width, height, rows = decode_bmp(data)
-    n = width * height
-    total = sum(_luma(r, g, b) for row in rows for (r, g, b) in row)
-    return width, height, round(total / n, 6) if n else 0.0
+    return width, height, _mean_luma_of(width, height, rows)
 
 
 def bmp_resizer(data: bytes, max_side: int) -> tuple[bytes, int, int]:
     """Default ``resize_fn`` for resize_images: nearest-neighbor bounding-box
-    downscale of an uncompressed 24-bit BMP, re-encoded as BMP. Never
-    upscales (scale capped at 1.0, like PIL's thumbnail)."""
+    downscale of an uncompressed 24-bit BMP, re-encoded as BMP."""
     width, height, rows = decode_bmp(data)
-    scale = min(1.0, max_side / max(width, height, 1))
-    out_w, out_h = max(1, int(width * scale)), max(1, int(height * scale))
-    out_rows = []
-    for r in range(out_h):
-        src_r = min(height - 1, int(r * height / out_h))
-        out_rows.append([rows[src_r][min(width - 1, int(c * width / out_w))] for c in range(out_w)])
+    out_rows, out_w, out_h = _resize_rows(rows, width, height, max_side)
     return encode_bmp(out_rows), out_w, out_h
 
 
@@ -185,6 +219,8 @@ def decode_png(data: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]
                     f"unsupported PNG variant (bit depth {bitd}, color {color}, "
                     f"interlace {interlace}); inject a full decoder"
                 )
+            if w == 0 or h == 0:
+                raise ValueError("empty PNG (zero width or height)")
             hdr = (w, h, color)
         elif cid == b"IDAT":
             idat += data[body : body + size]
@@ -268,21 +304,14 @@ def png_image_decoder(data: bytes) -> tuple[int, int, float]:
     """(width, height, mean luma) of a supported PNG — PNG twin of
     bmp_image_decoder."""
     width, height, rows = decode_png(data)
-    n = width * height
-    total = sum(_luma(r, g, b) for row in rows for (r, g, b) in row)
-    return width, height, round(total / n, 6) if n else 0.0
+    return width, height, _mean_luma_of(width, height, rows)
 
 
 def png_resizer(data: bytes, max_side: int) -> tuple[bytes, int, int]:
     """Nearest-neighbor bounding-box downscale of a PNG, re-encoded as
-    8-bit RGB PNG (alpha dropped). Never upscales."""
+    8-bit RGB PNG (alpha dropped)."""
     width, height, rows = decode_png(data)
-    scale = min(1.0, max_side / max(width, height, 1))
-    out_w, out_h = max(1, int(width * scale)), max(1, int(height * scale))
-    out_rows = []
-    for r in range(out_h):
-        src_r = min(height - 1, int(r * height / out_h))
-        out_rows.append([rows[src_r][min(width - 1, int(c * width / out_w))] for c in range(out_w)])
+    out_rows, out_w, out_h = _resize_rows(rows, width, height, max_side)
     return encode_png(out_rows), out_w, out_h
 
 
@@ -307,15 +336,7 @@ def sniff_image_resizer(data: bytes, max_side: int) -> tuple[bytes, int, int]:
         return png_resizer(data, max_side)
     if data[:6] in (b"GIF87a", b"GIF89a"):
         width, height, rows = decode_gif(data)
-        scale = min(1.0, max_side / max(width, height, 1))
-        out_w, out_h = max(1, int(width * scale)), max(1, int(height * scale))
-        out_rows = [
-            [
-                rows[min(height - 1, r * height // out_h)][min(width - 1, c * width // out_w)]
-                for c in range(out_w)
-            ]
-            for r in range(out_h)
-        ]
+        out_rows, out_w, out_h = _resize_rows(rows, width, height, max_side)
         return encode_png(out_rows), out_w, out_h
     raise ValueError("unsupported image format (built-ins: BMP, PNG, GIF) — inject resize_fn")
 
@@ -487,6 +508,23 @@ def decode_gif(data: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]
 def gif_image_decoder(data: bytes) -> tuple[int, int, float]:
     """(width, height, mean luma) of a GIF first frame."""
     width, height, rows = decode_gif(data)
-    n = width * height
-    total = sum(_luma(r, g, b) for row in rows for (r, g, b) in row)
-    return width, height, round(total / n, 6) if n else 0.0
+    return width, height, _mean_luma_of(width, height, rows)
+
+
+# Apply the corrupt-payload contract to every public parser entry point:
+# any KeyError/IndexError/struct.error a malformed payload provokes
+# surfaces as ValueError (see _codec_guard).
+decode_bmp = _codec_guard(decode_bmp)
+decode_png = _codec_guard(decode_png)
+decode_gif = _codec_guard(decode_gif)
+parse_wav_header = _codec_guard(parse_wav_header)
+wav_audio_decoder = _codec_guard(wav_audio_decoder)
+wav_window_features = _codec_guard(wav_window_features)
+bmp_image_decoder = _codec_guard(bmp_image_decoder)
+png_image_decoder = _codec_guard(png_image_decoder)
+gif_image_decoder = _codec_guard(gif_image_decoder)
+bmp_resizer = _codec_guard(bmp_resizer)
+png_resizer = _codec_guard(png_resizer)
+sniff_image_decoder = _codec_guard(sniff_image_decoder)
+sniff_image_resizer = _codec_guard(sniff_image_resizer)
+dhash64 = _codec_guard(dhash64)

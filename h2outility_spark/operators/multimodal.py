@@ -397,7 +397,7 @@ def image_dhash(
         for pdf in it:
             yield pd.DataFrame(
                 {
-                    "asset_id": pdf[id_col],
+                    id_col: pdf[id_col],
                     # signed-64 view keeps the LongType column exact
                     "dhash": [
                         None if not b else (fn(b) ^ 0x8000000000000000) - 0x8000000000000000
@@ -407,7 +407,7 @@ def image_dhash(
             )
 
     return assets.select(F.col(id_col), F.col(data_col)).mapInPandas(
-        batches, "asset_id long, dhash long"
+        batches, f"`{id_col}` long, dhash long"
     )
 
 

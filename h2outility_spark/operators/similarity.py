@@ -713,12 +713,20 @@ def hybrid_search(
 
     from h2outility_spark.operators.text import tokens
 
-    d_tok = docs.select(
-        F.col(id_col).alias("cand_id"), F.explode(tokens(F.col(text_col))).alias("tok")
-    ).distinct()
-    q_tok = queries.select(
-        F.col("query_id"), F.explode(tokens(F.col(text_col))).alias("tok")
-    ).distinct()
+    # Blank-text guard: tokens('') is [''] (one empty token), which would
+    # let blank docs lexically "match" blank queries — exclude blank rows
+    # from the lexical leg entirely (they still rank semantically).
+    nonblank = F.length(F.trim(F.col(text_col))) > 0
+    d_tok = (
+        docs.filter(nonblank)
+        .select(F.col(id_col).alias("cand_id"), F.explode(tokens(F.col(text_col))).alias("tok"))
+        .distinct()
+    )
+    q_tok = (
+        queries.filter(nonblank)
+        .select(F.col("query_id"), F.explode(tokens(F.col(text_col))).alias("tok"))
+        .distinct()
+    )
     lex = (
         q_tok.join(d_tok, "tok")
         .groupBy("query_id", "cand_id")

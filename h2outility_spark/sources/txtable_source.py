@@ -39,12 +39,16 @@ from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPart
 from h2outility_spark.storage_tx import TxTable, _MANIFEST_DIR
 
 
-def _latest_version(table_dir: str) -> int | None:
-    versions = [
+def _versions(table_dir: str) -> list[int]:
+    return sorted(
         int(os.path.basename(p)[1:-5])
         for p in glob.glob(os.path.join(table_dir, _MANIFEST_DIR, "v*.json"))
-    ]
-    return max(versions) if versions else None
+    )
+
+
+def _latest_version(table_dir: str) -> int | None:
+    vs = _versions(table_dir)
+    return vs[-1] if vs else None
 
 
 def _manifest(table_dir: str, version: int) -> dict:
@@ -52,18 +56,46 @@ def _manifest(table_dir: str, version: int) -> dict:
         return TxTable._normalize_manifest(json.load(f))
 
 
+def _segment_entries(table_dir: str, name: str) -> list[dict]:
+    with open(os.path.join(table_dir, _MANIFEST_DIR, name)) as f:
+        return json.load(f)["entries"]
+
+
 def _file_paths(table_dir: str, m: dict) -> set[str]:
     out = {e["path"] for e in m["_inline_files"]}
     for d in m["segments"]:
-        with open(os.path.join(table_dir, _MANIFEST_DIR, d["name"])) as f:
-            out.update(e["path"] for e in json.load(f)["entries"])
+        out.update(e["path"] for e in _segment_entries(table_dir, d["name"]))
     return out
 
 
 def _added_files(table_dir: str, v: int) -> list[str]:
     """Relative paths of the data files version ``v`` ADDED, enforcing the
-    append-only contract (compact → none; other non-append ops → error)."""
-    m = _manifest(table_dir, v)
+    append-only contract (compact → none; other non-append ops → error).
+
+    Cost is O(changed segments), not O(table): unchanged segments carry
+    over BY NAME between manifests, so the diff reads only segments
+    present in exactly one of the two manifests (new segments hold the
+    candidates; vanished ones — small segments repacked by the manifest
+    compactor — hold the carried files to subtract).
+
+    If version ``v``'s PARENT manifest was vacuumed away, ``v`` is the
+    oldest retained version and its FULL file set is emitted as the
+    snapshot bootstrap — a fresh reader on a vacuumed table starts from
+    the earliest reconstructable state instead of crashing.
+    """
+    try:
+        m = _manifest(table_dir, v)
+    except FileNotFoundError:
+        raise ValueError(
+            f"txtable_stream offset points at version {v}, which vacuum has "
+            f"removed (oldest retained: {min(_versions(table_dir), default='none')}); "
+            "restart the stream from a fresh checkpoint"
+        ) from None
+    try:
+        prev_m = _manifest(table_dir, v - 1) if v > 0 else None
+    except FileNotFoundError:
+        # v is the oldest retained version: bootstrap with its snapshot
+        return sorted(_file_paths(table_dir, m))
     if m["op"] == "compact":
         return []
     if m["op"] != "append":
@@ -71,8 +103,17 @@ def _added_files(table_dir: str, v: int) -> list[str]:
             f"txtable_stream is an append-only tail (version {v} is "
             f"op={m['op']!r}); use TxTable.changes() for the general feed"
         )
-    prev = _file_paths(table_dir, _manifest(table_dir, v - 1)) if v > 0 else set()
-    return sorted(_file_paths(table_dir, m) - prev)
+    if prev_m is None:
+        return sorted(_file_paths(table_dir, m))
+    prev_segs = {d["name"] for d in prev_m["segments"]}
+    cur_segs = {d["name"] for d in m["segments"]}
+    candidates: set[str] = {e["path"] for e in m["_inline_files"]}
+    for name in cur_segs - prev_segs:
+        candidates.update(e["path"] for e in _segment_entries(table_dir, name))
+    carried: set[str] = {e["path"] for e in prev_m["_inline_files"]}
+    for name in prev_segs - cur_segs:
+        carried.update(e["path"] for e in _segment_entries(table_dir, name))
+    return sorted(candidates - carried)
 
 
 class _TxFilePartition(InputPartition):
@@ -86,7 +127,12 @@ class _TxAppendTailReader(DataSourceStreamReader):
         self.field_names = field_names
 
     def initialOffset(self) -> dict:
-        return {"version": -1}
+        # Start just below the OLDEST RETAINED version, not -1: on a table
+        # whose early manifests were vacuumed, the first batch then
+        # bootstraps from the earliest reconstructable snapshot instead of
+        # chasing deleted manifests.
+        vs = _versions(self.table_dir)
+        return {"version": (vs[0] - 1) if vs else -1}
 
     def latestOffset(self) -> dict:
         latest = _latest_version(self.table_dir)

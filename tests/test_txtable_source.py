@@ -63,3 +63,61 @@ def test_append_tail_rejects_merge_tables(spark, registered, tmp_path):
             q.processAllAvailable()
     finally:
         q.stop()
+
+
+def test_fresh_stream_on_vacuumed_table_bootstraps(spark, registered, tmp_path):
+    """Review regression: a table whose early manifests were vacuumed must
+    still serve a NEW reader — the first batch bootstraps from the oldest
+    retained snapshot instead of chasing deleted manifests."""
+    tdir = str(tmp_path / "vac")
+    table = TxTable(spark, tdir, key_cols=["k"])
+    for i in range(5):
+        table.append(kv(spark, [(i, f"v{i}")]))
+    table.vacuum(keep_versions=2, retention_seconds=0)  # manifests v0-v2 gone
+
+    stream = spark.readStream.format("txtable_stream").option("path", tdir).load()
+    q = (
+        stream.writeStream.outputMode("append").format("memory").queryName("vtail")
+        .option("checkpointLocation", str(tmp_path / "ck")).start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {(r["k"], r["v"]) for r in spark.sql("SELECT * FROM vtail").collect()}
+        assert got == {(i, f"v{i}") for i in range(5)}  # full current content
+
+        table.append(kv(spark, [(9, "new")]))  # tail keeps flowing after bootstrap
+        q.processAllAvailable()
+        assert (9, "new") in {
+            (r["k"], r["v"]) for r in spark.sql("SELECT * FROM vtail").collect()
+        }
+    finally:
+        q.stop()
+
+
+def test_lagging_checkpoint_past_retention_errors_clearly(spark, registered, tmp_path):
+    from h2outility_spark.sources.txtable_source import _added_files
+
+    tdir = str(tmp_path / "lag")
+    table = TxTable(spark, tdir, key_cols=["k"])
+    for i in range(5):
+        table.append(kv(spark, [(i, "x")]))
+    table.vacuum(keep_versions=1, retention_seconds=0)
+    with pytest.raises(ValueError, match="vacuum has"):
+        _added_files(tdir, 1)  # a checkpointed offset pointing at a gone version
+
+
+def test_image_dhash_respects_custom_id_col(spark):
+    from pyspark.sql import Row
+
+    from h2outility_spark.codecs import encode_bmp
+    from h2outility_spark.operators.multimodal import image_dhash, image_neardup_pairs
+
+    rows = [[(x * 14, x * 14, x * 14) for x in range(18)]] * 16
+    img = bytearray(encode_bmp(rows))
+    assets = spark.createDataFrame(
+        [Row(image_id=1, data=img), Row(image_id=2, data=img)]
+    )
+    hashes = image_dhash(assets, id_col="image_id")
+    assert hashes.columns == ["image_id", "dhash"]
+    pairs = image_neardup_pairs(assets, id_col="image_id").collect()
+    assert [(p["id_a"], p["id_b"], p["hamming"]) for p in pairs] == [(1, 2, 0)]
