@@ -129,8 +129,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "tx-history":
         from h2outility_spark.storage_tx import TxTable
 
-        spark = get_spark("h2outility-cli")
-        for h in TxTable(spark, args.table, key_cols=["event_id"]).history():
+        # history() is metadata-only — no SparkSession needed
+        for h in TxTable(None, args.table, key_cols=["event_id"]).history():
             print(h)
         return 0
 
