@@ -81,6 +81,7 @@ def main(argv: list[str] | None = None) -> int:
     p_bc.add_argument("--table", required=True, help="TxTable root directory")
     p_bc.add_argument("--keep-frac", type=float, default=0.7)
     p_bc.add_argument("--shards", type=int, default=16)
+    p_bc.add_argument("--json", action="store_true", help="emit stats as one JSON line")
 
     p_q = sub.add_parser("query", help="run a registered workload query by name")
     p_q.add_argument("name", help="registry name (see `queries` subcommand)")
@@ -151,8 +152,13 @@ def main(argv: list[str] | None = None) -> int:
         stats = build_corpus(
             spark, args.data, args.table, keep_frac=args.keep_frac, n_shards=args.shards
         )
-        for k, v in stats.items():
-            print(f"{k}: {v}")
+        if args.json:
+            import json as _json
+
+            print(_json.dumps(stats))
+        else:
+            for k, v in stats.items():
+                print(f"{k}: {v}")
         return 0
 
     if args.cmd == "tx-compact":

@@ -68,3 +68,15 @@ def test_cli_build_corpus(spark, tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "committed:" in out and "version: 0" in out
+
+
+def test_cli_build_corpus_json(spark, tmp_path, capsys):
+    import json
+
+    from h2outility_spark.__main__ import main
+
+    tdir = str(tmp_path / "jc")
+    rc = main(["build-corpus", "--data", SF_DIR, "--table", tdir, "--json"])
+    assert rc == 0
+    d = json.loads(capsys.readouterr().out)
+    assert d["version"] == 0 and d["committed"] <= d["input"]
