@@ -1,0 +1,145 @@
+"""Round-5 registry staging area: fully-formed (PySpark fn, DuckDB oracle)
+pairs that CANNOT enter the registry yet — every CHECKED_WINDOW slot is
+occupied by a first-timer earning its driver row this round, and
+``tests/test_checked_window.py`` (correctly) refuses new queries outside
+the window. These are deliberately NOT decorated with ``@query``; the next
+window rotation wraps them and deletes this comment.
+
+Each pair is parity-tested against DuckDB in ``tests/test_workload_next.py``
+under exactly the driver's comparison discipline (sorted columns,
+order-insensitive rows, 9-sig-digit floats), so promotion is a mechanical
+decorator change, not new verification work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W, functions as F
+
+from h2outility_spark.operators import similarity, text
+from h2outility_spark.sources.parquet import load_table
+from h2outility_spark.workload import fround, sql_round
+
+# -- hybrid retrieval (RRF fusion) -------------------------------------------
+
+#: Matches operators/similarity.hybrid_search: token-overlap lexical leg,
+#: exact-cosine semantic leg, 1/(60+rank) reciprocal-rank fusion, top-10.
+#: Sum order is irrelevant (max two addends, IEEE addition is commutative);
+#: cosine matches Spark's fold via list_inner_product bit-for-bit.
+HYBRID_SEARCH_ORACLE = """
+WITH docs AS (
+  SELECT d.doc_id, d.text, e.embedding
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+),
+queries AS (SELECT doc_id AS query_id, text, embedding FROM docs WHERE doc_id % 97 = 3),
+d_tok AS (
+  SELECT DISTINCT doc_id AS cand_id,
+         unnest(regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS tok
+  FROM docs WHERE length(trim(text)) > 0
+),
+q_tok AS (
+  SELECT DISTINCT query_id,
+         unnest(regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS tok
+  FROM queries WHERE length(trim(text)) > 0
+),
+lex AS (
+  SELECT query_id, cand_id, count(*) AS n_shared
+  FROM q_tok JOIN d_tok USING (tok) GROUP BY 1, 2
+),
+lex_rank AS (
+  SELECT query_id, cand_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY n_shared DESC, cand_id) AS rank
+  FROM lex
+),
+sem AS (
+  SELECT q.query_id, d.doc_id AS cand_id,
+         list_inner_product(q.embedding, d.embedding)
+           / sqrt(list_inner_product(q.embedding, q.embedding)
+                  * list_inner_product(d.embedding, d.embedding)) AS cos_sim
+  FROM queries q CROSS JOIN docs d
+),
+sem_rank AS (
+  SELECT query_id, cand_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rank
+  FROM sem
+),
+fused AS (
+  SELECT query_id, cand_id, sum(contrib) AS rrf_score
+  FROM (
+    SELECT query_id, cand_id, 1.0 / (60.0 + rank) AS contrib FROM lex_rank
+    UNION ALL
+    SELECT query_id, cand_id, 1.0 / (60.0 + rank) AS contrib FROM sem_rank
+  ) GROUP BY 1, 2
+)
+SELECT query_id, cand_id,
+       """ + sql_round("rrf_score", 9) + """ AS rrf_score,
+       row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, cand_id) AS rank
+FROM fused
+QUALIFY rank <= 10
+"""
+
+
+def q_hybrid_search_knn(spark, sf_dir):
+    """Hybrid lexical+semantic top-10 per query doc (doc_id % 97 == 3 plays
+    the query set) over documents joined to their embeddings."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .join(
+            load_table(spark, sf_dir, "embeddings").withColumnRenamed("vec_id", "doc_id"),
+            "doc_id",
+        )
+        .select("doc_id", "text", "embedding")
+    )
+    queries = docs.filter(F.col("doc_id") % 97 == 3).select(
+        F.col("doc_id").alias("query_id"), "text", "embedding"
+    )
+    out = similarity.hybrid_search(docs, queries, k=10)
+    return out.select(
+        "query_id", "cand_id", fround(F.col("rrf_score"), 9).alias("rrf_score"), "rank"
+    )
+
+
+# -- per-source quality gate, applied ----------------------------------------
+
+GATE_ORACLE = """
+WITH scored AS (
+  SELECT doc_id, source,
+         0.6 * coalesce(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+           / (CASE WHEN length(text) > 0 THEN CAST(length(text) AS DOUBLE) END), 0.0)
+         + 0.4 * least(CAST(
+             CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0 THEN 0
+                  ELSE array_length(regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) END
+             AS DOUBLE) / 80.0, 1.0) AS score
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, source, score,
+         row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rnk,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM scored
+)
+SELECT doc_id, source, rnk,
+       """ + sql_round("score", 6) + """ AS score
+FROM ranked
+WHERE rnk <= CAST(ceil(0.7 * n) AS BIGINT)
+"""
+
+
+def q_quality_gate_docs(spark, sf_dir):
+    """The calibration query's threshold APPLIED: the surviving docs of the
+    per-source 70%-by-rank quality gate, with their in-source rank — the
+    row-level view the corpus pipeline's stage 1 consumes."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", "source", text.calibration_score_col().alias("score"))
+    ranked = scored.withColumn(
+        "rnk", F.row_number().over(W.partitionBy("source").orderBy(F.desc("score"), "doc_id"))
+    ).withColumn("n", F.count(F.lit(1)).over(W.partitionBy("source")))
+    return ranked.filter(F.col("rnk") <= F.ceil(F.lit(0.7) * F.col("n"))).select(
+        "doc_id", "source", "rnk", fround(F.col("score"), 6).alias("score")
+    )
+
+
+#: name -> (fn, oracle) for the promotion pass and the parity test.
+STAGED = {
+    "hybrid_search_knn": (q_hybrid_search_knn, HYBRID_SEARCH_ORACLE),
+    "quality_gate_docs": (q_quality_gate_docs, GATE_ORACLE),
+}

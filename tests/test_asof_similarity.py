@@ -135,90 +135,6 @@ def test_hybrid_search_rrf_fusion(spark):
     assert rows[3][0] == 3 and abs(rows[3][1] - 1 / 63) < 1e-12
 
 
-def test_hybrid_search_matches_duckdb_oracle(spark):
-    """Differential check of hybrid_search against a full DuckDB
-    re-implementation (same tokenization convention, list_inner_product
-    cosine, identical RRF formula) on the real sf0.001 corpus — proves the
-    operator is oracle-ready for a future registry slot. RRF sums have at
-    most two addends, so IEEE commutativity makes the float comparison
-    exact; ranks compare exactly."""
-    import duckdb
-
-    from h2outility_spark.operators.similarity import hybrid_search
-    from h2outility_spark.sources.parquet import load_table
-    from tests.conftest import SF_DIR
-
-    docs = (
-        load_table(spark, SF_DIR, "documents")
-        .join(
-            load_table(spark, SF_DIR, "embeddings").withColumnRenamed("vec_id", "doc_id"),
-            "doc_id",
-        )
-        .select("doc_id", "text", "embedding")
-    )
-    queries = docs.filter((F.col("doc_id") % 97 == 3)).select(
-        F.col("doc_id").alias("query_id"), "text", "embedding"
-    )
-    got = {
-        (r["query_id"], r["cand_id"]): (r["rank"], r["rrf_score"])
-        for r in hybrid_search(docs, queries, k=10).collect()
-    }
-
-    con = duckdb.connect()
-    sql = f"""
-    WITH docs AS (
-      SELECT d.doc_id, d.text, e.embedding
-      FROM '{SF_DIR}/documents.parquet' d
-      JOIN '{SF_DIR}/embeddings.parquet' e ON e.vec_id = d.doc_id
-    ),
-    queries AS (SELECT doc_id AS query_id, text, embedding FROM docs WHERE doc_id % 97 = 3),
-    d_tok AS (
-      SELECT DISTINCT doc_id AS cand_id,
-             unnest(regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS tok
-      FROM docs WHERE length(trim(text)) > 0
-    ),
-    q_tok AS (
-      SELECT DISTINCT query_id,
-             unnest(regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS tok
-      FROM queries WHERE length(trim(text)) > 0
-    ),
-    lex AS (
-      SELECT query_id, cand_id, count(*) AS n_shared
-      FROM q_tok JOIN d_tok USING (tok) GROUP BY 1, 2
-    ),
-    lex_rank AS (
-      SELECT query_id, cand_id,
-             row_number() OVER (PARTITION BY query_id ORDER BY n_shared DESC, cand_id) AS rank
-      FROM lex
-    ),
-    sem AS (
-      SELECT q.query_id, d.doc_id AS cand_id,
-             list_inner_product(q.embedding, d.embedding)
-               / sqrt(list_inner_product(q.embedding, q.embedding)
-                      * list_inner_product(d.embedding, d.embedding)) AS cos_sim
-      FROM queries q CROSS JOIN docs d
-    ),
-    sem_rank AS (
-      SELECT query_id, cand_id,
-             row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rank
-      FROM sem
-    ),
-    fused AS (
-      SELECT query_id, cand_id, sum(contrib) AS rrf_score
-      FROM (
-        SELECT query_id, cand_id, 1.0 / (60.0 + rank) AS contrib FROM lex_rank
-        UNION ALL
-        SELECT query_id, cand_id, 1.0 / (60.0 + rank) AS contrib FROM sem_rank
-      ) GROUP BY 1, 2
-    )
-    SELECT query_id, cand_id, rrf_score,
-           row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, cand_id) AS rank
-    FROM fused
-    QUALIFY rank <= 10
-    """
-    want = {(q, c): (rk, sc) for q, c, sc, rk in con.sql(sql).fetchall()}
-
-    assert set(got) == set(want)
-    for key in want:
-        assert got[key][0] == want[key][0], f"rank mismatch at {key}"
-        assert abs(got[key][1] - want[key][1]) < 1e-15, f"score mismatch at {key}"
+# (the DuckDB differential for hybrid_search moved to
+# workload_next.HYBRID_SEARCH_ORACLE + tests/test_workload_next.py, which
+# checks it at sf0.001 AND sf0.01 under the driver's comparison discipline)

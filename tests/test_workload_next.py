@@ -1,0 +1,50 @@
+"""Round-5 staged queries (workload_next.STAGED): parity against their
+DuckDB oracles under the driver's comparison discipline, at sf0.001 AND
+the driver's sf0.01 — promotion to the registry is then a decorator
+change, not new verification."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from h2outility_spark.sources.parquet import TABLES
+from h2outility_spark.workload_next import STAGED
+
+from tests.conftest import SF_DIR, SF_DIR_MED
+
+
+def _normalize(rows, columns):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                vals.append("NaN" if math.isnan(v) else f"{v:.9g}")
+            else:
+                vals.append(str(v))
+        out.append(tuple(vals))
+    out.sort()
+    return [columns[i] for i in order], out
+
+
+@pytest.mark.parametrize("sf_dir", [SF_DIR, SF_DIR_MED])
+@pytest.mark.parametrize("name", sorted(STAGED))
+def test_staged_query_matches_oracle(spark, name, sf_dir):
+    fn, oracle = STAGED[name]
+    sdf = fn(spark, sf_dir)
+    s_cols, s_rows = _normalize([tuple(r) for r in sdf.collect()], sdf.columns)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    res = con.sql(oracle)
+    o_cols, o_rows = _normalize(res.fetchall(), [d[0] for d in res.description])
+
+    assert s_cols == o_cols, f"{name}: column mismatch {s_cols} vs {o_cols}"
+    assert len(s_rows) == len(o_rows), f"{name}: row count {len(s_rows)} vs {len(o_rows)}"
+    assert s_rows == o_rows, f"{name}: value mismatch (first diff: "
