@@ -138,8 +138,69 @@ def q_quality_gate_docs(spark, sf_dir):
     )
 
 
+# -- language composition matrix ---------------------------------------------
+
+
+def _lang_matrix_oracle() -> str:
+    from h2outility_spark.workload_text import _N_TOKENS_SQL
+
+    return (
+        """
+    WITH scored AS (
+      SELECT doc_id, source, """
+        + _N_TOKENS_SQL
+        + """ AS n_tokens,
+           """
+        + text.langid_sql_columns("text")
+        + """
+      FROM documents
+    ),
+    grouped AS (
+      SELECT source, pred_lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+      FROM scored GROUP BY 1, 2
+    )
+    SELECT source, pred_lang, n_docs, total_tokens,
+           """
+        + sql_round("CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (PARTITION BY source)", 6)
+        + """ AS doc_share
+    FROM grouped
+    """
+    )
+
+
+LANG_MATRIX_ORACLE = _lang_matrix_oracle()
+
+
+def q_corpus_language_matrix(spark, sf_dir):
+    """Per-(source, predicted language): doc and token inventories plus the
+    in-source doc share — the language-composition audit a multilingual
+    corpus runs before choosing sampling temperatures. Share division runs
+    over exact BIGINT aggregates, so it is engine-reproducible."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        text.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        *text.langid_score_columns("text"),
+    ).withColumn("pred_lang", text.langid_pred_column())
+    grouped = scored.groupBy("source", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("total_tokens")
+    )
+    src_docs = F.sum("n_docs").over(W.partitionBy("source"))  # exact integer sum
+    return grouped.select(
+        "source",
+        "pred_lang",
+        "n_docs",
+        "total_tokens",
+        fround(F.col("n_docs").cast("double") / src_docs, 6).alias("doc_share"),
+    )
+
+
 #: name -> (fn, oracle) for the promotion pass and the parity test.
 STAGED = {
     "hybrid_search_knn": (q_hybrid_search_knn, HYBRID_SEARCH_ORACLE),
     "quality_gate_docs": (q_quality_gate_docs, GATE_ORACLE),
+    "corpus_language_matrix": (q_corpus_language_matrix, LANG_MATRIX_ORACLE),
 }
