@@ -198,9 +198,100 @@ def q_corpus_language_matrix(spark, sf_dir):
     )
 
 
+# -- doc-length histogram ------------------------------------------------------
+
+
+def _len_hist_oracle() -> str:
+    from h2outility_spark.workload_text import _N_TOKENS_SQL
+
+    return (
+        """
+    WITH tok AS (SELECT source, """
+        + _N_TOKENS_SQL
+        + """ AS n_tokens FROM documents)
+    SELECT source,
+           CAST(CASE WHEN n_tokens <= 0 THEN -1
+                     ELSE CAST(floor(log2(CAST(n_tokens AS DOUBLE))) AS BIGINT) END AS INT)
+             AS log2_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens
+    FROM tok
+    GROUP BY 1, 2
+    """
+    )
+
+
+LEN_HIST_ORACLE = _len_hist_oracle()
+
+
+def q_doc_length_histogram(spark, sf_dir):
+    """Token-length distribution per source in power-of-two buckets
+    (empty docs land in bucket -1) — the length diagnostic behind
+    truncation budgets and packing efficiency. log2 on exact integers,
+    floored to an integer bucket, so bucket edges are engine-identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = text.token_count(F.col("text")).cast("bigint")
+    bucket = (
+        F.when(n_tok <= 0, F.lit(-1))
+        .otherwise(F.floor(F.log2(n_tok.cast("double"))).cast("bigint"))
+        .cast("int")
+    )
+    return (
+        docs.select("source", n_tok.alias("n_tokens"), bucket.alias("log2_bucket"))
+        .groupBy("source", "log2_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )
+
+
+# -- boilerplate prefix-duplication rate --------------------------------------
+
+PREFIX_DUP_ORACLE = """
+WITH pfx AS (
+  SELECT doc_id, source,
+         md5(lower(array_to_string(
+           list_slice(regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '), 1, 8),
+           ' '))) AS pfp
+  FROM documents
+),
+dup AS (
+  SELECT source, pfp, count(*) AS n FROM pfx GROUP BY 1, 2
+)
+SELECT source,
+       CAST(sum(n) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS n_shared_prefix,
+       """ + sql_round("CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS DOUBLE) / sum(n)", 6) + """
+         AS shared_prefix_rate
+FROM dup
+GROUP BY source
+"""
+
+
+def q_prefix_dup_rate(spark, sf_dir):
+    """Per-source share of docs whose first-8-token fingerprint collides
+    with another doc IN THE SAME SOURCE — the boilerplate-header detector
+    (templated pages, scraped nav bars) that runs cheaper than any n-gram
+    pipeline: one md5 per doc, one groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    pfx = docs.select("source", text.prefix_fingerprint("text", 8).alias("pfp"))
+    dup = pfx.groupBy("source", "pfp").agg(F.count(F.lit(1)).alias("n"))
+    shared = F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(F.lit(0)))
+    return dup.groupBy("source").agg(
+        F.sum("n").alias("n_docs"),
+        shared.alias("n_shared_prefix"),
+        fround(shared.cast("double") / F.sum("n"), 6).alias("shared_prefix_rate"),
+    )
+
+
 #: name -> (fn, oracle) for the promotion pass and the parity test.
 STAGED = {
     "hybrid_search_knn": (q_hybrid_search_knn, HYBRID_SEARCH_ORACLE),
     "quality_gate_docs": (q_quality_gate_docs, GATE_ORACLE),
     "corpus_language_matrix": (q_corpus_language_matrix, LANG_MATRIX_ORACLE),
+    "doc_length_histogram": (q_doc_length_histogram, LEN_HIST_ORACLE),
+    "prefix_dup_rate": (q_prefix_dup_rate, PREFIX_DUP_ORACLE),
 }
