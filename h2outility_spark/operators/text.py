@@ -40,6 +40,25 @@ def token_count(col: Column) -> Column:
     return F.when(F.length(norm) == 0, F.lit(0)).otherwise(F.size(F.split(norm, " ")))
 
 
+#: Explicit ASCII-whitespace class: Java regex and RE2 define ``\s``
+#: differently (RE2's omits ``\x0B``), so any cross-engine-compared count
+#: must spell the class out character by character.
+WS_CLASS = "[ \\t\\n\\r\\f\\x0B]"
+
+
+def space_token_count(col: Column) -> Column:
+    """Engine-proof whitespace token count: normalize with the EXPLICIT
+    whitespace class (no ``\\s`` semantics left to the regex engine), then
+    count tokens as spaces+1 by pure length arithmetic — no regex split,
+    no array functions, nothing an engine pair can disagree on. 0 for
+    blank text. Used where the count must hash-match a foreign engine
+    (the driver's oracle comparison), e.g. ``pack_sequences``."""
+    norm = F.trim(F.regexp_replace(col, WS_CLASS + "+", " "))
+    return F.when(F.length(norm) == 0, F.lit(0)).otherwise(
+        F.length(norm) - F.length(F.replace(norm, F.lit(" "), F.lit(""))) + 1
+    )
+
+
 BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
@@ -250,7 +269,11 @@ def pack_sequences(docs, budget_tokens: int, id_col: str = "doc_id", text_col: s
     prefix sum of token counts — the standard streaming approximation of
     greedy packing (a doc may straddle its bin boundary and is charged to
     the bin its first token lands in). Integer arithmetic end to end, so
-    the oracle matches exactly.
+    the oracle matches exactly. Token counts use ``space_token_count``
+    (explicit whitespace class + spaces+1 length arithmetic) so the count
+    is bit-identical in any SQL engine that mirrors the same two string
+    primitives — a regex-split count is NOT (``\\s`` and empty-split
+    semantics vary by engine).
 
     Scale note: the prefix sum is a single global-order window — for a
     real 100 TB packing job you shard first (e.g. by hash(doc) into k
@@ -260,7 +283,9 @@ def pack_sequences(docs, budget_tokens: int, id_col: str = "doc_id", text_col: s
     from pyspark.sql import Window as W, functions as F
 
     w = W.orderBy(id_col).rowsBetween(W.unboundedPreceding, -1)
-    toks = docs.select(F.col(id_col), token_count(F.col(text_col)).cast("bigint").alias("n_tokens"))
+    toks = docs.select(
+        F.col(id_col), space_token_count(F.col(text_col)).cast("bigint").alias("n_tokens")
+    )
     binned = toks.withColumn(
         "prefix", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
     ).withColumn("bin_id", F.expr(f"prefix div {budget_tokens}"))

@@ -330,21 +330,30 @@ def q_hash_sample_docs(spark, sf_dir):
 
 @query(
     "pack_sequences",
+    # Engine-proof tokenization (round-4/5 driver red root-caused to
+    # regex-split divergence): one canonical normalization with an EXPLICIT
+    # whitespace class (never '\s' — Java regex and RE2 define it
+    # differently), then tokens = spaces + 1 by pure length arithmetic.
+    # No regexp_split / array_length anywhere, and every output column is
+    # explicitly CAST (DuckDB's window sum would otherwise be HUGEINT).
     oracle="""
-    WITH toks AS (
-      SELECT doc_id,
-             CAST(CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0 THEN 0
-                  ELSE array_length(regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) END
-               AS BIGINT) AS n_tokens
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')) AS x
       FROM documents
+    ),
+    toks AS (
+      SELECT doc_id,
+             CAST(CASE WHEN length(x) = 0 THEN 0
+                  ELSE length(x) - length(replace(x, ' ', '')) + 1 END AS BIGINT) AS n_tokens
+      FROM norm
     ),
     pre AS (
       SELECT doc_id, n_tokens,
-             coalesce(sum(n_tokens) OVER (ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+             CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prefix
       FROM toks
     )
-    SELECT prefix // 2048 AS bin_id,
+    SELECT CAST(prefix // 2048 AS BIGINT) AS bin_id,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS total_tokens
     FROM pre
@@ -353,7 +362,8 @@ def q_hash_sample_docs(spark, sf_dir):
     description=(
         "Training-sequence packing plan: docs in id order assigned to 2048-token "
         "context bins by exclusive prefix sum (streaming greedy packing); integer "
-        "arithmetic end to end"
+        "arithmetic end to end, token counts by engine-proof spaces+1 length "
+        "arithmetic over an explicit whitespace class"
     ),
 )
 def q_pack_sequences(spark, sf_dir):

@@ -180,3 +180,33 @@ def test_pii_counts_null_text_stays_null_parity_shaped(spark):
     ).select(*pii_counts(F.col("text")))
     r = df.collect()[0]
     assert (r["n_email"], r["n_ssn"], r["n_phone"]) == (None, None, None)
+
+
+def test_space_token_count_matches_token_count_on_plain_spaces(spark):
+    """On 0x20-only whitespace (the entire synthetic corpus) the
+    engine-proof count must equal the regex-split count exactly."""
+    from h2outility_spark.operators.text import space_token_count, token_count
+
+    docs = _docs(
+        spark,
+        [(1, ""), (2, "   "), (3, "one"), (4, "  a  b   c "), (5, "w1 w2 w3 w4 w5")],
+    )
+    rows = docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("a"),
+        space_token_count(F.col("text")).alias("b"),
+    ).collect()
+    assert all(r["a"] == r["b"] for r in rows), rows
+    assert {r["doc_id"]: r["b"] for r in rows} == {1: 0, 2: 0, 3: 1, 4: 3, 5: 5}
+
+
+def test_space_token_count_explicit_class_covers_all_ascii_ws(spark):
+    """Tabs, newlines, CR, FF and VERTICAL TAB all separate tokens — \\x0B
+    is the char RE2's \\s omits while Java's includes it, which is exactly
+    why the packing query spells the class out."""
+    from h2outility_spark.operators.text import space_token_count
+
+    docs = _docs(spark, [(1, "a\tb\nc\rd\fe\x0bf"), (2, "\t \n \x0b ")])
+    out = {r["doc_id"]: r["n"] for r in
+           docs.select("doc_id", space_token_count(F.col("text")).alias("n")).collect()}
+    assert out == {1: 6, 2: 0}
