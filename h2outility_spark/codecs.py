@@ -232,12 +232,17 @@ def decode_png(data: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]
     w, h, color = hdr
     nch = {0: 1, 2: 3, 4: 2, 6: 4}[color]
     stride = w * nch
+    expected = h * (stride + 1)
     try:
-        raw = zlib.decompress(idat)
+        # Bounded inflate: a hostile IDAT can expand to gigabytes from a
+        # few kilobytes (decompression bomb); never inflate past the
+        # pixel-buffer size the declared dimensions call for.
+        d = zlib.decompressobj()
+        raw = d.decompress(idat, expected)
     except zlib.error as e:
         # normalize to the codec contract: corrupt payloads raise ValueError
         raise ValueError(f"PNG IDAT inflate failed: {e}") from e
-    if len(raw) < h * (stride + 1):
+    if len(raw) < expected:
         raise ValueError("PNG pixel data truncated")
     rows: list[list[tuple[int, int, int]]] = []
     prev = bytearray(stride)

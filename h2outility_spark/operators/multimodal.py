@@ -386,12 +386,15 @@ def image_dhash(
     """Perceptual fingerprint per image: (asset_id, dhash) with the 64-bit
     difference hash (codecs.dhash64, BMP/PNG built-in). NULL payloads
     yield NULL hashes. The binary column stays inside mapInPandas; only
-    the 8-byte hash continues into the pipeline."""
+    the 8-byte hash continues into the pipeline. The id column keeps its
+    INPUT type (string asset keys are as common as numeric ones — think
+    URL or content-hash ids), only ``dhash`` is pinned to long."""
     if hash_fn is None:
         from h2outility_spark.codecs import dhash64
 
         hash_fn = dhash64
     fn = hash_fn
+    id_ddl = assets.schema[id_col].dataType.simpleString()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -407,7 +410,7 @@ def image_dhash(
             )
 
     return assets.select(F.col(id_col), F.col(data_col)).mapInPandas(
-        batches, f"`{id_col}` long, dhash long"
+        batches, f"`{id_col}` {id_ddl}, dhash long"
     )
 
 

@@ -68,7 +68,7 @@ def _file_paths(table_dir: str, m: dict) -> set[str]:
     return out
 
 
-def _added_files(table_dir: str, v: int) -> list[str]:
+def _added_files(table_dir: str, v: int, allow_bootstrap: bool = False) -> list[str]:
     """Relative paths of the data files version ``v`` ADDED, enforcing the
     append-only contract (compact → none; other non-append ops → error).
 
@@ -78,10 +78,15 @@ def _added_files(table_dir: str, v: int) -> list[str]:
     candidates; vanished ones — small segments repacked by the manifest
     compactor — hold the carried files to subtract).
 
-    If version ``v``'s PARENT manifest was vacuumed away, ``v`` is the
-    oldest retained version and its FULL file set is emitted as the
-    snapshot bootstrap — a fresh reader on a vacuumed table starts from
-    the earliest reconstructable state instead of crashing.
+    If version ``v``'s PARENT manifest was vacuumed away, behavior depends
+    on ``allow_bootstrap``: a FRESH reader (offset minted by
+    ``initialOffset`` this run, which sets the bootstrap flag) emits
+    ``v``'s FULL file set as the snapshot bootstrap — it has emitted
+    nothing yet, so the snapshot is exactly its backlog. A CHECKPOINTED
+    reader resuming mid-stream must NOT take that branch: it already
+    emitted every row up to its offset, and the full snapshot would
+    re-emit the whole table as duplicates into an exactly-once sink — it
+    gets the fresh-checkpoint ValueError instead.
     """
     try:
         m = _manifest(table_dir, v)
@@ -94,8 +99,16 @@ def _added_files(table_dir: str, v: int) -> list[str]:
     try:
         prev_m = _manifest(table_dir, v - 1) if v > 0 else None
     except FileNotFoundError:
-        # v is the oldest retained version: bootstrap with its snapshot
-        return sorted(_file_paths(table_dir, m))
+        if allow_bootstrap:
+            # v is the oldest retained version and the reader is fresh:
+            # bootstrap with its snapshot
+            return sorted(_file_paths(table_dir, m))
+        raise ValueError(
+            f"version {v}'s parent manifest was vacuumed away beneath a "
+            "checkpointed reader; emitting the snapshot here would re-send "
+            "already-delivered rows as duplicates — restart the stream from "
+            "a fresh checkpoint"
+        ) from None
     if m["op"] == "compact":
         return []
     if m["op"] != "append":
@@ -130,9 +143,12 @@ class _TxAppendTailReader(DataSourceStreamReader):
         # Start just below the OLDEST RETAINED version, not -1: on a table
         # whose early manifests were vacuumed, the first batch then
         # bootstraps from the earliest reconstructable snapshot instead of
-        # chasing deleted manifests.
+        # chasing deleted manifests. The bootstrap flag rides in the offset
+        # so ONLY a reader starting from this freshly-minted offset may take
+        # the full-snapshot branch; a checkpointed offset (minted by
+        # latestOffset, no flag) never bootstraps — see _added_files.
         vs = _versions(self.table_dir)
-        return {"version": (vs[0] - 1) if vs else -1}
+        return {"version": (vs[0] - 1) if vs else -1, "bootstrap": True}
 
     def latestOffset(self) -> dict:
         latest = _latest_version(self.table_dir)
@@ -141,9 +157,13 @@ class _TxAppendTailReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         parts: list[InputPartition] = []
         for v in range(start["version"] + 1, end["version"] + 1):
+            # Only the FIRST version past a fresh initialOffset may
+            # snapshot-bootstrap; later versions in the range provably have
+            # a retained parent (v-1 was just resolved).
+            fresh = bool(start.get("bootstrap")) and v == start["version"] + 1
             parts.extend(
                 _TxFilePartition(os.path.join(self.table_dir, rel))
-                for rel in _added_files(self.table_dir, v)
+                for rel in _added_files(self.table_dir, v, allow_bootstrap=fresh)
             )
         return parts
 

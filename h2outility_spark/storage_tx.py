@@ -538,9 +538,16 @@ class TxTable:
         # compact_files(zorder=True) every axis is tight, so multi-axis
         # checks turn an O(axis-slab) rewrite into O(intersection-box).
         row = updates.select(
+            F.count(F.lit(1)).alias("n_updates"),
             *[F.min(k).alias(f"lo_{k}") for k in self.key_cols],
             *[F.max(k).alias(f"hi_{k}") for k in self.key_cols],
         ).collect()[0]
+        if row["n_updates"] == 0:
+            # No-op merge: publishing a version that changes nothing would
+            # churn history on every empty streaming micro-batch (and make
+            # vacuum/time-travel bookkeeping noisier). The current version
+            # already IS the post-merge state.
+            return m["version"]
         bounds = {
             k: (_norm_stat(row[f"lo_{k}"]), _norm_stat(row[f"hi_{k}"])) for k in self.key_cols
         }

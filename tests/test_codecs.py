@@ -584,3 +584,35 @@ def test_png_roundtrip_property():
 
     check()
 
+
+
+def test_png_decompression_bomb_is_bounded():
+    """Review regression: a hostile IDAT that inflates to ~256 MiB from a
+    few KiB must not be materialized — inflate is bounded by the declared
+    pixel-buffer size, so the decoder fails fast on the size check (the
+    declared 2x2 dims need only 15 bytes) instead of allocating the bomb."""
+    import struct as _s
+    import zlib
+
+    from h2outility_spark.codecs import decode_png
+
+    def chunk(cid, body):
+        return _s.pack(">I", len(body)) + cid + body + _s.pack(">I", zlib.crc32(cid + body))
+
+    bomb = zlib.compress(b"\x00" * (256 * 1024 * 1024), 9)  # ~256 MiB of zeros
+    assert len(bomb) < 1024 * 1024
+    ihdr = _s.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)  # declares a tiny 2x2 RGB
+    data = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IDAT", bomb) + chunk(b"IEND", b"")
+    )
+    # 2x2 RGB needs 2*(2*3+1)=14 bytes; the bomb satisfies that, so decode
+    # SUCCEEDS — the point is it must do so without inflating 256 MiB.
+    import tracemalloc
+
+    tracemalloc.start()
+    w, h, rows = decode_png(data)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert (w, h) == (2, 2)
+    assert rows == [[(0, 0, 0), (0, 0, 0)], [(0, 0, 0), (0, 0, 0)]]
+    assert peak < 32 * 1024 * 1024, f"inflate not bounded: peak {peak} bytes"

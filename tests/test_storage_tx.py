@@ -663,3 +663,16 @@ def test_describe_health_snapshot(spark, table):
     assert d2["small_file_fraction"] == 0.2
     # historical describe composes with time travel
     assert table.describe(version=0)["n_files"] == 1
+
+
+def test_empty_merge_is_a_noop_version(spark, table):
+    """Review regression: merging ZERO updates must not publish a new
+    version — a checkpointed streaming sink upserting empty micro-batches
+    would otherwise churn history (and vacuum bookkeeping) forever."""
+    v1 = table.append(kv(spark, [(1, "a"), (2, "b")]))
+    empty = spark.createDataFrame([], "k int, v string")
+    v2 = table.merge_upsert(empty)
+    assert v2 == v1  # no new version published
+    assert table.latest_version() == v1
+    assert [m["op"] for m in table.history()] == ["append"]
+    assert rows_of(table.snapshot()) == [(1, "a"), (2, "b")]

@@ -121,3 +121,34 @@ def test_image_dhash_respects_custom_id_col(spark):
     assert hashes.columns == ["image_id", "dhash"]
     pairs = image_neardup_pairs(assets, id_col="image_id").collect()
     assert [(p["id_a"], p["id_b"], p["hamming"]) for p in pairs] == [(1, 2, 0)]
+
+
+def test_checkpointed_reader_never_rebootstraps_after_vacuum(spark, registered, tmp_path):
+    """Review regression (exactly-once hole): a CHECKPOINTED reader whose
+    offset's successor lost its parent manifest to vacuum must ERROR, not
+    silently re-emit the whole table as duplicates. Only a fresh reader
+    (offset minted by initialOffset, bootstrap flag set) may take the
+    full-snapshot branch."""
+    from h2outility_spark.sources.txtable_source import _TxAppendTailReader
+
+    tdir = str(tmp_path / "dupvac")
+    table = TxTable(spark, tdir, key_cols=["k"])
+    for i in range(6):
+        table.append(kv(spark, [(i, "x")]))
+    table.vacuum(keep_versions=2, retention_seconds=0)  # manifests v0-v3 gone
+
+    reader = _TxAppendTailReader(tdir, ["k", "v"])
+    # Checkpointed offset {version: 3}: v4 exists but its parent v3 is gone.
+    # Pre-fix this emitted v4's FULL snapshot (rows 0..4 again) = duplicates.
+    with pytest.raises(ValueError, match="duplicates"):
+        reader.partitions({"version": 3}, {"version": 5})
+
+    # The same gap IS servable to a genuinely fresh reader: initialOffset
+    # carries the bootstrap flag and the first batch snapshots v4.
+    start = reader.initialOffset()
+    assert start == {"version": 3, "bootstrap": True}
+    parts = reader.partitions(start, {"version": 5})
+    rows = set()
+    for p in parts:
+        rows.update(reader.read(p))
+    assert rows == {(i, "x") for i in range(6)}  # snapshot(v4) + v5's append
