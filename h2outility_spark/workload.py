@@ -453,6 +453,9 @@ from h2outility_spark import workload_qc  # noqa: E402,F401
 from h2outility_spark import workload_text  # noqa: E402,F401
 from h2outility_spark import workload_ext  # noqa: E402,F401
 from h2outility_spark import workload_tpch  # noqa: E402,F401
+from h2outility_spark import workload_next  # noqa: E402,F401
+from h2outility_spark import workload_media  # noqa: E402,F401
+from h2outility_spark import workload_lakehouse  # noqa: E402,F401
 
 
 # The driver's correctness gate hashes only the FIRST 50 registered queries.
@@ -471,64 +474,55 @@ from h2outility_spark import workload_tpch  # noqa: E402,F401
 # (coverage map in README). Everything outside the window is still
 # oracle-checked every run by tests/test_oracle_parity.py + driver_sim.
 CHECKED_WINDOW = [
-    # -- sentinel core (7): §2 family flagships, proven r1/r3 --------------
-    # (nine multi-green sentinels — series_catalog, extract_filtered,
-    # extract_incremental, tpch_q1/q3/q5, sessionization, asof_join,
-    # dedup_exact_docs — ceded their slots to the nine round-4 NEW queries
-    # below, which must start life inside the window; the ceded queries
-    # keep their r1+r3 driver rows and stay covered by test_oracle_parity +
-    # driver_sim every run)
-    # (wide_export and ivf_search — the last two sentinels — ceded their
-    # slots to the two late-round-4 planning queries below; both keep
-    # multi-round green driver rows, wide_export since r1 and ivf_search
-    # since r3, and stay oracle-checked every run)
-    "quality_calibrate_per_source",  # per-source percentile threshold calibration
-    "mixture_plan_tokens",   # uniform-mixture token budgeting (epoch plan)
-    # -- round-4 additions (10): first driver rows this round --------------
-    # (kmeans_centroids ceded its slot to pq_codes_kmeans, which drives the
-    # same Lloyd machinery through all 8 subspaces jointly)
-    "repetition_signals",    # Gopher-style repetition quality gates
-    "segment_dedup_docs",    # CCNet-style corpus-wide segment dedup
-    "pii_redact_docs",       # PII redaction regex parity
-    "pq_codes",              # product-quantization encode
-    "pq_search",             # PQ ADC search + exact re-rank
-    "dedup_incremental",     # batch-vs-corpus ingest dedup
-    "decontaminate_spans",   # span-level benchmark decontamination
-    "ivfpq_search",          # composed IVF-PQ (cells prune, codes compress)
-    "quality_filter_fusion",  # composite quality gate + keep decision
-    "pq_codes_kmeans",       # production PQ training+encode (grouped Lloyd oracle)
-    "shard_assignment",      # deterministic training-shard fan-out
-    "cdc_segment_dedup",     # content-defined chunking dedup (qc_drift ceded:
-                             # same NTZ guard rationale as qc_gaps, keeps r3 row)
-    "duplicated_spans",      # exact-substring dup spans (corpus_clean ceded,
-                             # r3 green and unchanged in r4; keeps its row)
-    "remove_duplicated_spans",  # suffix-dedup removal policy (qc_interpolate
-                             # ceded — r3 green, guarded by property+unit tests)
-    # (qc_gaps ceded its slot: its r2 failure mode — NTZ timestamp drift —
-    # is now guarded by two scan-boundary layers plus tests/test_ntz.py,
-    # and it keeps its r3 driver row)
-    # -- never-driver-checked set (34): earn first green rows this round ---
-    # rolling QC trio
-    "qc_resample_ffill", "qc_median_despike", "qc_rolling_zscore",
-    # event analytics
-    "rolling_avg", "funnel_conversion", "retention_cohorts",
-    # multi-level aggregation
-    "grouping_sets_revenue", "cube_orders",
-    # semi-structured props
-    "json_props_stats", "regexp_extract_props",
-    # LLM-pipeline ops
-    "contamination_overlap", "hash_sample_docs", "pack_sequences",
-    "tfidf_top_terms", "audio_chunks", "corpus_clean_embedding",
-    "mixture_sample", "embedding_stats",
-    # later TPC-H adaptations
-    "tpch_q2_min_cost_supplier", "tpch_q4_late_orders",
-    "tpch_q7_nation_volume", "tpch_q8_market_share",
-    "tpch_q10_returned", "tpch_q11_value_share",
-    "tpch_q12_priority_buckets", "tpch_q13_order_distribution",
-    "tpch_q14_promo_share", "tpch_q15_top_supplier",
-    "tpch_q16_supplier_cnt", "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_orders", "tpch_q19_or_of_ands",
-    "tpch_q20_excess_suppliers", "tpch_q22_idle_rich_customers",
+    # -- ROUND-6 ROTATION ---------------------------------------------------
+    # All 50 round-4/5 occupants now hold r4+r5 green rows (save
+    # pack_sequences, which stays below for its post-fix re-check), so the
+    # window turns over: 16 slots go to FIRST-TIMERS (the five promoted
+    # workload_next pairs + the new lakehouse/media queries, which must
+    # start life inside the window per test_checked_window), and the other
+    # 34 go to sentinels chosen for the STALEST prior evidence — every
+    # r1-/r2-/r3-only query gets a fresh row this round, topped up with the
+    # §2 family flagships. Everything outside the window stays
+    # oracle-checked every run by tests/test_oracle_parity + driver_sim.
+    # -- first-timers: promoted round-4 staging pairs (workload_next) ------
+    "hybrid_search_knn",       # RRF fusion of lexical + semantic rankings
+    "quality_gate_docs",       # per-source 70%-by-rank gate, applied
+    "corpus_language_matrix",  # (source, lang) doc/token inventories
+    "doc_length_histogram",    # log2 token-length buckets per source
+    "prefix_dup_rate",         # boilerplate-prefix collision rate
+    # -- first-timers: TxTable lakehouse read surface (workload_lakehouse) -
+    "txtable_changes",         # row-level change feed (CDF) oracle-checked
+    "txtable_snapshot_as_of",  # timestamp time travel oracle-checked
+    # -- first-timers: real-codec multimodal paths (workload_media) --------
+    "image_dhash",             # BMP encode->decode->dhash64, bit-exact oracle
+    "image_neardup",           # banded perceptual pairs vs brute-force oracle
+    "audio_window_features",   # WAV decode -> windowed RMS/ZCR
+    "audio_vad_segments",      # energy VAD islands over real decode
+    # -- post-fix re-check (driver-red in r4/r5, tokenization rebuilt) -----
+    "pack_sequences",
+    # -- sentinels: single-round evidence, oldest first --------------------
+    "unpivot_part_metrics",    # r1 only
+    "percentile_summary",      # r1 only
+    "approx_distinct_parts",   # r1 only
+    "running_totals",          # r1 only
+    "salted_agg",              # r1 only
+    "vocab_topk",              # r2 only
+    "bigram_condprob",         # r2 only
+    "neardup_winnow_pairs",    # r2 only
+    "sql_api_q1",              # r3 only
+    "tpch_q9_product_profit",  # r3 only
+    "tpch_q21_waiting_supplier",  # r3 only
+    "neardup_simhash_pairs",   # r3 only
+    "doc_lm_score",            # r3 only
+    # -- sentinels: §2 family flagships + scale-path representatives -------
+    "series_catalog", "extract_filtered", "extract_incremental",
+    "wide_export", "tpch_q1", "tpch_q3", "tpch_q5",
+    "sessionization", "asof_join", "range_join_count",
+    "dedup_exact_docs", "corpus_clean", "neardup_minhash_pairs",
+    "neardup_embedding_lsh", "embedding_knn", "ivf_search",
+    "qc_gaps", "qc_interpolate", "qc_drift",
+    "union_dedup", "series_year_range", "variable_census",
+    "event_time_windows", "rollup_revenue", "text_stats",
 ]
 
 

@@ -1,0 +1,102 @@
+"""TxTable (transactional lakehouse) workload queries: drive the
+merge/commit/time-travel/change-feed machinery end to end inside a driver
+query and check the resulting FRAMES against a DuckDB oracle that states
+the expected table algebraically over ``orders``.
+
+Each query builds a fresh deterministic table in a temp dir from the
+``orders`` parquet at the given sf_dir (append -> merge -> merge), then
+reads it back through the surface under test. The oracle never sees the
+table — it recomputes what the lakehouse semantics REQUIRE the result to
+be, so a green row certifies copy-on-write merge, manifest versioning and
+the read surface together, not just parquet round-tripping.
+
+Reference parity: the commit/rollback semantics mirror the reference's
+edit-session save/restore discipline
+(``src/GAMUTRawData/odmservices/edit_service.py:371-443``), re-expressed
+as an immutable-manifest lakehouse rather than an ORM transaction.
+
+Scale notes: fixture subsets are ~10% of ``orders`` (no collect; bounds
+discovery inside merge_upsert is the one 1-row collect the operator
+always does). ``changes()`` is manifest-diff pruned — O(changed files),
+not O(table) — which is exactly what the 100 TB shape needs.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+from h2outility_spark.storage_tx import TxTable
+from h2outility_spark.workload import _t, query
+
+
+def _orders_base(spark, sf_dir):
+    return _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@query(
+    "txtable_changes",
+    oracle="""
+    WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders)
+    SELECT o_orderkey, o_custkey,
+           CAST(o_totalprice * 2 AS DOUBLE) AS o_totalprice,
+           'insert' AS _change_type
+    FROM base WHERE o_orderkey % 100 < 2
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice, 'insert' AS _change_type
+    FROM base WHERE o_orderkey % 100 = 10
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice, 'delete' AS _change_type
+    FROM base WHERE o_orderkey % 100 < 2
+    """,
+    description=(
+        "Row-level change feed (Delta CDF shape) between an append and a "
+        "copy-on-write merge: updated keys appear as delete+insert pairs, new "
+        "keys as inserts, rewritten-but-identical rows cancel; oracle states the "
+        "expected feed algebraically over orders"
+    ),
+)
+def q_txtable_changes(spark, sf_dir):
+    base = _orders_base(spark, sf_dir)
+    t = TxTable(spark, tempfile.mkdtemp(prefix="h2ou_txchanges_"), key_cols=["o_orderkey"])
+    v1 = t.append(base.filter(F.col("o_orderkey") % 100 < 10))
+    updates = base.filter(F.col("o_orderkey") % 100 < 2).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    inserts = base.filter(F.col("o_orderkey") % 100 == 10)
+    v2 = t.merge_upsert(updates.unionByName(inserts))
+    return t.changes(v1, v2).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "_change_type"
+    )
+
+
+@query(
+    "txtable_snapshot_as_of",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(CASE WHEN o_orderkey % 100 < 1 THEN o_totalprice * 3
+                     ELSE o_totalprice END AS DOUBLE) AS o_totalprice
+    FROM orders WHERE o_orderkey % 100 < 3
+    """,
+    description=(
+        "Timestamp time travel: snapshot_as_of at a wall-clock instant between "
+        "two merges reproduces exactly the mid-history table state (append + "
+        "first merge, untouched by the later merge); oracle restates that state "
+        "over orders"
+    ),
+)
+def q_txtable_snapshot_as_of(spark, sf_dir):
+    base = _orders_base(spark, sf_dir)
+    t = TxTable(spark, tempfile.mkdtemp(prefix="h2ou_txasof_"), key_cols=["o_orderkey"])
+    t.append(base.filter(F.col("o_orderkey") % 100 < 3))
+    t.merge_upsert(
+        base.filter(F.col("o_orderkey") % 100 < 1).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 3
+        )
+    )
+    cut = time.time()
+    time.sleep(0.05)  # strictly separate the cut from the next commit's stamp
+    t.merge_upsert(base.filter(F.col("o_orderkey") % 100 >= 97))
+    return t.snapshot_as_of(cut).select("o_orderkey", "o_custkey", "o_totalprice")

@@ -1,14 +1,8 @@
-"""Round-5 registry staging area: fully-formed (PySpark fn, DuckDB oracle)
-pairs that CANNOT enter the registry yet — every CHECKED_WINDOW slot is
-occupied by a first-timer earning its driver row this round, and
-``tests/test_checked_window.py`` (correctly) refuses new queries outside
-the window. These are deliberately NOT decorated with ``@query``; the next
-window rotation wraps them and deletes this comment.
-
-Each pair is parity-tested against DuckDB in ``tests/test_workload_next.py``
-under exactly the driver's comparison discipline (sorted columns,
-order-insensitive rows, 9-sig-digit floats), so promotion is a mechanical
-decorator change, not new verification work.
+"""Hybrid retrieval + corpus-composition workload queries, staged in round
+4 and PROMOTED to the registry in the round-6 window rotation (every slot
+of the round-4/5 window was occupied by a first-timer, so these waited
+with their oracles parity-proven at sf0.001 and sf0.01; promotion was the
+decorator change below plus window slots — zero new verification).
 """
 
 from __future__ import annotations
@@ -17,7 +11,7 @@ from pyspark.sql import Window as W, functions as F
 
 from h2outility_spark.operators import similarity, text
 from h2outility_spark.sources.parquet import load_table
-from h2outility_spark.workload import fround, sql_round
+from h2outility_spark.workload import fround, query, sql_round
 
 # -- hybrid retrieval (RRF fusion) -------------------------------------------
 
@@ -78,6 +72,14 @@ QUALIFY rank <= 10
 """
 
 
+@query(
+    "hybrid_search_knn",
+    oracle=HYBRID_SEARCH_ORACLE,
+    description=(
+        "Hybrid retrieval: token-overlap lexical leg + exact-cosine semantic leg "
+        "fused by reciprocal-rank (1/(60+rank)), top-10 per query doc"
+    ),
+)
 def q_hybrid_search_knn(spark, sf_dir):
     """Hybrid lexical+semantic top-10 per query doc (doc_id % 97 == 3 plays
     the query set) over documents joined to their embeddings."""
@@ -124,6 +126,14 @@ WHERE rnk <= CAST(ceil(0.7 * n) AS BIGINT)
 """
 
 
+@query(
+    "quality_gate_docs",
+    oracle=GATE_ORACLE,
+    description=(
+        "Per-source 70%-by-rank quality gate APPLIED: the surviving docs with "
+        "their in-source rank — the row-level view the corpus pipeline consumes"
+    ),
+)
 def q_quality_gate_docs(spark, sf_dir):
     """The calibration query's threshold APPLIED: the surviving docs of the
     per-source 70%-by-rank quality gate, with their in-source rank — the
@@ -173,6 +183,14 @@ def _lang_matrix_oracle() -> str:
 LANG_MATRIX_ORACLE = _lang_matrix_oracle()
 
 
+@query(
+    "corpus_language_matrix",
+    oracle=LANG_MATRIX_ORACLE,
+    description=(
+        "Per-(source, predicted language) doc/token inventories + in-source doc "
+        "share — the language-composition audit behind sampling temperatures"
+    ),
+)
 def q_corpus_language_matrix(spark, sf_dir):
     """Per-(source, predicted language): doc and token inventories plus the
     in-source doc share — the language-composition audit a multilingual
@@ -225,6 +243,14 @@ def _len_hist_oracle() -> str:
 LEN_HIST_ORACLE = _len_hist_oracle()
 
 
+@query(
+    "doc_length_histogram",
+    oracle=LEN_HIST_ORACLE,
+    description=(
+        "Token-length distribution per source in power-of-two buckets (empty "
+        "docs in bucket -1) — the diagnostic behind truncation/packing budgets"
+    ),
+)
 def q_doc_length_histogram(spark, sf_dir):
     """Token-length distribution per source in power-of-two buckets
     (empty docs land in bucket -1) — the length diagnostic behind
@@ -271,6 +297,14 @@ GROUP BY source
 """
 
 
+@query(
+    "prefix_dup_rate",
+    oracle=PREFIX_DUP_ORACLE,
+    description=(
+        "Per-source share of docs whose first-8-token fingerprint collides in "
+        "the same source — the cheap boilerplate-header detector"
+    ),
+)
 def q_prefix_dup_rate(spark, sf_dir):
     """Per-source share of docs whose first-8-token fingerprint collides
     with another doc IN THE SAME SOURCE — the boilerplate-header detector
@@ -287,7 +321,9 @@ def q_prefix_dup_rate(spark, sf_dir):
     )
 
 
-#: name -> (fn, oracle) for the promotion pass and the parity test.
+#: Kept for tests/test_workload_next.py's two-scale parity sweep (the same
+#: pairs are now ALSO registered; the sweep pins the sf0.01 behavior the
+#: driver will hash).
 STAGED = {
     "hybrid_search_knn": (q_hybrid_search_knn, HYBRID_SEARCH_ORACLE),
     "quality_gate_docs": (q_quality_gate_docs, GATE_ORACLE),

@@ -22,6 +22,9 @@ BNLJ_ALLOWED = {
     "funnel_conversion",  # three 1-row stage counts joined
     "tpch_q22_idle_rich_customers",  # correlated scalar average (1-row broadcast)
     "tpch_q11_value_share",  # 1-row global-threshold broadcast
+    "hybrid_search_knn",  # semantic leg: tiny query set broadcast x docs by
+    # design (operators/similarity.hybrid_search; IVF/PQ are the scale paths
+    # when the query set grows)
 }
 
 
