@@ -1,9 +1,9 @@
 """Pure-Python (stdlib-only) media codecs for the multimodal operators.
 
-This container has no PIL/ffmpeg, so the heavy formats (JPEG/WebP/MP4) stay
-behind injectable ``decode_fn``/``resize_fn`` hooks — but four formats are
-simple enough for stdlib ``struct``/``zlib``, which un-stubs the default
-codec path end-to-end (sniffed by magic bytes):
+This container has no PIL/ffmpeg, so the heavy formats (WebP/MP4) stay
+behind injectable ``decode_fn``/``resize_fn`` hooks — but five formats are
+tractable with stdlib ``struct``/``zlib``/``math``, which un-stubs the
+default codec path end-to-end (sniffed by magic bytes):
 
   * **Uncompressed 24-bit BMP** (BITMAPINFOHEADER, BI_RGB): decode to
     (width, height, mean_luma), and nearest-neighbor resize with re-encode.
@@ -12,6 +12,11 @@ codec path end-to-end (sniffed by magic bytes):
     encode as filter-0 RGB for the resize round-trip.
   * **GIF87a/89a first frame**: variable-width LSB-first LZW decode with
     clear/end codes and the KwKwK case; resize re-encodes as PNG.
+  * **Baseline JPEG** (SOF0, 8-bit, 4:4:4/4:2:2/4:2:0, restart markers):
+    full entropy decode (canonical Huffman + byte unstuffing), dequantize,
+    float IDCT, chroma upsample, JFIF YCbCr->RGB — plus a minimal 4:4:4
+    encoder (Annex K tables, IJG quality scaling) for round-trip tests
+    and JPEG-out resizing. Progressive/arithmetic variants raise.
   * **PCM WAV**: RIFF header parse to (channels, sample_rate, bits,
     n_frames, duration_ms), mean absolute amplitude, windowed RMS /
     zero-crossing features, and ``dhash64`` perceptual image hashing.
@@ -321,14 +326,17 @@ def png_resizer(data: bytes, max_side: int) -> tuple[bytes, int, int]:
 
 
 def sniff_image_decoder(data: bytes) -> tuple[int, int, float]:
-    """Format-sniffing default ``decode_fn``: BMP, PNG, or GIF by magic."""
+    """Format-sniffing default ``decode_fn``: BMP, PNG, GIF, or baseline
+    JPEG by magic."""
     if data[:2] == b"BM":
         return bmp_image_decoder(data)
     if data[:8] == _PNG_MAGIC:
         return png_image_decoder(data)
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return gif_image_decoder(data)
-    raise ValueError("unsupported image format (built-ins: BMP, PNG, GIF) — inject decode_fn")
+    if data[:2] == b"\xff\xd8":
+        return jpeg_image_decoder(data)
+    raise ValueError("unsupported image format (built-ins: BMP, PNG, GIF, JPEG) — inject decode_fn")
 
 
 def sniff_image_resizer(data: bytes, max_side: int) -> tuple[bytes, int, int]:
@@ -343,7 +351,9 @@ def sniff_image_resizer(data: bytes, max_side: int) -> tuple[bytes, int, int]:
         width, height, rows = decode_gif(data)
         out_rows, out_w, out_h = _resize_rows(rows, width, height, max_side)
         return encode_png(out_rows), out_w, out_h
-    raise ValueError("unsupported image format (built-ins: BMP, PNG, GIF) — inject resize_fn")
+    if data[:2] == b"\xff\xd8":
+        return jpeg_resizer(data, max_side)
+    raise ValueError("unsupported image format (built-ins: BMP, PNG, GIF, JPEG) — inject resize_fn")
 
 
 def wav_window_features(data: bytes, window_ms: int = 100) -> list[tuple[int, int, float, float]]:
@@ -391,8 +401,10 @@ def dhash64(data: bytes) -> int:
         w, h, rows = decode_png(data)
     elif data[:6] in (b"GIF87a", b"GIF89a"):
         w, h, rows = decode_gif(data)
+    elif data[:2] == b"\xff\xd8":
+        w, h, rows = decode_jpeg(data)
     else:
-        raise ValueError("unsupported image format for dhash (built-ins: BMP, PNG, GIF)")
+        raise ValueError("unsupported image format for dhash (built-ins: BMP, PNG, GIF, JPEG)")
     gw, gh = 9, 8
     grid = []
     for gy in range(gh):
@@ -516,10 +528,567 @@ def gif_image_decoder(data: bytes) -> tuple[int, int, float]:
     return width, height, _mean_luma_of(width, height, rows)
 
 
+# -- JPEG (baseline sequential DCT, ITU T.81) --------------------------------
+#
+# Pure-stdlib baseline JPEG: marker walk, canonical Huffman decode with
+# byte-stuffing and restart markers, dequantize + inverse zigzag, float
+# separable IDCT, nearest-neighbor chroma upsampling (4:4:4 / 4:2:2 /
+# 4:2:0), JFIF YCbCr->RGB. Progressive (SOF2), arithmetic and 12-bit
+# variants raise ValueError (inject a full codec). The matching minimal
+# encoder (4:4:4 / grayscale, Annex K tables) exists so tests can
+# round-trip without any external library.
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# ITU T.81 Annex K quantization tables (luminance, chrominance), natural order
+_K_LUMA_Q = [
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+]
+_K_CHROMA_Q = [
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# Annex K typical Huffman tables: (bits[1..16], values)
+_K_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+_K_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], list(range(12)))
+_K_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+        0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+        0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+        0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+        0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_K_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+        0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+        0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+        0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+        0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+        0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _huff_decode_table(bits: list[int], values: list[int]) -> dict:
+    """Canonical Huffman (code_length, code) -> value map."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+_IDCT_COS = [
+    [__import__("math").cos((2 * x + 1) * u * __import__("math").pi / 16) for u in range(8)]
+    for x in range(8)
+]
+_C = [0.7071067811865476] + [1.0] * 7  # 1/sqrt(2) for u == 0
+
+
+def _idct_8x8(coef: list[float]) -> list[list[float]]:
+    """Separable 2D inverse DCT of one 8x8 block (natural-order coefs)."""
+    # rows: for each row y of coefficients (over u), partial IDCT over x
+    tmp = [[0.0] * 8 for _ in range(8)]
+    for v in range(8):
+        row = coef[v * 8 : v * 8 + 8]
+        for x in range(8):
+            tmp[v][x] = sum(_C[u] * row[u] * _IDCT_COS[x][u] for u in range(8)) / 2.0
+    out = [[0.0] * 8 for _ in range(8)]
+    for x in range(8):
+        for y in range(8):
+            out[y][x] = sum(_C[v] * tmp[v][x] * _IDCT_COS[y][v] for v in range(8)) / 2.0
+    return out
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00 byte
+    unstuffing; stops at any non-RST marker."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bits = 0
+        self.nbits = 0
+        self.marker = None  # set when a non-stuffed marker is hit
+
+    def _fill(self) -> None:
+        while self.nbits <= 24:
+            if self.marker is not None or self.pos >= len(self.data):
+                self.bits = (self.bits << 8) & 0xFFFFFFFF
+                self.nbits += 8  # pad with zeros past the end (spec allows)
+                continue
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:
+                    # restart marker: caller resyncs via expect_rst
+                    self.marker = nxt
+                    continue
+                else:
+                    self.marker = nxt
+                    continue
+            else:
+                self.pos += 1
+            self.bits = ((self.bits << 8) | b) & 0xFFFFFFFF
+            self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.bits >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def huff(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            if (length, code) in table:
+                return table[(length, code)]
+        raise ValueError("invalid JPEG Huffman code")
+
+    def restart(self) -> None:
+        """Byte-align, locate the pending RST marker and consume it. Any
+        buffered bits are the previous interval's byte padding; the marker
+        may already have been hit by ``_fill`` or may still lie ahead
+        (behind an unconsumed pad byte)."""
+        self.bits = 0
+        self.nbits = 0
+        while self.marker is None and self.pos + 1 < len(self.data):
+            if self.data[self.pos] == 0xFF and self.data[self.pos + 1] != 0x00:
+                self.marker = self.data[self.pos + 1]
+                break
+            self.pos += 1
+        if self.marker is None or not (0xD0 <= self.marker <= 0xD7):
+            raise ValueError("JPEG restart marker expected and not found")
+        self.pos += 2  # skip FF Dn (self.pos sits on the FF)
+        self.marker = None
+
+
+def _extend(v: int, n: int) -> int:
+    """T.81 EXTEND: map the n-bit magnitude to its signed value."""
+    return v if n == 0 or v >= (1 << (n - 1)) else v - (1 << n) + 1
+
+
+def decode_jpeg(data: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """Decode a baseline sequential JPEG (SOF0, 8-bit, 1 or 3 components,
+    any of 4:4:4 / 4:2:2 / 4:2:0) to (width, height, RGB rows)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qt: dict[int, list[int]] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    scan = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        seg_len = struct.unpack_from(">H", data, pos + 2)[0]
+        body = pos + 4
+        if marker == 0xDB:  # DQT
+            p = body
+            while p < body + seg_len - 2:
+                prec, tid = data[p] >> 4, data[p] & 0x0F
+                p += 1
+                if prec == 0:
+                    zz = list(data[p : p + 64]); p += 64
+                else:
+                    zz = list(struct.unpack_from(">64H", data, p)); p += 128
+                tbl = [0] * 64
+                for i, z in enumerate(_ZIGZAG):
+                    tbl[z] = zz[i]
+                qt[tid] = tbl
+        elif marker == 0xC4:  # DHT
+            p = body
+            while p < body + seg_len - 2:
+                cls, tid = data[p] >> 4, data[p] & 0x0F
+                bits = list(data[p + 1 : p + 17])
+                n = sum(bits)
+                values = list(data[p + 17 : p + 17 + n])
+                (huff_ac if cls else huff_dc)[tid] = _huff_decode_table(bits, values)
+                p += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/SOF1 baseline
+            precision, h, w, nc = data[body], struct.unpack_from(">H", data, body + 1)[0], struct.unpack_from(">H", data, body + 3)[0], data[body + 5]
+            if precision != 8 or nc not in (1, 3):
+                raise ValueError("unsupported JPEG (12-bit or exotic component count)")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = data[body + 6 + 3 * i], data[body + 7 + 3 * i], data[body + 8 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("unsupported JPEG variant (progressive/arithmetic) — inject a full decoder")
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", data, body)[0]
+        elif marker == 0xDA:  # SOS
+            ns = data[body]
+            sel = {}
+            for i in range(ns):
+                cs, td_ta = data[body + 1 + 2 * i], data[body + 2 + 2 * i]
+                sel[cs] = (td_ta >> 4, td_ta & 0x0F)
+            scan = {"sel": sel, "entropy_at": body + 1 + 2 * ns + 3}
+            break  # entropy-coded data follows
+        pos = body + seg_len - 2
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF or SOS")
+
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    w, h = frame["w"], frame["h"]
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = []
+    for c in comps:
+        c["bw"] = mcus_x * c["h"]  # blocks across
+        c["bh"] = mcus_y * c["v"]
+        planes.append([[0] * (c["bw"] * 8) for _ in range(c["bh"] * 8)])
+
+    reader = _BitReader(data, scan["entropy_at"])
+    pred = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                reader.restart()
+                pred = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                td, ta = scan["sel"][c["id"]]
+                dc_tbl, ac_tbl = huff_dc[td], huff_ac[ta]
+                q = qt[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        # DC
+                        t = reader.huff(dc_tbl)
+                        diff = _extend(reader.receive(t), t)
+                        pred[ci] += diff
+                        zz = [0] * 64
+                        zz[0] = pred[ci]
+                        # AC
+                        k = 1
+                        while k < 64:
+                            rs = reader.huff(ac_tbl)
+                            r, ssss = rs >> 4, rs & 0x0F
+                            if ssss == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC run past block end")
+                            zz[k] = _extend(reader.receive(ssss), ssss)
+                            k += 1
+                        coef = [0.0] * 64
+                        for i, z in enumerate(_ZIGZAG):
+                            coef[z] = zz[i] * q[z]
+                        px = _idct_8x8(coef)
+                        plane = planes[ci]
+                        oy = (my * c["v"] + by) * 8
+                        ox = (mx * c["h"] + bx) * 8
+                        for y in range(8):
+                            prow = plane[oy + y]
+                            for x in range(8):
+                                s = int(px[y][x] + 128.5)
+                                prow[ox + x] = 0 if s < 0 else (255 if s > 255 else s)
+            mcu_count += 1
+
+    rows: list[list[tuple[int, int, int]]] = []
+    if len(comps) == 1:
+        plane = planes[0]
+        for y in range(h):
+            rows.append([(g, g, g) for g in plane[y][:w]])
+        return w, h, rows
+    cy, cb, cr = planes
+    ch, cv = comps[1]["h"], comps[1]["v"]  # chroma sampling vs hmax/vmax
+    for y in range(h):
+        row = []
+        yb_cb = cb[y * cv // vmax]
+        yb_cr = cr[y * cv // vmax]
+        yrow = cy[y]
+        for x in range(w):
+            Y = yrow[x]
+            Cb = yb_cb[x * ch // hmax] - 128
+            Cr = yb_cr[x * ch // hmax] - 128
+            r = int(Y + 1.402 * Cr + 0.5)
+            g = int(Y - 0.344136 * Cb - 0.714136 * Cr + 0.5)
+            b = int(Y + 1.772 * Cb + 0.5)
+            row.append(
+                (
+                    0 if r < 0 else (255 if r > 255 else r),
+                    0 if g < 0 else (255 if g > 255 else g),
+                    0 if b < 0 else (255 if b > 255 else b),
+                )
+            )
+        rows.append(row)
+    return w, h, rows
+
+
+def _fdct_8x8(px: list[list[float]]) -> list[float]:
+    """Forward 2D DCT (natural order) of one level-shifted 8x8 block."""
+    out = [0.0] * 64
+    for v in range(8):
+        for u in range(8):
+            s = 0.0
+            for y in range(8):
+                cyv = _IDCT_COS[y][v]
+                prow = px[y]
+                for x in range(8):
+                    s += prow[x] * _IDCT_COS[x][u] * cyv
+            out[v * 8 + u] = s * _C[u] * _C[v] / 4.0
+    return out
+
+
+def _huff_encode_table(bits: list[int], values: list[int]) -> dict[int, tuple[int, int]]:
+    """value -> (code, length) canonical Huffman encode map."""
+    enc, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            enc[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return enc
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> None:
+        if self.n:
+            self.acc = (self.acc << (8 - self.n)) | ((1 << (8 - self.n)) - 1)  # pad with 1s
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.n = 0
+
+
+def _scale_q(base: list[int], quality: int) -> list[int]:
+    """IJG quality scaling of a base table (natural order in, natural out)."""
+    quality = max(1, min(100, quality))
+    scale = 5000 // quality if quality < 50 else 200 - quality * 2
+    return [max(1, min(255, (q * scale + 50) // 100)) for q in base]
+
+
+def encode_jpeg(
+    rows: list[list[tuple[int, int, int]]],
+    quality: int = 85,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode RGB rows as a baseline YCbCr JPEG (Annex K tables scaled by
+    IJG quality). ``subsampling`` is ``"444"`` or ``"420"`` (2x2-mean
+    chroma downsample); ``restart_interval`` > 0 emits a DRI segment and
+    RSTn markers every N MCUs. Minimal but standard-conforming —
+    decodable by any baseline decoder, including ``decode_jpeg`` above."""
+    h = len(rows)
+    w = len(rows[0]) if rows else 0
+    if w == 0 or h == 0:
+        raise ValueError("empty image")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    hs = vs = 2 if subsampling == "420" else 1  # luma sampling factors
+    # _K_*_Q are natural-order; quantize in natural order here, emit the
+    # DQT segment zigzagged (the decoder un-zigzags on parse)
+    ql = _scale_q(list(_K_LUMA_Q), quality)
+    qc = _scale_q(list(_K_CHROMA_Q), quality)
+    enc_tabs = [
+        (_huff_encode_table(*_K_DC_LUMA), _huff_encode_table(*_K_AC_LUMA), ql),
+        (_huff_encode_table(*_K_DC_CHROMA), _huff_encode_table(*_K_AC_CHROMA), qc),
+        (_huff_encode_table(*_K_DC_CHROMA), _huff_encode_table(*_K_AC_CHROMA), qc),
+    ]
+
+    # color convert + pad to the MCU grid (edge replicate)
+    mcu_w, mcu_h = 8 * hs, 8 * vs
+    bw, bh = (w + mcu_w - 1) // mcu_w * mcu_w, (h + mcu_h - 1) // mcu_h * mcu_h
+    yp = [[0.0] * bw for _ in range(bh)]
+    cbf = [[0.0] * bw for _ in range(bh)]
+    crf = [[0.0] * bw for _ in range(bh)]
+    for y in range(bh):
+        src = rows[min(y, h - 1)]
+        for x in range(bw):
+            r, g, b = src[min(x, w - 1)]
+            yp[y][x] = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
+            cbf[y][x] = -0.168736 * r - 0.331264 * g + 0.5 * b
+            crf[y][x] = 0.5 * r - 0.418688 * g - 0.081312 * b
+    if hs == 2:  # 2x2-mean chroma downsample
+        cw, chh = bw // 2, bh // 2
+        cbs = [
+            [(cbf[2 * y][2 * x] + cbf[2 * y][2 * x + 1] + cbf[2 * y + 1][2 * x] + cbf[2 * y + 1][2 * x + 1]) / 4.0 for x in range(cw)]
+            for y in range(chh)
+        ]
+        crs = [
+            [(crf[2 * y][2 * x] + crf[2 * y][2 * x + 1] + crf[2 * y + 1][2 * x] + crf[2 * y + 1][2 * x + 1]) / 4.0 for x in range(cw)]
+            for y in range(chh)
+        ]
+    else:
+        cbs, crs = cbf, crf
+
+    def emit_block(writer, plane, oy, ox, ci, pred):
+        dc_enc, ac_enc, q = enc_tabs[ci]
+        block = [plane[oy + y][ox : ox + 8] for y in range(8)]
+        coef = _fdct_8x8(block)
+        zz = [0] * 64
+        for i, z in enumerate(_ZIGZAG):
+            c = coef[z] / q[z]
+            zz[i] = int(c + 0.5) if c >= 0 else -int(-c + 0.5)
+        diff = zz[0] - pred[ci]
+        pred[ci] = zz[0]
+        mag = diff if diff >= 0 else -diff
+        n = mag.bit_length()
+        code, length = dc_enc[n]
+        writer.write(code, length)
+        if n:
+            writer.write(diff if diff >= 0 else diff + (1 << n) - 1, n)
+        run = 0
+        last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+        for k in range(1, last_nz + 1):
+            if zz[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = ac_enc[0xF0]
+                writer.write(code, length)
+                run -= 16
+            v = zz[k]
+            mag = v if v >= 0 else -v
+            n = mag.bit_length()
+            code, length = ac_enc[(run << 4) | n]
+            writer.write(code, length)
+            writer.write(v if v >= 0 else v + (1 << n) - 1, n)
+            run = 0
+        if last_nz < 63:
+            code, length = ac_enc[0x00]
+            writer.write(code, length)
+
+    writer = _BitWriter()
+    pred = [0, 0, 0]
+    mcu_count = 0
+    rst = 0
+    for my in range(bh // mcu_h):
+        for mx in range(bw // mcu_w):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                writer.flush()
+                writer.out += bytes((0xFF, 0xD0 + rst))
+                rst = (rst + 1) % 8
+                pred = [0, 0, 0]
+            for by in range(vs):
+                for bx in range(hs):
+                    emit_block(writer, yp, (my * vs + by) * 8, (mx * hs + bx) * 8, 0, pred)
+            emit_block(writer, cbs, my * 8, mx * 8, 1, pred)
+            emit_block(writer, crs, my * 8, mx * 8, 2, pred)
+            mcu_count += 1
+    writer.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes((0xFF, marker)) + struct.pack(">H", len(body) + 2) + body
+
+    def dqt(tid: int, tbl: list[int]) -> bytes:
+        return seg(0xDB, bytes([tid]) + bytes(tbl[z] for z in _ZIGZAG))
+
+    def dht(cls: int, tid: int, spec: tuple) -> bytes:
+        bits, values = spec
+        return seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(values))
+
+    sof = seg(
+        0xC0,
+        bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
+        + bytes([1, (hs << 4) | vs, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1]),
+    )
+    dri = seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    return (
+        b"\xff\xd8"
+        + dqt(0, ql) + dqt(1, qc)
+        + dht(0, 0, _K_DC_LUMA) + dht(1, 0, _K_AC_LUMA)
+        + dht(0, 1, _K_DC_CHROMA) + dht(1, 1, _K_AC_CHROMA)
+        + sof + dri + sos + bytes(writer.out) + b"\xff\xd9"
+    )
+
+
+def jpeg_image_decoder(data: bytes) -> tuple[int, int, float]:
+    """(width, height, mean luma) of a baseline JPEG."""
+    width, height, rows = decode_jpeg(data)
+    return width, height, _mean_luma_of(width, height, rows)
+
+
+def jpeg_resizer(data: bytes, max_side: int) -> tuple[bytes, int, int]:
+    """Nearest-neighbor downscale of a baseline JPEG, re-encoded as JPEG."""
+    width, height, rows = decode_jpeg(data)
+    out_rows, out_w, out_h = _resize_rows(rows, width, height, max_side)
+    return encode_jpeg(out_rows), out_w, out_h
+
+
 # Apply the corrupt-payload contract to every public parser entry point:
 # any KeyError/IndexError/struct.error a malformed payload provokes
 # surfaces as ValueError (see _codec_guard).
 decode_bmp = _codec_guard(decode_bmp)
+decode_jpeg = _codec_guard(decode_jpeg)
+jpeg_image_decoder = _codec_guard(jpeg_image_decoder)
+jpeg_resizer = _codec_guard(jpeg_resizer)
 decode_png = _codec_guard(decode_png)
 decode_gif = _codec_guard(decode_gif)
 parse_wav_header = _codec_guard(parse_wav_header)

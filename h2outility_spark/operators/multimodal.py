@@ -11,12 +11,13 @@ Design:
     column batches across the Arrow boundary, never row-at-a-time.
   * Codecs are INJECTABLE; the defaults are real pure-Python decoders for
     the formats stdlib can handle (uncompressed 24-bit BMP, non-interlaced
-    8-bit PNG, 16-bit PCM WAV — ``h2outility_spark.codecs``, sniffed by
-    magic bytes). Formats that need PIL/ffmpeg (JPEG/WebP/MP4), absent in
-    this container, raise NotImplementedError at the decode site with the
-    magic bytes named; swap in a real decoder on a cluster with the libs
-    installed. ``deterministic_fake_decoder`` remains as a reproducible
-    stand-in for plumbing tests.
+    8-bit PNG, GIF first frame, baseline JPEG, 16-bit PCM WAV —
+    ``h2outility_spark.codecs``, sniffed by magic bytes). Formats that
+    need ffmpeg-class libraries (WebP/MP4/MP3), absent in this container,
+    raise NotImplementedError at the decode site with the magic bytes
+    named; swap in a real decoder on a cluster with the libs installed.
+    ``deterministic_fake_decoder`` remains as a reproducible stand-in for
+    plumbing tests.
 
 Scale notes: binary payloads dominate partition size — size partitions by
 bytes (``spark.sql.files.maxPartitionBytes``), never by row count; keep
@@ -75,8 +76,9 @@ def extract_image_features(
 
     ``decode_fn=None`` sniffs the format and uses the built-in pure-Python
     codecs (uncompressed 24-bit BMP; non-interlaced 8-bit PNG via stdlib
-    zlib — codecs.sniff_image_decoder); payloads in formats that need an
-    external codec library raise NotImplementedError at the decode site.
+    zlib; GIF; baseline JPEG — codecs.sniff_image_decoder); payloads in
+    formats that need an external codec library raise NotImplementedError
+    at the decode site.
     """
     if decode_fn is None:
         from h2outility_spark.codecs import sniff_image_decoder
@@ -87,9 +89,9 @@ def extract_image_features(
             except ValueError as e:
                 if "unsupported image format" in str(e):
                     raise NotImplementedError(
-                        f"no built-in decoder for payload starting {b[:4]!r}: BMP and "
-                        "8-bit PNG decode stdlib-only; JPEG/WebP need PIL/turbojpeg "
-                        "(absent in this container) — inject decode_fn"
+                        f"no built-in decoder for payload starting {b[:4]!r}: BMP, "
+                        "8-bit PNG, GIF and baseline JPEG decode stdlib-only; WebP/"
+                        "video need ffmpeg-class libs (absent here) — inject decode_fn"
                     ) from e
                 raise
 
@@ -176,8 +178,9 @@ def resize_images(
             except ValueError as e:
                 if "unsupported image format" in str(e):
                     raise NotImplementedError(
-                        f"no built-in resizer for payload starting {b[:4]!r}: BMP and "
-                        "8-bit PNG resize stdlib-only; inject resize_fn for other formats"
+                        f"no built-in resizer for payload starting {b[:4]!r}: BMP, "
+                        "8-bit PNG, GIF and baseline JPEG resize stdlib-only; inject "
+                        "resize_fn for other formats"
                     ) from e
                 raise
 

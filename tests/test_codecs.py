@@ -616,3 +616,98 @@ def test_png_decompression_bomb_is_bounded():
     assert (w, h) == (2, 2)
     assert rows == [[(0, 0, 0), (0, 0, 0)], [(0, 0, 0), (0, 0, 0)]]
     assert peak < 32 * 1024 * 1024, f"inflate not bounded: peak {peak} bytes"
+
+
+# -- JPEG --------------------------------------------------------------------
+
+
+def test_jpeg_flat_roundtrip_exact():
+    """A flat mid-gray image survives encode->decode EXACTLY: DC-only
+    blocks, zero AC energy, no quantization loss at 128."""
+    from h2outility_spark.codecs import decode_jpeg, encode_jpeg
+
+    rows = [[(128, 128, 128)] * 16 for _ in range(16)]
+    w, h, out = decode_jpeg(encode_jpeg(rows))
+    assert (w, h) == (16, 16)
+    assert out == rows
+
+
+def test_jpeg_gradient_roundtrip_tolerance_and_odd_dims():
+    """Smooth gradients at q90 come back within a few levels, and odd
+    (non-multiple-of-8) dimensions crop correctly after MCU padding."""
+    from h2outility_spark.codecs import decode_jpeg, encode_jpeg
+
+    rows = [[(x * 15, y * 15, (x + y) * 7) for x in range(17)] for y in range(13)]
+    w, h, out = decode_jpeg(encode_jpeg(rows, quality=90))
+    assert (w, h) == (17, 13)
+    err = max(
+        abs(a - b)
+        for r1, r2 in zip(rows, out)
+        for p, q in zip(r1, r2)
+        for a, b in zip(p, q)
+    )
+    assert err <= 8, err
+
+
+def test_jpeg_420_subsampling_and_restart_markers():
+    """4:2:0 chroma subsampling decodes through the upsampling path, and a
+    restart interval of 1 exercises RST resync + DC-predictor reset on
+    every MCU. Luma-only error stays tight (chroma edges legitimately blur
+    under 2x2-mean subsampling)."""
+    from h2outility_spark.codecs import decode_jpeg, encode_jpeg
+
+    # smooth chroma: subsampling loss stays small and in-gamut (sharp
+    # chroma edges legitimately clamp and bleed into luma — that part is
+    # covered structurally below)
+    rows = [[(x * 6, y * 10, 120) for x in range(40)] for y in range(24)]
+    w, h, out = decode_jpeg(encode_jpeg(rows, quality=92, subsampling="420", restart_interval=1))
+    assert (w, h) == (40, 24)
+    err = max(
+        abs(a - b)
+        for r1, r2 in zip(rows, out)
+        for p, q in zip(r1, r2)
+        for a, b in zip(p, q)
+    )
+    assert err <= 12, err
+
+    # adversarial wrapping chroma still decodes (RST resync across 15 MCUs)
+    hard = [
+        [((x * 7) % 256, (y * 5) % 256, (x + 2 * y) % 256) for x in range(40)]
+        for y in range(24)
+    ]
+    w2, h2, out2 = decode_jpeg(
+        encode_jpeg(hard, quality=92, subsampling="420", restart_interval=1)
+    )
+    assert (w2, h2, len(out2)) == (40, 24, 24)
+
+
+def test_jpeg_through_sniff_dhash_and_operator(spark):
+    """JPEG joins the sniffed default codec path: extract_image_features
+    decodes it with no injected decode_fn, and dhash64 of a JPEG matches
+    the dhash of the BMP carrying the same pixels (locality: the hash is
+    robust to the codec's small loss)."""
+    from pyspark.sql import Row
+
+    from h2outility_spark.codecs import dhash64, encode_bmp, encode_jpeg
+    from h2outility_spark.operators.multimodal import extract_image_features
+
+    smooth = [[((x * 28) % 256,) * 3 for x in range(18)]] * 16
+    jpg, bmp = encode_jpeg(smooth, quality=95), encode_bmp(smooth)
+    assert bin(dhash64(jpg) ^ dhash64(bmp)).count("1") <= 3
+
+    assets = spark.createDataFrame([Row(asset_id=1, data=bytearray(jpg))])
+    r = extract_image_features(assets).collect()[0]
+    assert (r["width"], r["height"]) == (18, 16)
+    assert 0.0 < r["mean_luma"] < 1.0
+
+
+def test_jpeg_rejects_progressive_and_truncated():
+    from h2outility_spark.codecs import decode_jpeg, encode_jpeg
+
+    data = bytearray(encode_jpeg([[(0, 0, 0)] * 8] * 8))
+    i = data.find(b"\xff\xc0")
+    data[i + 1] = 0xC2  # rebrand SOF0 as progressive SOF2
+    with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg(bytes(data))
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xdb\x00\x04\x00\x00")  # truncated garbage
