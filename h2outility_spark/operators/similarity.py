@@ -156,6 +156,7 @@ def ivf_assign_multi(
     embeddings: DataFrame,
     centroids: DataFrame,
     m: int = 2,
+    ratio: float | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
@@ -169,11 +170,20 @@ def ivf_assign_multi(
     candidate into its m nearest cells costs m× storage (and ~m× rows per
     probed cell) but recovers exactly those boundary neighbors; measured
     on the structure-poor synthetic corpus it beats single-assignment at
-    EQUAL rows-scanned (RECALL.json: kmeans128 m2/probe6 vs m1/probe13)
-    and is the only configuration reaching recall@10 >= 0.9 below a 10%
-    cell fraction. Real text embeddings cluster far better, so the same
-    recall needs smaller m·probe — spill is the worst-case insurance, not
-    a fixed tax. Same broadcast-centroids narrow-map shape as ivf_assign.
+    EQUAL rows-scanned (RECALL.json: kmeans128 m2/probe6 vs m1/probe13),
+    and 96-cell m=3 is the measured row-efficiency frontier (probe 4 =
+    recall 0.914 at 12.5% rows, the production config). Real text
+    embeddings cluster far better, so the same recall needs smaller
+    m·probe — spill is the worst-case insurance, not a fixed tax.
+
+    ``ratio`` switches ranks 2..m to ADAPTIVE spill: a spill copy is kept
+    only while its angular distance stays within ``ratio``× the nearest
+    cell's (``(1-sim_k) <= ratio*(1-sim_1)``), so the duplication budget
+    concentrates on genuine boundary vectors instead of taxing every row.
+    Measured trade (RECALL.json sweep): adaptive dominates below ~7% rows
+    scanned (0.87 recall at 6.3% rows with m=2/ratio=1.05/probe 3) but
+    saturates near 0.87 as probe grows; above that budget fixed-m wins.
+    Same broadcast-centroids narrow-map shape as ivf_assign.
     """
     from pyspark.sql import Window as W
 
@@ -187,7 +197,13 @@ def ivf_assign_multi(
         id_col, "cell", cosine(F.col("v"), F.col("cv")).alias("sim")
     )
     w = W.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("cell"))
-    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= m).select(id_col, "cell")
+    ranked = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= m)
+    if ratio is not None:
+        best = F.max(F.when(F.col("rk") == 1, F.col("sim"))).over(W.partitionBy(id_col))
+        ranked = ranked.withColumn("best_sim", best).filter(
+            (F.col("rk") == 1) | ((1 - F.col("sim")) <= F.lit(ratio) * (1 - F.col("best_sim")))
+        )
+    return ranked.select(id_col, "cell")
 
 
 def recall_at_k(approx: DataFrame, exact: DataFrame) -> float:

@@ -493,11 +493,15 @@ CHECKED_WINDOW = [
     # -- first-timers: TxTable lakehouse read surface (workload_lakehouse) -
     "txtable_changes",         # row-level change feed (CDF) oracle-checked
     "txtable_snapshot_as_of",  # timestamp time travel oracle-checked
+    "txtable_compact_snapshot",  # OPTIMIZE rewrite invariant oracle-checked
+    "txtable_evolve_schema",   # add-column evolution oracle-checked
+    "txtable_restore",         # forward rollback oracle-checked
     # -- first-timers: real-codec multimodal paths (workload_media) --------
     "image_dhash",             # BMP encode->decode->dhash64, bit-exact oracle
     "image_neardup",           # banded perceptual pairs vs brute-force oracle
     "audio_window_features",   # WAV decode -> windowed RMS/ZCR
     "audio_vad_segments",      # energy VAD islands over real decode
+    "image_features_jpeg",     # baseline-JPEG decode path, exact oracle
     # -- post-fix re-check (driver-red in r4/r5, tokenization rebuilt) -----
     "pack_sequences",
     # -- sentinels: single-round evidence, oldest first --------------------
@@ -521,8 +525,7 @@ CHECKED_WINDOW = [
     "dedup_exact_docs", "corpus_clean", "neardup_minhash_pairs",
     "neardup_embedding_lsh", "embedding_knn", "ivf_search",
     "qc_gaps", "qc_interpolate", "qc_drift",
-    "union_dedup", "series_year_range", "variable_census",
-    "event_time_windows", "rollup_revenue", "text_stats",
+    "union_dedup", "series_year_range",
 ]
 
 

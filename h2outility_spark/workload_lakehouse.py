@@ -100,3 +100,79 @@ def q_txtable_snapshot_as_of(spark, sf_dir):
     time.sleep(0.05)  # strictly separate the cut from the next commit's stamp
     t.merge_upsert(base.filter(F.col("o_orderkey") % 100 >= 97))
     return t.snapshot_as_of(cut).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@query(
+    "txtable_compact_snapshot",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, CAST(TRUE AS BOOLEAN) AS compacted
+    FROM orders WHERE o_orderkey % 100 < 8
+    """,
+    description=(
+        "OPTIMIZE invariant: four small appends, then compact_files rewrites "
+        "them into fewer range-clustered files while the SNAPSHOT stays "
+        "row-identical (the oracle states the union of the appends); the "
+        "compacted flag carries the measured file-count drop into the hash"
+    ),
+)
+def q_txtable_compact_snapshot(spark, sf_dir):
+    base = _orders_base(spark, sf_dir).filter(F.col("o_orderkey") % 100 < 8)
+    t = TxTable(spark, tempfile.mkdtemp(prefix="h2ou_txcompact_"), key_cols=["o_orderkey"])
+    for k in range(4):
+        t.append(base.filter(F.col("o_orderkey") % 4 == k))
+    n_before = len(t.files())
+    t.compact_files(target_rows=10_000_000, small_rows=10_000_000)
+    n_after = len(t.files())
+    return t.snapshot().select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.lit(bool(n_after < n_before)).alias("compacted"),
+    )
+
+
+@query(
+    "txtable_evolve_schema",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_band
+    FROM orders WHERE o_orderkey % 100 < 5
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'late' AS o_band
+    FROM orders WHERE o_orderkey % 100 = 5
+    """,
+    description=(
+        "ADD-COLUMN schema evolution: a merge with evolve_schema=True appends a "
+        "new column to the table schema; carried-over files are never rewritten "
+        "and surface the new column as NULL, which the oracle states exactly"
+    ),
+)
+def q_txtable_evolve_schema(spark, sf_dir):
+    base = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    t = TxTable(spark, tempfile.mkdtemp(prefix="h2ou_txevolve_"), key_cols=["o_orderkey"])
+    t.append(base.filter(F.col("o_orderkey") % 100 < 5))
+    late = base.filter(F.col("o_orderkey") % 100 == 5).withColumn("o_band", F.lit("late"))
+    t.merge_upsert(late, evolve_schema=True)
+    return t.snapshot().select("o_orderkey", "o_totalprice", "o_band")
+
+
+@query(
+    "txtable_restore",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_orderkey % 100 < 4
+    """,
+    description=(
+        "Forward rollback: after a merge mutates the table, restore(v1) commits "
+        "a NEW version carrying v1's file list — the snapshot is exactly the "
+        "pre-merge state (stated by the oracle) and history stays append-only"
+    ),
+)
+def q_txtable_restore(spark, sf_dir):
+    base = _orders_base(spark, sf_dir)
+    t = TxTable(spark, tempfile.mkdtemp(prefix="h2ou_txrestore_"), key_cols=["o_orderkey"])
+    v1 = t.append(base.filter(F.col("o_orderkey") % 100 < 4))
+    t.merge_upsert(
+        base.filter(F.col("o_orderkey") % 100 < 2).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 5
+        )
+    )
+    t.restore(v1)
+    return t.snapshot().select("o_orderkey", "o_custkey", "o_totalprice")

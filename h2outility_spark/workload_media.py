@@ -251,3 +251,50 @@ def q_audio_vad_segments(spark, sf_dir):
     return multimodal.audio_activity_segments(
         _wav_assets(spark, sf_dir), rms_threshold=0.05, window_ms=100
     )
+
+
+# ---------------------------------------------------------------------------
+# JPEG path: flat-color fixtures whose gray levels are chosen so baseline
+# JPEG quantization is EXACT (8*(v-128) divisible by the scaled DC quantum),
+# making the lossy codec's output SQL-stateable
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "image_features_jpeg",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(16 + (doc_id % 3) * 8 AS INT) AS width,
+           CAST(8 + (doc_id % 5) * 8 AS INT) AS height,
+           round(CAST(128 + 5 * ((doc_id % 20) - 10) AS DOUBLE) / 255, 6) AS mean_luma
+    FROM documents WHERE doc_id < 160
+    """,
+    description=(
+        "Image feature extraction through the REAL baseline-JPEG encode->decode "
+        "path (flat fixtures at quantization-exact gray levels, multi-MCU sizes); "
+        "a green row certifies marker parse, Huffman entropy decode, IDCT and "
+        "color conversion end to end"
+    ),
+)
+def q_image_features_jpeg(spark, sf_dir):
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("asset_id"))
+        .filter(F.col("asset_id") < 160)
+    )
+
+    def batches(it):
+        from h2outility_spark.codecs import encode_jpeg
+
+        for pdf in it:
+            payloads = []
+            for aid in pdf["asset_id"]:
+                a = int(aid)
+                v = 128 + 5 * ((a % 20) - 10)
+                w, h = 16 + (a % 3) * 8, 8 + (a % 5) * 8
+                payloads.append(encode_jpeg([[(v, v, v)] * w for _ in range(h)]))
+            yield pd.DataFrame({"asset_id": pdf["asset_id"], "data": payloads})
+
+    assets = ids.mapInPandas(batches, "asset_id long, data binary")
+    feats = multimodal.extract_image_features(assets)
+    return feats.select("asset_id", "width", "height", "mean_luma")

@@ -66,9 +66,19 @@ def main() -> None:
     configs = []
     for kcells, iters, m, probes in (
         (64, 5, 1, (8, 16)),        # round-3 production baseline (continuity)
-        (128, 5, 1, (8, 13)),       # finer cells, single assignment
-        (128, 5, 2, (6, 12)),       # spill m=2 — production config is probe 12
-        (128, 5, 3, (4, 8)),        # spill m=3 frontier
+        (128, 5, 2, (6, 12)),       # round-4 production (m=2 spill, probe 12)
+        # Round-6 row-economics search (26 configs swept across cells
+        # {48..256} x fixed-spill m {1..5} x adaptive-ratio spill x probe):
+        # 96 cells / m=3 is the measured row-efficiency frontier. probe 3
+        # = 0.898 recall at 9.4% rows (the <=10%-rows frontier point, one
+        # neighbor in 500 short of 0.9); probe 4 = 0.914 at 12.5% rows,
+        # the new production pick (recall >= 0.9 at 33% fewer rows than
+        # round 4's 0.932 @ 18.75%). Adaptive distance-ratio spill
+        # (ivf_assign_multi(ratio=...)) dominates BELOW ~7% rows (e.g.
+        # 0.87 @ 6.3% with m=2+ratio 1.05) but saturates ~0.87 as probe
+        # grows — boundary vectors alone can't recover far-cell
+        # neighbors on this structure-free corpus; fixed m wins above.
+        (96, 10, 3, (3, 4)),        # round-6 frontier + production
     ):
         cent = kmeans(emb, k=kcells, max_iter=iters).withColumnRenamed("cluster", "label")
         assign = (
@@ -161,8 +171,18 @@ def main() -> None:
     out["rp_lsh_pair_recall_cos045"] = round(sim.pair_recall(cand, truth), 4)
     out["n_true_pairs_cos045"] = n_truth
 
-    production = max(
+    # Production pick: of the configs clearing recall 0.9 within 10% of
+    # cells, take the CHEAPEST by row fraction (rows scanned is the honest
+    # IO dial; cell_frac alone flatters spill configs).
+    production = min(
         (c for c in configs if c["recall_at_10"] >= 0.9 and c["cell_frac"] <= 0.10),
+        key=lambda c: (c["row_frac"], -c["recall_at_10"]),
+        default=None,
+    )
+    # The measured <=10%-rows frontier (best recall at row_frac <= 0.10),
+    # recorded separately so the row-economics story stays auditable.
+    frontier = max(
+        (c for c in configs if c["row_frac"] <= 0.10),
         key=lambda c: c["recall_at_10"],
         default=None,
     )
@@ -174,6 +194,7 @@ def main() -> None:
         "values": out,
         "ivf_configs": configs,
         "ivf_production": production,
+        "ivf_frontier_10pct_rows": frontier,
         "pq_configs": pq_configs,
         "pq_production": pq_production,
         "wall_sec": round(time.time() - t0, 1),

@@ -2,16 +2,20 @@
 the production configuration must reach recall@10 >= 0.9 within a 10%
 cell-probe fraction, and the LSH prefilter must not lose true pairs.
 
-Measured at sf0.1 (scripts/ann_recall.py -> RECALL.json). The round-4
-production config is kmeans-128 cells with SPILL assignment (each vector
-in its m=2 nearest cells, ivf_assign_multi) probing 12 cells: recall@10
-~0.93 at 9.4% of cells (~19% of rows — spill doubles stored assignments;
-RECALL.json records both fractions). Spill beats single-assignment at
-equal rows-scanned because boundary neighbors are the dominant IVF
-failure mode on this weakly-clustered synthetic corpus (real text
-embeddings cluster far better and need smaller m*probe for the same
-recall). Everything here is deterministic (fixed-seed k-means, exact
-brute force), so thresholds are stable, not flaky.
+Measured at sf0.1 (scripts/ann_recall.py -> RECALL.json). The round-6
+production config is kmeans-96 cells with m=3 SPILL assignment
+(ivf_assign_multi) probing 4 cells: recall@10 0.914 at 4.2% of cells and
+12.5% of rows — recall >= 0.9 at 33% fewer rows than round 4's pick
+(0.932 @ 18.75% rows). The measured <=10%-rows frontier is the same
+shape at probe 3: 0.898 @ 9.4% rows (one neighbor in 500 short of 0.9 —
+the 26-config round-6 sweep found nothing better under that budget on
+this structure-free corpus; adaptive ratio-spill dominates below ~7%
+rows but saturates ~0.87). Spill beats single-assignment at equal
+rows-scanned because boundary neighbors are the dominant IVF failure
+mode on weakly-clustered corpora (real text embeddings cluster far
+better and need smaller m*probe for the same recall). Everything here is
+deterministic (fixed-seed k-means, exact brute force), so thresholds are
+stable, not flaky.
 """
 
 from __future__ import annotations
@@ -37,8 +41,9 @@ def emb(spark):
 
 def test_recall_artifact_meets_probe_economics():
     """RECALL.json (scripts/ann_recall.py output at sf0.1) must contain a
-    production IVF config with recall@10 >= 0.9 probing <= 10% of cells,
-    and record its true row fraction explicitly."""
+    production IVF config with recall@10 >= 0.9 probing <= 10% of cells
+    AND scanning <= 13% of rows (the round-6 economics bar: round 4's
+    pick scanned 18.75%), plus the measured <=10%-rows frontier point."""
     import json
     import os
 
@@ -49,7 +54,10 @@ def test_recall_artifact_meets_probe_economics():
     assert prod is not None, "no IVF config met recall>=0.9 at <=10% cells"
     assert prod["recall_at_10"] >= 0.9
     assert prod["cell_frac"] <= 0.10
-    assert "row_frac" in prod  # the honest IO dial must be recorded
+    assert prod["row_frac"] <= 0.13  # the honest IO dial, tightened in r6
+    frontier = rec["ivf_frontier_10pct_rows"]
+    assert frontier is not None and frontier["row_frac"] <= 0.10
+    assert frontier["recall_at_10"] >= 0.89  # measured 0.898 @ 9.4% rows
 
 
 def test_rp_lsh_prefilter_recall_is_total(spark, emb):
@@ -174,3 +182,23 @@ def test_pq_kmeans_recall_beats_label_codebooks(spark, emb):
     exact.unpersist()
     assert km_r > label_r
     assert km_r >= 0.6
+
+
+def test_ivf_adaptive_ratio_spill_is_a_subset_concentrated_on_boundaries(spark, emb):
+    """ratio-spill keeps rank-1 for every vector, keeps spill copies only
+    within the distance-ratio band (a strict subset of fixed-m spill),
+    and so lands between 1x and mx assignments — the budget goes to
+    boundary vectors instead of taxing every row."""
+    cent = kmeans(emb, k=16, max_iter=3).withColumnRenamed("cluster", "label")
+    n = emb.count()
+    fixed = sim.ivf_assign_multi(emb, cent, m=3).cache()
+    adaptive = sim.ivf_assign_multi(emb, cent, m=3, ratio=1.05).cache()
+    n_fixed, n_adaptive = fixed.count(), adaptive.count()
+    assert n_fixed == 3 * n
+    assert n <= n_adaptive < n_fixed
+    # subset: every adaptive (vec, cell) is one of the fixed-m assignments
+    assert adaptive.join(fixed, ["vec_id", "cell"], "left_anti").count() == 0
+    # rank-1 coverage: every vector keeps at least one cell
+    assert adaptive.select("vec_id").distinct().count() == n
+    fixed.unpersist()
+    adaptive.unpersist()
