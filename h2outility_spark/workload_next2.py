@@ -1,0 +1,156 @@
+"""Round-7 registry staging area (same mechanism as round 4's
+``workload_next``): fully-formed (PySpark fn, DuckDB oracle) pairs that
+cannot enter the registry yet — every round-6 CHECKED_WINDOW slot is
+occupied by a first-timer earning its driver row, and
+``tests/test_checked_window.py`` (correctly) refuses new queries outside
+the window. Deliberately NOT decorated with ``@query``; the round-7
+rotation wraps them.
+
+Each pair is parity-tested in ``tests/test_workload_next.py`` (STAGED2)
+under the driver's comparison discipline at sf0.001 AND sf0.01, so
+promotion is a decorator change, not new verification work.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from h2outility_spark.operators import multimodal
+from h2outility_spark.sources.parquet import load_table
+
+# -- image resize through the real codec -------------------------------------
+
+#: 24x16 gray BMPs resized to max_side 16 -> 16x10 (nearest neighbor,
+#: integer source-index arithmetic mirrored exactly in SQL). The mean
+#: luma of the RESIZED image is the mean of the sampled source pixels —
+#: g(id, x, y) = (id*29 + x*5 + y*11) % 241, R=G=B so luma = g/255.
+_RESIZE_W, _RESIZE_H, _RESIZE_SIDE = 24, 16, 16  # -> out 16x10
+
+RESIZE_FEATURES_ORACLE = """
+WITH ids AS (SELECT doc_id AS asset_id FROM documents WHERE doc_id < 128),
+-- nearest-neighbor source indices for the 16x10 output: src = min(in-1, out_idx*in//out)
+px AS (
+  SELECT i.asset_id, r.r AS oy, c.c AS ox,
+         (i.asset_id * 29 + least(23, c.c * 24 // 16) * 5 + least(15, r.r * 16 // 10) * 11) % 241 AS g
+  FROM ids i, generate_series(0, 9) r(r), generate_series(0, 15) c(c)
+)
+SELECT asset_id,
+       CAST(16 AS INT) AS width,
+       CAST(10 AS INT) AS height,
+       round(sum(CAST(g AS DOUBLE) / 255) / 160, 6) AS mean_luma
+FROM px GROUP BY asset_id
+"""
+
+
+def q_image_resize_features(spark, sf_dir):
+    """Resize real BMPs through the stdlib nearest-neighbor codec, then
+    decode the RESIZED payloads and hash-check their dims + mean luma —
+    certifies the full resize round trip (decode -> downsample -> encode
+    -> decode) against pure index arithmetic."""
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("asset_id"))
+        .filter(F.col("asset_id") < 128)
+    )
+
+    def batches(it):
+        from h2outility_spark.codecs import encode_bmp
+
+        for pdf in it:
+            payloads = []
+            for aid in pdf["asset_id"]:
+                a = int(aid)
+                rows = [
+                    [((a * 29 + x * 5 + y * 11) % 241,) * 3 for x in range(_RESIZE_W)]
+                    for y in range(_RESIZE_H)
+                ]
+                payloads.append(encode_bmp(rows))
+            yield pd.DataFrame({"asset_id": pdf["asset_id"], "data": payloads})
+
+    assets = ids.mapInPandas(batches, "asset_id long, data binary")
+    resized = multimodal.resize_images(assets, max_side=_RESIZE_SIDE)
+    feats = multimodal.extract_image_features(resized)
+    return feats.select("asset_id", "width", "height", "mean_luma")
+
+
+# -- BPE-ish token histogram --------------------------------------------------
+
+#: Engine-proof BPE-ish class: alpha runs, digit runs, single other
+#: non-space marks — with the whitespace class spelled out (never \s).
+BPE_EXPLICIT_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r\\f\\x0B]"
+
+BPE_TOKEN_HIST_ORACLE = """
+WITH tok AS (
+  SELECT source,
+         CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r\\f\\x0B]')) AS BIGINT)
+           AS n_bpe
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
+       CAST(min(n_bpe) AS BIGINT) AS min_bpe,
+       CAST(max(n_bpe) AS BIGINT) AS max_bpe
+FROM tok GROUP BY source
+"""
+
+
+def q_bpe_token_hist(spark, sf_dir):
+    """Per-source BPE-ish token inventory (alpha runs + digit runs +
+    single punctuation marks): the sub-word-flavored budget estimate that
+    tracks real tokenizer counts far better than whitespace words. The
+    token class spells its whitespace out so Java regex and RE2 agree
+    character for character."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_EXPLICIT_PATTERN), 0)).cast(
+        "bigint"
+    )
+    return (
+        docs.select("source", n_bpe.alias("n_bpe"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bpe").alias("total_bpe_tokens"),
+            F.min("n_bpe").alias("min_bpe"),
+            F.max("n_bpe").alias("max_bpe"),
+        )
+    )
+
+
+# -- TxTable clone independence ----------------------------------------------
+
+TXTABLE_CLONE_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders WHERE o_orderkey % 100 < 6
+"""
+
+
+def q_txtable_clone(spark, sf_dir):
+    """Clone independence: hard-link clone a table, then MUTATE the
+    source — the clone's snapshot must still be the exact pre-mutation
+    content (the experiment-branch guarantee), which the oracle states
+    over orders."""
+    import tempfile
+
+    from h2outility_spark.storage_tx import TxTable
+    from h2outility_spark.workload import _t
+
+    base = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    src = TxTable(spark, tempfile.mkdtemp(prefix="h2ou_txclonesrc_"), key_cols=["o_orderkey"])
+    src.append(base.filter(F.col("o_orderkey") % 100 < 6))
+    clone = src.clone(tempfile.mkdtemp(prefix="h2ou_txclonedst_") + "/t")
+    src.merge_upsert(
+        base.filter(F.col("o_orderkey") % 100 < 3).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 7
+        )
+    )
+    return clone.snapshot().select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+#: name -> (fn, oracle) for the round-7 promotion pass and the parity test.
+STAGED2 = {
+    "image_resize_features": (q_image_resize_features, RESIZE_FEATURES_ORACLE),
+    "bpe_token_hist": (q_bpe_token_hist, BPE_TOKEN_HIST_ORACLE),
+    "txtable_clone": (q_txtable_clone, TXTABLE_CLONE_ORACLE),
+}

@@ -41,6 +41,15 @@ BUDGETS = {
     "segment_dedup_docs": (2, 0),  # hash-window + reassembly groupBy
     "pq_codes": (3, 1),
     "corpus_clean": (4, 2),
+    # round-6 media paths: the codec runs inside mapInPandas, so the
+    # binary column NEVER enters an exchange — features are narrow maps,
+    # only the downstream regroup (VAD islands window, dhash band join)
+    # may shuffle
+    "image_dhash": (0, 0),
+    "audio_window_features": (0, 0),
+    "image_features_jpeg": (0, 0),
+    "audio_vad_segments": (1, 0),   # one window shuffle keyed by asset
+    "image_neardup": (1, 1),        # band-key self-join: 1 shuffle + 1 broadcast
 }
 
 

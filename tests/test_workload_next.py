@@ -1,7 +1,9 @@
-"""Round-5 staged queries (workload_next.STAGED): parity against their
-DuckDB oracles under the driver's comparison discipline, at sf0.001 AND
-the driver's sf0.01 — promotion to the registry is then a decorator
-change, not new verification."""
+"""Staged queries: parity against their DuckDB oracles under the
+driver's comparison discipline, at sf0.001 AND the driver's sf0.01 —
+promotion to the registry is then a decorator change, not new
+verification. STAGED (round-4 pairs, registered in the round-6 rotation)
+keeps pinning the promoted queries' sf0.01 behavior; STAGED2 holds the
+round-7 candidates, which are NOT yet registered."""
 
 from __future__ import annotations
 
@@ -12,6 +14,7 @@ import pytest
 
 from h2outility_spark.sources.parquet import TABLES
 from h2outility_spark.workload_next import STAGED
+from h2outility_spark.workload_next2 import STAGED2
 
 from tests.conftest import SF_DIR, SF_DIR_MED
 
@@ -48,3 +51,21 @@ def test_staged_query_matches_oracle(spark, name, sf_dir):
     assert s_cols == o_cols, f"{name}: column mismatch {s_cols} vs {o_cols}"
     assert len(s_rows) == len(o_rows), f"{name}: row count {len(s_rows)} vs {len(o_rows)}"
     assert s_rows == o_rows, f"{name}: value mismatch (first diff: "
+
+
+@pytest.mark.parametrize("sf_dir", [SF_DIR, SF_DIR_MED])
+@pytest.mark.parametrize("name", sorted(STAGED2))
+def test_staged2_query_matches_oracle(spark, name, sf_dir):
+    fn, oracle = STAGED2[name]
+    sdf = fn(spark, sf_dir)
+    s_cols, s_rows = _normalize([tuple(r) for r in sdf.collect()], sdf.columns)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    res = con.sql(oracle)
+    o_cols, o_rows = _normalize(res.fetchall(), [d[0] for d in res.description])
+
+    assert s_cols == o_cols, f"{name}: column mismatch {s_cols} vs {o_cols}"
+    assert len(s_rows) == len(o_rows), f"{name}: row count {len(s_rows)} vs {len(o_rows)}"
+    assert s_rows == o_rows, f"{name}: value mismatch"
