@@ -614,9 +614,10 @@ def _huff_decode_table(bits: list[int], values: list[int]) -> dict:
     return table
 
 
+import math as _math
+
 _IDCT_COS = [
-    [__import__("math").cos((2 * x + 1) * u * __import__("math").pi / 16) for u in range(8)]
-    for x in range(8)
+    [_math.cos((2 * x + 1) * u * _math.pi / 16) for u in range(8)] for x in range(8)
 ]
 _C = [0.7071067811865476] + [1.0] * 7  # 1/sqrt(2) for u == 0
 
@@ -955,11 +956,9 @@ def encode_jpeg(
     # DQT segment zigzagged (the decoder un-zigzags on parse)
     ql = _scale_q(list(_K_LUMA_Q), quality)
     qc = _scale_q(list(_K_CHROMA_Q), quality)
-    enc_tabs = [
-        (_huff_encode_table(*_K_DC_LUMA), _huff_encode_table(*_K_AC_LUMA), ql),
-        (_huff_encode_table(*_K_DC_CHROMA), _huff_encode_table(*_K_AC_CHROMA), qc),
-        (_huff_encode_table(*_K_DC_CHROMA), _huff_encode_table(*_K_AC_CHROMA), qc),
-    ]
+    luma_tabs = (_huff_encode_table(*_K_DC_LUMA), _huff_encode_table(*_K_AC_LUMA), ql)
+    chroma_tabs = (_huff_encode_table(*_K_DC_CHROMA), _huff_encode_table(*_K_AC_CHROMA), qc)
+    enc_tabs = [luma_tabs, chroma_tabs, chroma_tabs]
 
     # color convert + pad to the MCU grid (edge replicate)
     mcu_w, mcu_h = 8 * hs, 8 * vs

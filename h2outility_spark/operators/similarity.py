@@ -170,7 +170,9 @@ def ivf_assign_multi(
     candidate into its m nearest cells costs m× storage (and ~m× rows per
     probed cell) but recovers exactly those boundary neighbors; measured
     on the structure-poor synthetic corpus it beats single-assignment at
-    EQUAL rows-scanned (RECALL.json: kmeans128 m2/probe6 vs m1/probe13),
+    EQUAL rows-scanned (RECALL.json: kmeans128 m2/probe6 = 0.86 at 9.4%
+    rows vs the single-assignment m1 curve; also proven directly by
+    tests/test_ann_recall.py's same-probe-budget comparison),
     and 96-cell m=3 is the measured row-efficiency frontier (probe 4 =
     recall 0.914 at 12.5% rows, the production config). Real text
     embeddings cluster far better, so the same recall needs smaller

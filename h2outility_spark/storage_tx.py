@@ -543,6 +543,13 @@ class TxTable:
             *[F.max(k).alias(f"hi_{k}") for k in self.key_cols],
         ).collect()[0]
         if row["n_updates"] == 0:
+            if schema_ddl != m["schema"]:
+                # Zero rows but a REAL schema change (evolve_schema added
+                # columns): commit the evolution as a metadata-only version
+                # carrying the parent's segments — the standard way to
+                # evolve a table with an empty mergeSchema batch. Conflicts
+                # surface to the caller like any other merge conflict.
+                return self._commit(self._segments_of(m), schema_ddl, "merge", m["version"])
             # No-op merge: publishing a version that changes nothing would
             # churn history on every empty streaming micro-batch (and make
             # vacuum/time-travel bookkeeping noisier). The current version

@@ -477,10 +477,10 @@ CHECKED_WINDOW = [
     # -- ROUND-6 ROTATION ---------------------------------------------------
     # All 50 round-4/5 occupants now hold r4+r5 green rows (save
     # pack_sequences, which stays below for its post-fix re-check), so the
-    # window turns over: 16 slots go to FIRST-TIMERS (the five promoted
-    # workload_next pairs + the new lakehouse/media queries, which must
-    # start life inside the window per test_checked_window), and the other
-    # 34 go to sentinels chosen for the STALEST prior evidence — every
+    # window turns over: 15 slots go to FIRST-TIMERS (the five promoted
+    # workload_next pairs + the five lakehouse and five media queries,
+    # which must start life inside the window per test_checked_window),
+    # and the other 34 go to sentinels chosen for the STALEST prior evidence — every
     # r1-/r2-/r3-only query gets a fresh row this round, topped up with the
     # §2 family flagships. Everything outside the window stays
     # oracle-checked every run by tests/test_oracle_parity + driver_sim.

@@ -23,6 +23,8 @@ not O(table) — which is exactly what the 100 TB shape needs.
 
 from __future__ import annotations
 
+import atexit
+import shutil
 import tempfile
 import time
 
@@ -30,6 +32,17 @@ from pyspark.sql import functions as F
 
 from h2outility_spark.storage_tx import TxTable
 from h2outility_spark.workload import _t, query
+
+
+def scratch_dir(prefix: str) -> str:
+    """Temp dir for a fixture table, reclaimed at interpreter exit. The
+    returned DataFrames read the table's parquet LAZILY (the driver
+    collects after the query fn returns), so the dir cannot be deleted
+    inside the query — atexit is the earliest safe point, and it keeps
+    repeated driver/test runs from accumulating fixture tables in /tmp."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
 
 
 def _orders_base(spark, sf_dir):
@@ -60,7 +73,7 @@ def _orders_base(spark, sf_dir):
 )
 def q_txtable_changes(spark, sf_dir):
     base = _orders_base(spark, sf_dir)
-    t = TxTable(spark, tempfile.mkdtemp(prefix="h2ou_txchanges_"), key_cols=["o_orderkey"])
+    t = TxTable(spark, scratch_dir("h2ou_txchanges_"), key_cols=["o_orderkey"])
     v1 = t.append(base.filter(F.col("o_orderkey") % 100 < 10))
     updates = base.filter(F.col("o_orderkey") % 100 < 2).withColumn(
         "o_totalprice", F.col("o_totalprice") * 2
@@ -89,7 +102,7 @@ def q_txtable_changes(spark, sf_dir):
 )
 def q_txtable_snapshot_as_of(spark, sf_dir):
     base = _orders_base(spark, sf_dir)
-    t = TxTable(spark, tempfile.mkdtemp(prefix="h2ou_txasof_"), key_cols=["o_orderkey"])
+    t = TxTable(spark, scratch_dir("h2ou_txasof_"), key_cols=["o_orderkey"])
     t.append(base.filter(F.col("o_orderkey") % 100 < 3))
     t.merge_upsert(
         base.filter(F.col("o_orderkey") % 100 < 1).withColumn(
@@ -117,7 +130,7 @@ def q_txtable_snapshot_as_of(spark, sf_dir):
 )
 def q_txtable_compact_snapshot(spark, sf_dir):
     base = _orders_base(spark, sf_dir).filter(F.col("o_orderkey") % 100 < 8)
-    t = TxTable(spark, tempfile.mkdtemp(prefix="h2ou_txcompact_"), key_cols=["o_orderkey"])
+    t = TxTable(spark, scratch_dir("h2ou_txcompact_"), key_cols=["o_orderkey"])
     for k in range(4):
         t.append(base.filter(F.col("o_orderkey") % 4 == k))
     n_before = len(t.files())
@@ -146,7 +159,7 @@ def q_txtable_compact_snapshot(spark, sf_dir):
 )
 def q_txtable_evolve_schema(spark, sf_dir):
     base = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    t = TxTable(spark, tempfile.mkdtemp(prefix="h2ou_txevolve_"), key_cols=["o_orderkey"])
+    t = TxTable(spark, scratch_dir("h2ou_txevolve_"), key_cols=["o_orderkey"])
     t.append(base.filter(F.col("o_orderkey") % 100 < 5))
     late = base.filter(F.col("o_orderkey") % 100 == 5).withColumn("o_band", F.lit("late"))
     t.merge_upsert(late, evolve_schema=True)
@@ -167,7 +180,7 @@ def q_txtable_evolve_schema(spark, sf_dir):
 )
 def q_txtable_restore(spark, sf_dir):
     base = _orders_base(spark, sf_dir)
-    t = TxTable(spark, tempfile.mkdtemp(prefix="h2ou_txrestore_"), key_cols=["o_orderkey"])
+    t = TxTable(spark, scratch_dir("h2ou_txrestore_"), key_cols=["o_orderkey"])
     v1 = t.append(base.filter(F.col("o_orderkey") % 100 < 4))
     t.merge_upsert(
         base.filter(F.col("o_orderkey") % 100 < 2).withColumn(

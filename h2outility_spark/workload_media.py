@@ -44,20 +44,25 @@ def _gray_grouped(aid: int, x: int, y: int) -> int:
     return g
 
 
-def _bmp_assets(ids_df, gray_fn):
-    """(asset_id) -> (asset_id, data) with a real 24-bit BMP payload whose
+def _bmp_assets(ids_df, gray_fn, mixed_formats: bool = False):
+    """(asset_id) -> (asset_id, data) with a real image payload whose
     pixel (x, y) is the gray level ``gray_fn(asset_id, x, y)`` (R=G=B, so
-    luma == g/255 and luma comparisons == integer comparisons)."""
+    luma == g/255 and luma comparisons == integer comparisons).
+    ``mixed_formats=True`` alternates the CONTAINER per asset (even ids
+    BMP, odd ids PNG) while keeping the pixels identical — downstream
+    hashes must not change, which is exactly the format-independence
+    claim dhash64 makes."""
 
     def batches(it):
-        from h2outility_spark.codecs import encode_bmp
+        from h2outility_spark.codecs import encode_bmp, encode_png
 
         for pdf in it:
             payloads = []
             for aid in pdf["asset_id"]:
                 a = int(aid)
                 rows = [[(gray_fn(a, x, y),) * 3 for x in range(9)] for y in range(8)]
-                payloads.append(encode_bmp(rows))
+                enc = encode_png if (mixed_formats and a % 2 == 1) else encode_bmp
+                payloads.append(enc(rows))
             yield pd.DataFrame({"asset_id": pdf["asset_id"], "data": payloads})
 
     return ids_df.mapInPandas(batches, "asset_id long, data binary")
@@ -103,9 +108,10 @@ _GROUPED_GRAY_SQL = (
     )
     + "SELECT asset_id, dhash FROM hashes",
     description=(
-        "64-bit perceptual difference hash per image through the REAL BMP "
-        "encode->decode->dhash path (9x8 gray fixtures; oracle recomputes every "
-        "hash bit arithmetically) — certifies the whole binary codec pipeline"
+        "64-bit perceptual difference hash per image through the REAL codec "
+        "path, MIXED CONTAINERS (even ids BMP, odd ids PNG, identical pixels; "
+        "9x8 gray fixtures): the single arithmetic oracle proves both decoders "
+        "AND dhash64's format-independence claim in one hash"
     ),
 )
 def q_image_dhash(spark, sf_dir):
@@ -114,7 +120,7 @@ def q_image_dhash(spark, sf_dir):
         .select(F.col("doc_id").alias("asset_id"))
         .filter(F.col("asset_id") < 192)
     )
-    return multimodal.image_dhash(_bmp_assets(ids, _gray_plain))
+    return multimodal.image_dhash(_bmp_assets(ids, _gray_plain, mixed_formats=True))
 
 
 @query(

@@ -131,15 +131,14 @@ def q_txtable_clone(spark, sf_dir):
     source — the clone's snapshot must still be the exact pre-mutation
     content (the experiment-branch guarantee), which the oracle states
     over orders."""
-    import tempfile
-
     from h2outility_spark.storage_tx import TxTable
     from h2outility_spark.workload import _t
+    from h2outility_spark.workload_lakehouse import scratch_dir
 
     base = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
-    src = TxTable(spark, tempfile.mkdtemp(prefix="h2ou_txclonesrc_"), key_cols=["o_orderkey"])
+    src = TxTable(spark, scratch_dir("h2ou_txclonesrc_"), key_cols=["o_orderkey"])
     src.append(base.filter(F.col("o_orderkey") % 100 < 6))
-    clone = src.clone(tempfile.mkdtemp(prefix="h2ou_txclonedst_") + "/t")
+    clone = src.clone(scratch_dir("h2ou_txclonedst_") + "/t")
     src.merge_upsert(
         base.filter(F.col("o_orderkey") % 100 < 3).withColumn(
             "o_totalprice", F.col("o_totalprice") * 7

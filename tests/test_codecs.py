@@ -711,3 +711,17 @@ def test_jpeg_rejects_progressive_and_truncated():
         decode_jpeg(bytes(data))
     with pytest.raises(ValueError):
         decode_jpeg(b"\xff\xd8\xff\xdb\x00\x04\x00\x00")  # truncated garbage
+
+
+def test_jpeg_resizer_through_sniff_path():
+    """sniff_image_resizer routes JPEG payloads through decode -> shared
+    nearest-neighbor downscale -> JPEG re-encode; the output is itself a
+    decodable baseline JPEG at the bounded dimensions."""
+    from h2outility_spark.codecs import decode_jpeg, encode_jpeg, sniff_image_resizer
+
+    rows = [[(x * 6, y * 10, 120) for x in range(40)] for y in range(24)]
+    out_bytes, out_w, out_h = sniff_image_resizer(encode_jpeg(rows, quality=92), 16)
+    assert (out_w, out_h) == (16, 9)  # bounding-box scale 16/40
+    assert out_bytes[:2] == b"\xff\xd8"  # stayed JPEG
+    w, h, decoded = decode_jpeg(out_bytes)
+    assert (w, h) == (16, 9)

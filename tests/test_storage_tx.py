@@ -676,3 +676,19 @@ def test_empty_merge_is_a_noop_version(spark, table):
     assert table.latest_version() == v1
     assert [m["op"] for m in table.history()] == ["append"]
     assert rows_of(table.snapshot()) == [(1, "a"), (2, "b")]
+
+
+def test_empty_merge_with_schema_evolution_still_evolves(spark, table):
+    """Review regression on the no-op short-circuit: a ZERO-row merge with
+    evolve_schema=True carrying a new column is a real metadata change —
+    the schema must evolve (old rows null-filled) even though no rows
+    moved."""
+    v1 = table.append(kv(spark, [(1, "a")]))
+    empty_evolved = spark.createDataFrame([], "k int, v string, tag string")
+    v2 = table.merge_upsert(empty_evolved, evolve_schema=True)
+    assert v2 == v1 + 1
+    snap = table.snapshot()
+    assert snap.columns == ["k", "v", "tag"]
+    assert rows_of(snap) == [(1, "a", None)]
+    # and a PLAIN empty merge against the evolved schema is still a no-op
+    assert table.merge_upsert(spark.createDataFrame([], "k int, v string, tag string")) == v2
