@@ -147,9 +147,107 @@ def q_txtable_clone(spark, sf_dir):
     return clone.snapshot().select("o_orderkey", "o_custkey", "o_totalprice")
 
 
+
+
+# -- adaptive ratio-spill IVF --------------------------------------------------
+
+#: The full adaptive-spill chain in SQL, mirroring the Spark side op by op:
+#: label centroids rounded 6dp -> per-vector cell ranks -> keep rank 1 plus
+#: spill copies within the 1.05 distance-ratio band -> SPILLED cell
+#: centroids (recomputed over the assignment multiset, exactly like
+#: ivf_search does on a spill frame) rounded 6dp -> queries probe top-2
+#: cells -> exact cosine re-rank of the deduped probed union.
+IVF_ADAPTIVE_ORACLE = """
+WITH cent0 AS (
+  SELECT label, pos, floor((avg(x)) * 1000000.0 + 0.5) / 1000000.0 AS cv
+  FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings)
+  GROUP BY 1, 2
+),
+cent0v AS (SELECT label AS cell, list(cv ORDER BY pos) AS cvec FROM cent0 GROUP BY 1),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+sims AS (
+  SELECT v.vec_id, c.cell,
+         list_inner_product(vv, cvec)
+           / sqrt(list_inner_product(vv, vv) * list_inner_product(cvec, cvec)) AS sim
+  FROM v, cent0v c
+),
+ranked AS (
+  SELECT vec_id, cell, sim,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rk
+  FROM sims
+),
+best AS (SELECT vec_id, sim AS best_sim FROM ranked WHERE rk = 1),
+assign AS (
+  SELECT r.vec_id, r.cell
+  FROM ranked r JOIN best b USING (vec_id)
+  WHERE r.rk <= 3 AND (r.rk = 1 OR (1 - r.sim) <= 1.05 * (1 - b.best_sim))
+),
+cent1 AS (
+  SELECT a.cell, pos, floor((avg(x)) * 1000000.0 + 0.5) / 1000000.0 AS cv
+  FROM assign a JOIN (
+    SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+           generate_subscripts(embedding, 1) AS pos
+    FROM embeddings) e USING (vec_id)
+  GROUP BY 1, 2
+),
+cent1v AS (SELECT cell, list(cv ORDER BY pos) AS cvec FROM cent1 GROUP BY 1),
+q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 10),
+qcell AS (
+  SELECT query_id, cell FROM (
+    SELECT query_id, cell,
+           row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY list_inner_product(qv, cvec)
+                      / sqrt(list_inner_product(qv, qv) * list_inner_product(cvec, cvec)) DESC,
+                      cell) AS rk
+    FROM q, cent1v) WHERE rk <= 2
+),
+s AS (
+  SELECT q.query_id, a.vec_id AS cand_id,
+         max(list_inner_product(q.qv, v.vv)
+           / sqrt(list_inner_product(q.qv, q.qv) * list_inner_product(v.vv, v.vv))) AS cos_raw
+  FROM q JOIN qcell USING (query_id)
+         JOIN assign a ON a.cell = qcell.cell AND a.vec_id <> q.query_id
+         JOIN v ON v.vec_id = a.vec_id
+  GROUP BY 1, 2
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, cand_id) AS rk FROM s)
+SELECT query_id, cand_id, floor(cos_raw * 10000.0 + 0.5) / 10000.0 AS cos_sim
+FROM r WHERE rk <= 3
+"""
+
+
+def q_ivf_search_adaptive(spark, sf_dir):
+    """IVF with ADAPTIVE ratio-spill assignment (m=3, ratio=1.05): spill
+    copies only for genuine boundary vectors, queries probe 2 cells, exact
+    re-rank of the deduped union — the low-row-budget configuration the
+    round-6 recall sweep measured (RECALL.json). Every stage is mirrored
+    op-for-op in the chained-CTE oracle."""
+    from h2outility_spark.operators import similarity
+    from h2outility_spark.workload import _t, fround
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.centroids_by_label(emb).withColumn(
+        "centroid_val", fround(F.col("centroid_val"), 6)
+    )
+    assign = similarity.ivf_assign_multi(emb, cents, m=3, ratio=1.05).withColumnRenamed(
+        "cell", "spill_cell"
+    )
+    emb_sp = emb.join(assign, "vec_id").select(
+        "vec_id", "embedding", F.col("spill_cell").alias("label")
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = similarity.ivf_search(emb_sp, queries, k=3, n_probe=2, spill=True)
+    return out.select("query_id", "cand_id", fround(F.col("cos_sim"), 4).alias("cos_sim"))
+
+
 #: name -> (fn, oracle) for the round-7 promotion pass and the parity test.
 STAGED2 = {
     "image_resize_features": (q_image_resize_features, RESIZE_FEATURES_ORACLE),
     "bpe_token_hist": (q_bpe_token_hist, BPE_TOKEN_HIST_ORACLE),
     "txtable_clone": (q_txtable_clone, TXTABLE_CLONE_ORACLE),
+    "ivf_search_adaptive": (q_ivf_search_adaptive, IVF_ADAPTIVE_ORACLE),
 }
