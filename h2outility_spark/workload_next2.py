@@ -244,10 +244,47 @@ def q_ivf_search_adaptive(spark, sf_dir):
     return out.select("query_id", "cand_id", fround(F.col("cos_sim"), 4).alias("cos_sim"))
 
 
+# -- TxTable vacuum invariance ------------------------------------------------
+
+TXTABLE_VACUUM_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       CAST(o_totalprice * 4 AS DOUBLE) AS o_totalprice,
+       CAST(TRUE AS BOOLEAN) AS reclaimed
+FROM orders WHERE o_orderkey % 100 < 3
+"""
+
+
+def q_txtable_vacuum(spark, sf_dir):
+    """Vacuum invariance: after an overwrite strands the original files,
+    vacuum(keep_versions=1) physically deletes them while the LIVE
+    snapshot stays exactly the overwrite's content; the reclaimed flag
+    carries the measured deletion count into the hash (retention 0 is
+    safe here — the builder is the only writer of its scratch table)."""
+    from h2outility_spark.storage_tx import TxTable
+    from h2outility_spark.workload import _t
+    from h2outility_spark.workload_lakehouse import scratch_dir
+
+    base = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    t = TxTable(spark, scratch_dir("h2ou_txvacuum_"), key_cols=["o_orderkey"])
+    t.append(base.filter(F.col("o_orderkey") % 100 < 3))
+    t.overwrite(
+        base.filter(F.col("o_orderkey") % 100 < 3).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 4
+        )
+    )
+    deleted = t.vacuum(keep_versions=1, retention_seconds=0)
+    return t.snapshot().select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.lit(bool(len(deleted) > 0)).alias("reclaimed"),
+    )
+
+
+
 #: name -> (fn, oracle) for the round-7 promotion pass and the parity test.
 STAGED2 = {
     "image_resize_features": (q_image_resize_features, RESIZE_FEATURES_ORACLE),
     "bpe_token_hist": (q_bpe_token_hist, BPE_TOKEN_HIST_ORACLE),
     "txtable_clone": (q_txtable_clone, TXTABLE_CLONE_ORACLE),
     "ivf_search_adaptive": (q_ivf_search_adaptive, IVF_ADAPTIVE_ORACLE),
+    "txtable_vacuum": (q_txtable_vacuum, TXTABLE_VACUUM_ORACLE),
 }
