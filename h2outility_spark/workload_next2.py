@@ -280,6 +280,43 @@ def q_txtable_vacuum(spark, sf_dir):
 
 
 
+# -- TxTable z-order compaction invariance ------------------------------------
+
+TXTABLE_ZORDER_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(TRUE AS BOOLEAN) AS compacted
+FROM orders WHERE o_orderkey % 100 < 8
+"""
+
+
+def q_txtable_zorder(spark, sf_dir):
+    """Z-ORDER compaction invariance: four small appends on a TWO-key
+    table, then compact_files(zorder=True) rewrites them Morton-clustered
+    across both key axes — physically reordered, logically identical (the
+    oracle states the union of the appends). The clustering's payoff
+    (tight per-file min/max on EVERY axis) is proven by the storage
+    tests; this pair makes the data-identity half driver-hashable."""
+    from h2outility_spark.storage_tx import TxTable
+    from h2outility_spark.workload import _t
+    from h2outility_spark.workload_lakehouse import scratch_dir
+
+    base = (
+        _t(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .filter(F.col("o_orderkey") % 100 < 8)
+    )
+    t = TxTable(spark, scratch_dir("h2ou_txzorder_"), key_cols=["o_custkey", "o_orderkey"])
+    for k in range(4):
+        t.append(base.filter(F.col("o_orderkey") % 4 == k))
+    n_before = len(t.files())
+    t.compact_files(target_rows=10_000_000, small_rows=10_000_000, zorder=True)
+    n_after = len(t.files())
+    return t.snapshot().select(
+        "o_custkey", "o_orderkey", "o_totalprice",
+        F.lit(bool(n_after < n_before)).alias("compacted"),
+    )
+
+
+
 #: name -> (fn, oracle) for the round-7 promotion pass and the parity test.
 STAGED2 = {
     "image_resize_features": (q_image_resize_features, RESIZE_FEATURES_ORACLE),
@@ -287,4 +324,5 @@ STAGED2 = {
     "txtable_clone": (q_txtable_clone, TXTABLE_CLONE_ORACLE),
     "ivf_search_adaptive": (q_ivf_search_adaptive, IVF_ADAPTIVE_ORACLE),
     "txtable_vacuum": (q_txtable_vacuum, TXTABLE_VACUUM_ORACLE),
+    "txtable_zorder": (q_txtable_zorder, TXTABLE_ZORDER_ORACLE),
 }
