@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from h2outility_spark.operators.text import fingerprint, normalize_ws, shingles_expr
+from h2outility_spark.operators.text import WS_CLASS_EXPR, fingerprint, normalize_ws, shingles_expr
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -317,7 +317,7 @@ def winnow_fingerprints(
     """
     d = docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
         F.col(id_col),
-        F.expr(f"split(trim(regexp_replace({text_col}, '\\\\s+', ' ')), ' ')").alias("__toks"),
+        F.expr(f"split(trim(regexp_replace({text_col}, '{WS_CLASS_EXPR}+', ' ')), ' ')").alias("__toks"),
     )
     # guard size < k explicitly: sequence(1, stop) flips to descending when
     # stop < start, which would fabricate bogus window starts

@@ -21,9 +21,25 @@ from pyspark.sql import Column, DataFrame, functions as F
 # ---------------------------------------------------------------------------
 
 
+#: Explicit ASCII-whitespace class: Java regex and RE2 define ``\s``
+#: differently (RE2's omits ``\x0B``), so any cross-engine-compared
+#: expression must spell the class out character by character. Three
+#: escape layers, three renderings:
+#:   * WS_CLASS      — handed DIRECTLY to Java regex (F.regexp_replace)
+#:                     or embedded in a DuckDB single-quoted literal
+#:                     (DuckDB does not unescape, RE2 interprets);
+#:   * WS_CLASS_EXPR — embedded in a SPARK SQL string literal (F.expr),
+#:                     which unescapes one backslash layer first.
+#: Semantically identical to Java's ``\s`` ([ \t\n\x0B\f\r]) — migrating a
+#: Spark-side pattern is a no-op; migrating an oracle adds \x0B to RE2's
+#: class so the two engines finally agree on it.
+WS_CLASS = "[ \\t\\n\\r\\f\\x0B]"
+WS_CLASS_EXPR = "[ \\\\t\\\\n\\\\r\\\\f\\\\x0B]"
+
+
 def normalize_ws(col: Column) -> Column:
     """Collapse runs of whitespace to single spaces and trim."""
-    return F.trim(F.regexp_replace(col, r"\s+", " "))
+    return F.trim(F.regexp_replace(col, WS_CLASS + "+", " "))
 
 
 def _round_half_up(col: Column, n: int) -> Column:
@@ -40,12 +56,6 @@ def token_count(col: Column) -> Column:
     return F.when(F.length(norm) == 0, F.lit(0)).otherwise(F.size(F.split(norm, " ")))
 
 
-#: Explicit ASCII-whitespace class: Java regex and RE2 define ``\s``
-#: differently (RE2's omits ``\x0B``), so any cross-engine-compared count
-#: must spell the class out character by character.
-WS_CLASS = "[ \\t\\n\\r\\f\\x0B]"
-
-
 def space_token_count(col: Column) -> Column:
     """Engine-proof whitespace token count: normalize with the EXPLICIT
     whitespace class (no ``\\s`` semantics left to the regex engine), then
@@ -59,7 +69,7 @@ def space_token_count(col: Column) -> Column:
     )
 
 
-BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r\\f\\x0B]"
 
 
 def bpe_ish_token_count(col: Column) -> Column:
@@ -83,7 +93,7 @@ def shingles_expr(text_col: str = "text", n: int = 3) -> Column:
     — one short row would abort the whole job (found by review: any < n
     token benchmark doc crashed decontaminate_spans/contamination_overlap).
     """
-    toks = f"split(trim(regexp_replace({text_col}, '\\\\s+', ' ')), ' ')"
+    toks = f"split(trim(regexp_replace({text_col}, '{WS_CLASS_EXPR}+', ' ')), ' ')"
     return F.expr(
         f"CASE WHEN size({toks}) < {n} THEN array() "
         f"ELSE transform(sequence(1, size({toks}) - {n - 1}), "
@@ -338,10 +348,10 @@ def quality_sql_columns(text_col: str = "text") -> str:
     """The DuckDB-mirror of quality_columns (identical arithmetic)."""
     return f"""
            length({text_col}) AS n_chars,
-           CASE WHEN length(trim(regexp_replace({text_col}, '\\s+', ' ', 'g'))) = 0 THEN 0
-                ELSE array_length(regexp_split_to_array(trim(regexp_replace({text_col}, '\\s+', ' ', 'g')), ' ')) END
+           CASE WHEN length(trim(regexp_replace({text_col}, '{WS_CLASS}+', ' ', 'g'))) = 0 THEN 0
+                ELSE array_length(regexp_split_to_array(trim(regexp_replace({text_col}, '{WS_CLASS}+', ' ', 'g')), ' ')) END
              AS n_tokens,
-           array_length(regexp_extract_all({text_col}, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+           array_length(regexp_extract_all({text_col}, '{BPE_ISH_PATTERN}')) AS n_bpe_tokens,
            coalesce(CAST(length(regexp_replace({text_col}, '[^A-Za-z]', '', 'g')) AS DOUBLE)
                     / (CASE WHEN length({text_col}) > 0 THEN CAST(length({text_col}) AS DOUBLE) END), 0.0) AS alpha_ratio,
            coalesce(CAST(length(regexp_replace({text_col}, '[^0-9]', '', 'g')) AS DOUBLE)
@@ -409,7 +419,7 @@ def langid_pred_column() -> Column:
 
 
 def langid_sql_columns(text_col: str = "text") -> str:
-    padded = f"' ' || trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g')) || ' '"
+    padded = f"' ' || trim(regexp_replace(lower({text_col}), '{WS_CLASS}+', ' ', 'g')) || ' '"
     score_exprs = {}
     for lang, words in LANG_MARKERS.items():
         parts = [
@@ -444,7 +454,7 @@ def prefix_fingerprint(text_col: str = "text", n_tokens: int = 8) -> Column:
     """Fingerprint of the first n tokens of the named column — catches
     shared-prefix near-dups (boilerplate headers) cheaply."""
     prefix = F.expr(
-        f"array_join(slice(split(trim(regexp_replace({text_col}, '\\\\s+', ' ')), ' '), 1, {n_tokens}), ' ')"
+        f"array_join(slice(split(trim(regexp_replace({text_col}, '{WS_CLASS_EXPR}+', ' ')), ' '), 1, {n_tokens}), ' ')"
     )
     return F.md5(F.encode(F.lower(prefix), "UTF-8"))
 
@@ -532,7 +542,7 @@ def segments_expr(text_col: str = "text", k: int = 8) -> Column:
     (last segment may be shorter). Pure Catalyst expression — the slicing
     stays inside codegen; callers filter out empty documents first (Spark's
     ``sequence(1, 0)`` is DESCENDING, so the guard matters)."""
-    toks = f"split(trim(regexp_replace({text_col}, '\\\\s+', ' ')), ' ')"
+    toks = f"split(trim(regexp_replace({text_col}, '{WS_CLASS_EXPR}+', ' ')), ' ')"
     return F.expr(
         f"transform(sequence(1, CAST(ceil(size({toks}) / {k}.0) AS INT)), "
         f"s -> array_join(slice({toks}, (s - 1) * {k} + 1, {k}), ' '))"

@@ -27,12 +27,12 @@ WITH docs AS (
 queries AS (SELECT doc_id AS query_id, text, embedding FROM docs WHERE doc_id % 97 = 3),
 d_tok AS (
   SELECT DISTINCT doc_id AS cand_id,
-         unnest(regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS tok
+         unnest(regexp_split_to_array(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')), ' ')) AS tok
   FROM docs WHERE length(trim(text)) > 0
 ),
 q_tok AS (
   SELECT DISTINCT query_id,
-         unnest(regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS tok
+         unnest(regexp_split_to_array(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')), ' ')) AS tok
   FROM queries WHERE length(trim(text)) > 0
 ),
 lex AS (
@@ -108,8 +108,8 @@ WITH scored AS (
          0.6 * coalesce(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
            / (CASE WHEN length(text) > 0 THEN CAST(length(text) AS DOUBLE) END), 0.0)
          + 0.4 * least(CAST(
-             CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0 THEN 0
-                  ELSE array_length(regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) END
+             CASE WHEN length(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))) = 0 THEN 0
+                  ELSE array_length(regexp_split_to_array(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')), ' ')) END
              AS DOUBLE) / 80.0, 1.0) AS score
   FROM documents
 ),
@@ -280,7 +280,7 @@ PREFIX_DUP_ORACLE = """
 WITH pfx AS (
   SELECT doc_id, source,
          md5(lower(array_to_string(
-           list_slice(regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '), 1, 8),
+           list_slice(regexp_split_to_array(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')), ' '), 1, 8),
            ' '))) AS pfp
   FROM documents
 ),

@@ -24,8 +24,8 @@ def toks_cte(src: str = "documents") -> str:
     return f"""
     toks AS (
       SELECT doc_id,
-             unnest(regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS w,
-             generate_subscripts(regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '), 1) AS i
+             unnest(regexp_split_to_array(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')), ' ')) AS w,
+             generate_subscripts(regexp_split_to_array(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')), ' '), 1) AS i
       FROM {src}
       WHERE length(trim(text)) > 0
     )
@@ -169,8 +169,8 @@ def q_text_langid(spark, sf_dir):
     "doc_fingerprint",
     oracle="""
     SELECT doc_id,
-           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
-           md5(lower(array_to_string(list_slice(regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '), 1, 8), ' '))) AS prefix_fp
+           md5(lower(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')))) AS fp,
+           md5(lower(array_to_string(list_slice(regexp_split_to_array(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')), ' '), 1, 8), ' '))) AS prefix_fp
     FROM documents
     """,
     description="Document fingerprinting: md5 of normalized text + 8-token prefix fingerprint",
@@ -408,7 +408,7 @@ def q_tfidf_top_terms(spark, sf_dir):
 @query(
     "dedup_exact_docs",
     oracle="""
-    SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+    SELECT md5(lower(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')))) AS fp,
            min(doc_id) AS keep_id,
            CAST(count(*) AS BIGINT) AS n_docs
     FROM documents
@@ -490,8 +490,8 @@ def q_neardup_clusters(spark, sf_dir):
 
 
 _N_TOKENS_SQL = (
-    "CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0 THEN 0 "
-    "ELSE array_length(regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) END"
+    "CASE WHEN length(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))) = 0 THEN 0 "
+    "ELSE array_length(regexp_split_to_array(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')), ' ')) END"
 )
 _ALPHA_RATIO_SQL = (
     "coalesce(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) "
@@ -506,7 +506,7 @@ _ALPHA_RATIO_SQL = (
     + f"""
     q AS (SELECT doc_id, text FROM documents
           WHERE ({_N_TOKENS_SQL}) >= 25 AND ({_ALPHA_RATIO_SQL}) >= 0.8),
-    g AS (SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+    g AS (SELECT md5(lower(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')))) AS fp,
                  min(doc_id) AS keep_id
           FROM q GROUP BY 1),
     kept AS (SELECT q.doc_id, q.text FROM q JOIN g ON q.doc_id = g.keep_id),
@@ -645,7 +645,7 @@ def _simhash_oracle() -> str:
     return f"""
     WITH toks AS (
       SELECT doc_id,
-             unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+             unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')), ' ')) AS tok
       FROM documents
     ),
     h AS (SELECT doc_id, substr(md5(tok), 1, 16) AS th FROM toks WHERE length(tok) > 0),
@@ -1130,7 +1130,7 @@ def q_pii_redact_docs(spark, sf_dir):
     + MH_CTE
     + """,
     fp AS (SELECT doc_id,
-                  md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+                  md5(lower(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')))) AS fp
            FROM documents),
     exsurv AS (
       SELECT doc_id, fp FROM fp
@@ -1306,8 +1306,8 @@ def q_quality_filter_fusion(spark, sf_dir):
     oracle="""
     SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 16 AS INT) AS shard,
            CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0 THEN 0
-                         ELSE array_length(regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) END)
+           CAST(sum(CASE WHEN length(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))) = 0 THEN 0
+                         ELSE array_length(regexp_split_to_array(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')), ' ')) END)
                 AS BIGINT) AS total_tokens
     FROM documents
     GROUP BY 1

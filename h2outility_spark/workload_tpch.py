@@ -563,19 +563,19 @@ def q_json_props_stats(spark, sf_dir):
 @query(
     "regexp_extract_props",
     oracle="""
-    SELECT CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INT) % 10 AS k_bucket,
+    SELECT CAST(regexp_extract(props, '"k":[ \\t\\n\\r\\f\\x0B]*(\\d+)', 1) AS INT) % 10 AS k_bucket,
            CAST(count(*) AS BIGINT) AS n
     FROM events
-    WHERE regexp_matches(props, '"k":\\s*\\d{2}')
+    WHERE regexp_matches(props, '"k":[ \\t\\n\\r\\f\\x0B]*\\d{2}')
     GROUP BY 1
     """,
     description="F7: regex extraction + rlike filtering over the JSON props column",
 )
 def q_regexp_extract_props(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
-    k = F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("int")
+    k = F.regexp_extract("props", '"k":[ \\t\\n\\r\\f\\x0B]*([0-9]+)', 1).cast("int")
     return (
-        ev.filter(F.col("props").rlike(r'"k":\s*\d{2}'))
+        ev.filter(F.col("props").rlike('"k":[ \\t\\n\\r\\f\\x0B]*[0-9]{2}'))
         .groupBy((k % 10).alias("k_bucket"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
