@@ -94,10 +94,10 @@ def q_txtable_changes(spark, sf_dir):
     FROM orders WHERE o_orderkey % 100 < 3
     """,
     description=(
-        "Timestamp time travel: snapshot_as_of at a wall-clock instant between "
-        "two merges reproduces exactly the mid-history table state (append + "
-        "first merge, untouched by the later merge); oracle restates that state "
-        "over orders"
+        "Timestamp time travel: snapshot_as_of at the target version's own "
+        "manifest commit stamp reproduces exactly the mid-history table state "
+        "(append + first merge, untouched by the later merge); oracle restates "
+        "that state over orders"
     ),
 )
 def q_txtable_snapshot_as_of(spark, sf_dir):
@@ -109,8 +109,15 @@ def q_txtable_snapshot_as_of(spark, sf_dir):
             "o_totalprice", F.col("o_totalprice") * 3
         )
     )
-    cut = time.time()
-    time.sleep(0.05)  # strictly separate the cut from the next commit's stamp
+    # The cut is the TARGET VERSION'S OWN manifest stamp — no wall-clock
+    # read, so no VM stall or clock skew can move the cut relative to the
+    # history. The only requirement is that the NEXT commit stamps strictly
+    # later; spin on the same clock the manifests use until that holds
+    # (nanoseconds in practice; a fixed sleep was the old, stall-fragile
+    # form of this guarantee).
+    cut = t.history()[-1]["committed_at"]
+    while time.time() <= cut:
+        time.sleep(0.001)
     t.merge_upsert(base.filter(F.col("o_orderkey") % 100 >= 97))
     return t.snapshot_as_of(cut).select("o_orderkey", "o_custkey", "o_totalprice")
 
