@@ -456,6 +456,8 @@ from h2outility_spark import workload_tpch  # noqa: E402,F401
 from h2outility_spark import workload_next  # noqa: E402,F401
 from h2outility_spark import workload_media  # noqa: E402,F401
 from h2outility_spark import workload_lakehouse  # noqa: E402,F401
+from h2outility_spark import workload_streaming  # noqa: E402,F401
+from h2outility_spark import workload_next2  # noqa: E402,F401
 
 
 # The driver's correctness gate hashes only the FIRST 50 registered queries.
@@ -474,58 +476,72 @@ from h2outility_spark import workload_lakehouse  # noqa: E402,F401
 # (coverage map in README). Everything outside the window is still
 # oracle-checked every run by tests/test_oracle_parity.py + driver_sim.
 CHECKED_WINDOW = [
-    # -- ROUND-6 ROTATION ---------------------------------------------------
-    # All 50 round-4/5 occupants now hold r4+r5 green rows (save
-    # pack_sequences, which stays below for its post-fix re-check), so the
-    # window turns over: 15 slots go to FIRST-TIMERS (the five promoted
-    # workload_next pairs + the five lakehouse and five media queries,
-    # which must start life inside the window per test_checked_window),
-    # and the other 34 go to sentinels chosen for the STALEST prior evidence — every
-    # r1-/r2-/r3-only query gets a fresh row this round, topped up with the
-    # §2 family flagships. Everything outside the window stays
-    # oracle-checked every run by tests/test_oracle_parity + driver_sim.
-    # -- first-timers: promoted round-4 staging pairs (workload_next) ------
-    "hybrid_search_knn",       # RRF fusion of lexical + semantic rankings
-    "quality_gate_docs",       # per-source 70%-by-rank gate, applied
-    "corpus_language_matrix",  # (source, lang) doc/token inventories
-    "doc_length_histogram",    # log2 token-length buckets per source
-    "prefix_dup_rate",         # boilerplate-prefix collision rate
-    # -- first-timers: TxTable lakehouse read surface (workload_lakehouse) -
-    "txtable_changes",         # row-level change feed (CDF) oracle-checked
-    "txtable_snapshot_as_of",  # timestamp time travel oracle-checked
-    "txtable_compact_snapshot",  # OPTIMIZE rewrite invariant oracle-checked
-    "txtable_evolve_schema",   # add-column evolution oracle-checked
-    "txtable_restore",         # forward rollback oracle-checked
-    # -- first-timers: real-codec multimodal paths (workload_media) --------
-    "image_dhash",             # BMP encode->decode->dhash64, bit-exact oracle
-    "image_neardup",           # banded perceptual pairs vs brute-force oracle
-    "audio_window_features",   # WAV decode -> windowed RMS/ZCR
-    "audio_vad_segments",      # energy VAD islands over real decode
-    "image_features_jpeg",     # baseline-JPEG decode path, exact oracle
-    # -- post-fix re-check (driver-red in r4/r5, tokenization rebuilt) -----
-    "pack_sequences",
-    # -- sentinels: single-round evidence, oldest first --------------------
-    "unpivot_part_metrics",    # r1 only
-    "percentile_summary",      # r1 only
-    "approx_distinct_parts",   # r1 only
-    "running_totals",          # r1 only
-    "salted_agg",              # r1 only
-    "vocab_topk",              # r2 only
-    "bigram_condprob",         # r2 only
-    "neardup_winnow_pairs",    # r2 only
-    "sql_api_q1",              # r3 only
-    "tpch_q9_product_profit",  # r3 only
-    "tpch_q21_waiting_supplier",  # r3 only
-    "neardup_simhash_pairs",   # r3 only
-    "doc_lm_score",            # r3 only
-    # -- sentinels: §2 family flagships + scale-path representatives -------
-    "series_catalog", "extract_filtered", "extract_incremental",
-    "wide_export", "tpch_q1", "tpch_q3", "tpch_q5",
-    "sessionization", "asof_join", "range_join_count",
-    "dedup_exact_docs", "corpus_clean", "neardup_minhash_pairs",
-    "neardup_embedding_lsh", "embedding_knn", "ivf_search",
-    "qc_gaps", "qc_interpolate", "qc_drift",
-    "union_dedup", "series_year_range",
+    # -- ROUND-7 ROTATION ---------------------------------------------------
+    # CORRECTNESS_r06 went 50/50 green, so every r6 occupant holds a fresh
+    # row and the window turns over again: 8 slots to FIRST-TIMERS (the six
+    # promoted workload_next2 pairs + the two NEW streaming queries, which
+    # must start life inside the window per test_checked_window), and the
+    # other 42 to the STALEST evidence — the whole last-certified-in-r2 and
+    # last-certified-in-r3 cohorts (30 queries; kmeans_centroids is the
+    # oldest single-row query in the registry), topped up with 12 from the
+    # r4/r5 cohort chosen for family spread. Everything outside the window
+    # stays oracle-checked every run by tests/test_oracle_parity +
+    # driver_sim.
+    # -- first-timers: promoted round-6 staging pairs (workload_next2) -----
+    "image_resize_features",   # codec resize round trip vs index arithmetic
+    "bpe_token_hist",          # engine-proof BPE-ish token inventory
+    "txtable_clone",           # clone independence under source mutation
+    "ivf_search_adaptive",     # ratio-spill IVF, op-for-op chained oracle
+    "txtable_vacuum",          # physical reclamation, live-snapshot invariance
+    "txtable_zorder",          # Morton-clustered rewrite data-identity
+    # -- first-timers: streaming certification (workload_streaming) --------
+    "stream_dedup_ingest",     # 3-batch AvailableNow dedup ingest + replay
+    "txtable_stream_tail",     # version-offset tail source, exactly-once
+    # -- sentinels: last certified in ROUND 2 (the stalest rows anywhere) --
+    "embedding_centroids",
+    "neardup_embedding_pairs",
+    "ngram_jaccard_blocked",
+    "rp_lsh_signatures",
+    "simhash_signatures",
+    # -- sentinels: last certified in ROUND 3 ------------------------------
+    "kmeans_centroids",        # also the registry's oldest single-row query
+    "frame_sample",
+    "neardup_clusters",
+    "ngram_counts",
+    "variable_census",
+    "winnow_fingerprints",
+    "anti_join_customers",
+    "dedup_keep_first",
+    "distinct_series",
+    "doc_fingerprint",
+    "event_time_windows",
+    "last_per_series",
+    "left_join_qualifiers",
+    "minhash_signatures",
+    "qc_change_value",
+    "qc_flag",
+    "qc_islands",
+    "qc_value_change",
+    "rollup_revenue",
+    "season_rollup",
+    "self_alias_join",
+    "semi_join_suppliers",
+    "text_langid",
+    "text_stats",
+    "tpch_q6",
+    # -- sentinels: r4/r5 cohort, one per family for spread -----------------
+    "tpch_q7_nation_volume",   # self-alias nation-pair volume join
+    "tpch_q18_large_orders",   # HAVING-against-aggregate semi join
+    "grouping_sets_revenue",   # multi-level grouping sets
+    "funnel_conversion",       # ordered-step funnel windows
+    "retention_cohorts",       # cohort retention matrix
+    "qc_rolling_zscore",       # rolling robust outlier QC
+    "dedup_incremental",       # batch twin of the new streaming ingest
+    "decontaminate_spans",     # span-surgical benchmark decontamination
+    "pii_redact_docs",         # regex PII redaction + counts
+    "mixture_sample",          # deterministic mixture sampling
+    "ivfpq_search",            # IVF + PQ ADC compound ANN path
+    "pq_search",               # PQ asymmetric-distance search
 ]
 
 

@@ -1,14 +1,8 @@
-"""Round-7 registry staging area (same mechanism as round 4's
-``workload_next``): fully-formed (PySpark fn, DuckDB oracle) pairs that
-cannot enter the registry yet — every round-6 CHECKED_WINDOW slot is
-occupied by a first-timer earning its driver row, and
-``tests/test_checked_window.py`` (correctly) refuses new queries outside
-the window. Deliberately NOT decorated with ``@query``; the round-7
-rotation wraps them.
-
-Each pair is parity-tested in ``tests/test_workload_next.py`` (STAGED2)
-under the driver's comparison discipline at sf0.001 AND sf0.01, so
-promotion is a decorator change, not new verification work.
+"""Round-6 staging area, PROMOTED to the registry in the round-7
+window rotation (same lifecycle as ``workload_next``): each (fn, oracle)
+pair waited fully formed with parity proven at sf0.001 AND sf0.01
+(``tests/test_workload_next.py`` STAGED2), so promotion was the decorator
+change below plus window slots — zero new verification work.
 """
 
 from __future__ import annotations
@@ -18,6 +12,7 @@ from pyspark.sql import functions as F
 
 from h2outility_spark.operators import multimodal
 from h2outility_spark.sources.parquet import load_table
+from h2outility_spark.workload import query
 
 # -- image resize through the real codec -------------------------------------
 
@@ -43,6 +38,15 @@ FROM px GROUP BY asset_id
 """
 
 
+@query(
+    "image_resize_features",
+    oracle=RESIZE_FEATURES_ORACLE,
+    description=(
+        "Full image-resize round trip through the stdlib codec (decode -> "
+        "nearest-neighbor downsample -> encode -> decode) vs pure index "
+        "arithmetic"
+    ),
+)
 def q_image_resize_features(spark, sf_dir):
     """Resize real BMPs through the stdlib nearest-neighbor codec, then
     decode the RESIZED payloads and hash-check their dims + mean luma —
@@ -96,6 +100,11 @@ FROM tok GROUP BY source
 """
 
 
+@query(
+    "bpe_token_hist",
+    oracle=BPE_TOKEN_HIST_ORACLE,
+    description="Per-source BPE-ish token inventory (engine-proof explicit token class)",
+)
 def q_bpe_token_hist(spark, sf_dir):
     """Per-source BPE-ish token inventory (alpha runs + digit runs +
     single punctuation marks): the sub-word-flavored budget estimate that
@@ -126,6 +135,11 @@ FROM orders WHERE o_orderkey % 100 < 6
 """
 
 
+@query(
+    "txtable_clone",
+    oracle=TXTABLE_CLONE_ORACLE,
+    description="Clone independence: hard-link clone stays at the pre-mutation snapshot",
+)
 def q_txtable_clone(spark, sf_dir):
     """Clone independence: hard-link clone a table, then MUTATE the
     source — the clone's snapshot must still be the exact pre-mutation
@@ -220,6 +234,11 @@ FROM r WHERE rk <= 3
 """
 
 
+@query(
+    "ivf_search_adaptive",
+    oracle=IVF_ADAPTIVE_ORACLE,
+    description="IVF ANN with adaptive ratio-spill assignment, op-for-op chained-CTE oracle",
+)
 def q_ivf_search_adaptive(spark, sf_dir):
     """IVF with ADAPTIVE ratio-spill assignment (m=3, ratio=1.05): spill
     copies only for genuine boundary vectors, queries probe 2 cells, exact
@@ -254,6 +273,11 @@ FROM orders WHERE o_orderkey % 100 < 3
 """
 
 
+@query(
+    "txtable_vacuum",
+    oracle=TXTABLE_VACUUM_ORACLE,
+    description="Vacuum reclaims stranded files while the live snapshot is invariant",
+)
 def q_txtable_vacuum(spark, sf_dir):
     """Vacuum invariance: after an overwrite strands the original files,
     vacuum(keep_versions=1) physically deletes them while the LIVE
@@ -288,6 +312,11 @@ FROM orders WHERE o_orderkey % 100 < 8
 """
 
 
+@query(
+    "txtable_zorder",
+    oracle=TXTABLE_ZORDER_ORACLE,
+    description="Z-order compaction: Morton-clustered rewrite, logically identical table",
+)
 def q_txtable_zorder(spark, sf_dir):
     """Z-ORDER compaction invariance: four small appends on a TWO-key
     table, then compact_files(zorder=True) rewrites them Morton-clustered
@@ -317,7 +346,8 @@ def q_txtable_zorder(spark, sf_dir):
 
 
 
-#: name -> (fn, oracle) for the round-7 promotion pass and the parity test.
+#: name -> (fn, oracle): keeps the parity test pinning sf0.001+sf0.01
+#: behavior for the promoted pairs (same role as workload_next.STAGED).
 STAGED2 = {
     "image_resize_features": (q_image_resize_features, RESIZE_FEATURES_ORACLE),
     "bpe_token_hist": (q_bpe_token_hist, BPE_TOKEN_HIST_ORACLE),

@@ -14,6 +14,9 @@ from tests.conftest import SF_DIR
 BNLJ_ALLOWED = {
     "extract_incremental",  # 1-row watermark broadcast
     "ivf_search",  # query-vectors x broadcast centroid table (both tiny)
+    "ivf_search_adaptive",  # same shape: vectors x broadcast packed centroids
+    # (ivf_assign_multi) + query x centroid probe — the canonical IVF
+    # assignment plan; the broadcast side is k<=128 centroid rows
     "embedding_knn",  # brute-force baseline by design (IVF/LSH are the scale paths)
     "tfidf_top_terms",  # 1-row corpus-count broadcast
     "neardup_embedding_pairs",  # brute-force verifier (neardup_embedding_lsh is the scale path)
