@@ -389,12 +389,12 @@ def wav_window_features(data: bytes, window_ms: int = 100) -> list[tuple[int, in
 
 
 def dhash64(data: bytes) -> int:
-    """64-bit difference hash (dHash) of a BMP/PNG payload: decode, mix to
-    luma, nearest-neighbor resample to a 9x8 grid, emit one bit per
-    horizontal neighbor pair (left < right). Near-identical images land
-    within a few Hamming bits — the standard perceptual fingerprint for
-    image dedup, here format-independent (same pixels => same hash
-    whether the container was BMP or PNG)."""
+    """64-bit difference hash (dHash) of a BMP/PNG/GIF/JPEG payload:
+    decode, mix to luma, nearest-neighbor resample to a 9x8 grid, emit one
+    bit per horizontal neighbor pair (left < right). Near-identical images
+    land within a few Hamming bits — the standard perceptual fingerprint
+    for image dedup, here format-independent (same pixels => same hash
+    whatever the container)."""
     if data[:2] == b"BM":
         w, h, rows = decode_bmp(data)
     elif data[:8] == _PNG_MAGIC:
@@ -535,8 +535,8 @@ def gif_image_decoder(data: bytes) -> tuple[int, int, float]:
 # separable IDCT, nearest-neighbor chroma upsampling (4:4:4 / 4:2:2 /
 # 4:2:0), JFIF YCbCr->RGB. Progressive (SOF2), arithmetic and 12-bit
 # variants raise ValueError (inject a full codec). The matching minimal
-# encoder (4:4:4 / grayscale, Annex K tables) exists so tests can
-# round-trip without any external library.
+# encoder (3-component YCbCr, 4:4:4 or 4:2:0, Annex K tables) exists so
+# tests can round-trip without any external library.
 
 _ZIGZAG = [
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -726,11 +726,21 @@ def decode_jpeg(data: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]
     frame = None
     restart_interval = 0
     scan = None
-    while pos + 4 <= len(data):
+    while pos + 1 < len(data):
         if data[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
+        # T.81 B.1.1.2: markers may be preceded by any number of 0xFF fill
+        # bytes — common in real camera files; skip the run.
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / stray RSTn: standalone markers with NO length field.
+            pos += 2
+            continue
+        if pos + 4 > len(data):
             break
         seg_len = struct.unpack_from(">H", data, pos + 2)[0]
         body = pos + 4
@@ -764,6 +774,21 @@ def decode_jpeg(data: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]
             for i in range(nc):
                 cid, hv, tq = data[body + 6 + 3 * i], data[body + 7 + 3 * i], data[body + 8 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+            if nc == 3:
+                # The upsampler below indexes both chroma planes with
+                # comps[1]'s factors — reject (rather than silently
+                # mis-color) the spec-legal but unsupported cases: Cb/Cr
+                # sampled differently, or chroma factors that don't divide
+                # luma's (non-integer upsampling ratio).
+                if (comps[1]["h"], comps[1]["v"]) != (comps[2]["h"], comps[2]["v"]):
+                    raise ValueError("unsupported JPEG: Cb and Cr sampling factors differ")
+                if (
+                    comps[1]["h"] == 0
+                    or comps[1]["v"] == 0
+                    or comps[0]["h"] % comps[1]["h"]
+                    or comps[0]["v"] % comps[1]["v"]
+                ):
+                    raise ValueError("unsupported JPEG: chroma sampling does not divide luma's")
             frame = {"w": w, "h": h, "comps": comps}
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("unsupported JPEG variant (progressive/arithmetic) — inject a full decoder")

@@ -387,7 +387,7 @@ def image_dhash(
     data_col: str = "data",
 ) -> DataFrame:
     """Perceptual fingerprint per image: (asset_id, dhash) with the 64-bit
-    difference hash (codecs.dhash64, BMP/PNG built-in). NULL payloads
+    difference hash (codecs.dhash64; BMP/PNG/GIF/JPEG built-in). NULL payloads
     yield NULL hashes. The binary column stays inside mapInPandas; only
     the 8-byte hash continues into the pipeline. The id column keeps its
     INPUT type (string asset keys are as common as numeric ones — think

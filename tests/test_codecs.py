@@ -725,3 +725,46 @@ def test_jpeg_resizer_through_sniff_path():
     assert out_bytes[:2] == b"\xff\xd8"  # stayed JPEG
     w, h, decoded = decode_jpeg(out_bytes)
     assert (w, h) == (16, 9)
+
+
+def test_jpeg_header_fill_bytes_and_standalone_markers():
+    """T.81 allows 0xFF fill-byte runs before any marker and standalone
+    length-less markers (TEM 0x01, stray RSTn) between header segments —
+    both appear in real camera files and must not derail the marker walk."""
+    from h2outility_spark.codecs import decode_jpeg, encode_jpeg
+
+    rows = [[(90, 140, 200)] * 16] * 16
+    clean = encode_jpeg(rows, quality=95)
+    w0, h0, base = decode_jpeg(clean)
+    i = clean.find(b"\xff\xdb")  # first DQT
+    assert i > 0
+    # fill-byte run before DQT, then TEM and a stray RST3 before the rest
+    padded = clean[:i] + b"\xff\xff\xff" + b"\xff\xdb" + clean[i + 2 : i + 2] + clean[i + 2 :]
+    j = padded.find(b"\xff\xc0")
+    padded = padded[:j] + b"\xff\x01" + b"\xff\xd3" + padded[j:]
+    w, h, out = decode_jpeg(padded)
+    assert (w, h) == (w0, h0)
+    assert out == base  # identical entropy data => identical pixels
+
+
+def test_jpeg_rejects_mismatched_chroma_sampling():
+    """Cb/Cr with different sampling factors (spec-legal, unsupported by
+    the shared-factor upsampler) must raise, not silently mis-color; same
+    for chroma factors that don't divide luma's."""
+    from h2outility_spark.codecs import decode_jpeg, encode_jpeg
+
+    data = bytearray(encode_jpeg([[(10, 200, 30)] * 8] * 8, subsampling="420"))
+    i = data.find(b"\xff\xc0")
+    # SOF0 layout: FF C0 len(2) prec(1) h(2) w(2) nc(1) then per-comp
+    # [id, hv, tq]; comp2's hv byte sits at i+14, comp3's at i+17.
+    assert data[i + 14] == 0x11 and data[i + 17] == 0x11  # 4:2:0 chroma
+    patched = bytearray(data)
+    patched[i + 17] = 0x21  # Cr sampled 2x1 while Cb stays 1x1
+    with pytest.raises(ValueError, match="Cb and Cr"):
+        decode_jpeg(bytes(patched))
+    patched2 = bytearray(data)
+    # chroma factors exceeding luma's (luma 2x2 here): 3x1 doesn't divide
+    patched2[i + 14] = 0x31
+    patched2[i + 17] = 0x31
+    with pytest.raises(ValueError, match="divide"):
+        decode_jpeg(bytes(patched2))
