@@ -182,10 +182,12 @@ def ivf_assign_multi(
     only while its angular distance stays within ``ratio``× the nearest
     cell's (``(1-sim_k) <= ratio*(1-sim_1)``), so the duplication budget
     concentrates on genuine boundary vectors instead of taxing every row.
-    Measured trade (RECALL.json sweep): adaptive dominates below ~7% rows
-    scanned (0.87 recall at 6.3% rows with m=2/ratio=1.05/probe 3) but
-    saturates near 0.87 as probe grows; above that budget fixed-m wins.
-    Same broadcast-centroids narrow-map shape as ivf_assign.
+    Measured trade (the committed RECALL.json sweep, 96 cells, ratio
+    1.05): adaptive serves row budgets BELOW fixed-m's floor — 0.800
+    recall at 3.3% rows (probe 3) and 0.774 at 2.2% rows (probe 2), where
+    the cheapest fixed-m point is 0.898 at 9.4%; at budgets >= ~9% rows
+    fixed-m wins outright. Same broadcast-centroids narrow-map shape as
+    ivf_assign.
     """
     from pyspark.sql import Window as W
 

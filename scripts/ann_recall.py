@@ -64,25 +64,34 @@ def main() -> None:
 
     n_corpus = emb.count()
     configs = []
-    for kcells, iters, m, probes in (
-        (64, 5, 1, (8, 16)),        # round-3 production baseline (continuity)
-        (128, 5, 2, (6, 12)),       # round-4 production (m=2 spill, probe 12)
-        # Round-6 row-economics search (26 configs swept across cells
-        # {48..256} x fixed-spill m {1..5} x adaptive-ratio spill x probe):
-        # 96 cells / m=3 is the measured row-efficiency frontier. probe 3
-        # = 0.898 recall at 9.4% rows (the <=10%-rows frontier point, one
-        # neighbor in 500 short of 0.9); probe 4 = 0.914 at 12.5% rows,
-        # the new production pick (recall >= 0.9 at 33% fewer rows than
-        # round 4's 0.932 @ 18.75%). Adaptive distance-ratio spill
-        # (ivf_assign_multi(ratio=...)) dominates BELOW ~7% rows (e.g.
-        # 0.87 @ 6.3% with m=2+ratio 1.05) but saturates ~0.87 as probe
-        # grows — boundary vectors alone can't recover far-cell
-        # neighbors on this structure-free corpus; fixed m wins above.
-        (96, 10, 3, (3, 4)),        # round-6 frontier + production
+    for kcells, iters, m, ratio, probes in (
+        (64, 5, 1, None, (8, 16)),  # round-3 production baseline (continuity)
+        (128, 5, 2, None, (6, 12)),  # round-4 production (m=2 spill, probe 12)
+        # Round-6 row-economics search: 96 cells / m=3 is the measured
+        # row-efficiency frontier. probe 3 = ~0.898 recall at ~9.4% rows
+        # (the <=10%-rows frontier point, one neighbor in 500 short of
+        # 0.9); probe 4 = ~0.914 at ~12.5% rows, the production pick
+        # (recall >= 0.9 at 33% fewer rows than round 4's 0.932 @
+        # 18.75%).
+        (96, 10, 3, None, (3, 4)),  # round-6 frontier + production
+        # Adaptive distance-ratio spill (ivf_assign_multi(ratio=...)):
+        # spill copies only for genuine boundary vectors, serving row
+        # budgets BELOW fixed-m's floor (measured here: 0.800 recall at
+        # 3.3% rows with probe 3; 0.774 at 2.2% with probe 2 — vs the
+        # cheapest fixed-m point, 0.898 at 9.4%); at budgets >= ~9% rows
+        # fixed m wins because boundary copies alone can't recover
+        # far-cell neighbors on this structure-free corpus. Both configs
+        # are IN this committed sweep so RECALL.json carries the numbers:
+        # m=2/ratio 1.05 and m=3/ratio 1.05 probe 2 (the registered
+        # ivf_search_adaptive query's config).
+        (96, 10, 2, 1.05, (2, 3)),
+        (96, 10, 3, 1.05, (2, 3)),
     ):
         cent = kmeans(emb, k=kcells, max_iter=iters).withColumnRenamed("cluster", "label")
         assign = (
-            sim.ivf_assign_multi(emb, cent.withColumnRenamed("label", "label"), m=m)
+            sim.ivf_assign_multi(
+                emb, cent.withColumnRenamed("label", "label"), m=m, ratio=ratio
+            )
             if m > 1
             else sim.ivf_assign(emb, cent)
         ).withColumnRenamed("cell", "km_cell")
@@ -98,12 +107,14 @@ def main() -> None:
                 emb_km, queries_km, k=k, n_probe=n_probe, spill=(m > 1)
             ).select("query_id", "cand_id")
             r = round(sim.recall_at_k(approx, exact), 4)
-            tag = f"ivf_kmeans{kcells}_m{m}_recall_at_{k}_probe{n_probe}"
+            rtag = f"r{ratio}" if ratio else ""
+            tag = f"ivf_kmeans{kcells}_m{m}{rtag}_recall_at_{k}_probe{n_probe}"
             out[tag] = r
             configs.append(
                 {
                     "cells": kcells,
                     "spill_m": m,
+                    "spill_ratio": ratio,
                     "probe": n_probe,
                     "cell_frac": round(n_probe / kcells, 4),
                     "row_frac": round(n_assign * n_probe / kcells / n_corpus, 4),
