@@ -91,6 +91,70 @@ def asof_join_backward(
     return result
 
 
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    payload_cols: list[str] | None = None,
+    tolerance_seconds: float | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """For each left row: columns of the OLDEST right row at-or-after it —
+    the mirror of :func:`asof_join_backward` (same union-sort-carry shape,
+    one shuffle on the keys, no per-group pandas). The natural direction
+    for "next event after": next click after a purchase, next maintenance
+    visit after an alarm, the reading that closes an interval.
+
+    ``tolerance_seconds`` bounds how far forward the match may reach
+    (NULLs beyond it). ``tiebreak`` resolves duplicate (keys, ts) right
+    rows exactly like the backward variant: the LARGEST tiebreak value
+    wins the carry, keeping the result partition-order-independent.
+    """
+    payload_cols = payload_cols or [c for c in right.columns if c not in keys and c != right_ts]
+    lt = left.withColumn("__side", F.lit(0)).withColumn("__ts", F.col(left_ts))
+    rt = (
+        right.select(
+            *keys,
+            F.col(right_ts).alias("__rts"),
+            *[F.col(c).alias(f"__p_{c}") for c in payload_cols],
+        )
+        .withColumn("__side", F.lit(1))
+        .withColumn("__ts", F.col("__rts"))
+    )
+    if tiebreak is not None:
+        rt = rt.withColumn("__tb", F.col(f"__p_{tiebreak}") if tiebreak in payload_cols else F.col(tiebreak))
+        lt = lt.withColumn("__tb", F.lit(None))
+    both = lt.unionByName(rt, allowMissingColumns=True)
+    # left rows sort BEFORE right rows at equal timestamps, so the
+    # forward-looking window still sees an equal-ts right row → ">="
+    # semantics; among equal-ts right rows the DESC tiebreak puts the
+    # winner first (left rows sit earlier by __side, so their null __tb
+    # never reorders them relative to right rows)
+    order = ["__ts", "__side"] + ([F.col("__tb").desc_nulls_last()] if tiebreak is not None else [])
+    w = W.partitionBy(*keys).orderBy(*order).rowsBetween(0, W.unboundedFollowing)
+    carried = both.select(
+        "*",
+        F.first(F.when(F.col("__side") == 1, F.col("__rts")), ignorenulls=True).over(w).alias("__asof_ts"),
+        *[
+            F.first(F.when(F.col("__side") == 1, F.col(f"__p_{c}")), ignorenulls=True).over(w).alias(f"__a_{c}")
+            for c in payload_cols
+        ],
+    )
+    out = carried.filter(F.col("__side") == 0)
+    within = F.lit(True)
+    if tolerance_seconds is not None:
+        within = (F.unix_micros(F.col("__asof_ts")) - F.unix_micros(F.col(left_ts))) <= int(
+            tolerance_seconds * 1_000_000
+        )
+    return out.select(
+        *left.columns,
+        F.when(within, F.col("__asof_ts")).alias("asof_ts"),
+        *[F.when(within, F.col(f"__a_{c}")).alias(c) for c in payload_cols],
+    )
+
+
 def range_join_count(
     left: DataFrame,
     right: DataFrame,

@@ -1,0 +1,309 @@
+"""Round-8 registry staging area (same lifecycle as ``workload_next`` /
+``workload_next2``): fully-formed (PySpark fn, DuckDB oracle) pairs that
+cannot enter the registry yet — every round-7 CHECKED_WINDOW slot is
+occupied and ``tests/test_checked_window.py`` (correctly) refuses new
+queries outside the window. Deliberately NOT decorated with ``@query``;
+the round-8 rotation wraps them.
+
+Each pair is parity-tested in ``tests/test_workload_next.py`` (STAGED3)
+under the driver's comparison discipline at sf0.001 AND sf0.01, so
+promotion is a decorator change, not new verification work.
+
+Coverage targets (VERDICT r6 "stage the round-8 window now"):
+  * ``txtable_concurrent_appends`` — the commit-retry path
+    (``storage_tx.py`` CommitConflict + re-read-parent retry) has race
+    regression tests but no driver row; here three genuinely concurrent
+    writers MUST serialize through the conflict loop and the oracle
+    states the lossless union.
+  * ``stream_watermark_windows`` — event-time windowed aggregation with a
+    watermark under ``Trigger.AvailableNow``: the streaming twin of
+    ``event_time_windows``, certifying watermark advance + append-mode
+    window flush across checkpointed restarts.
+  * ``asof_join_forward`` — the NEW forward as-of operator (next event
+    at-or-after, with tolerance and tiebreak), mirroring the certified
+    backward variant.
+  * ``dedup_keep_best`` — near-dup clusters collapsed to their
+    best-quality representative (the real pipeline's dedup policy: keep
+    the longest doc, not the smallest id).
+  * ``txtable_prune_scan`` — the manifest min/max file-pruned range scan
+    (``TxTable.scan``), data-identity-checked against the plain filter
+    (the pruning economics are pinned by a pytest file-count assertion).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W, functions as F
+
+from h2outility_spark.operators import asof, dedup
+from h2outility_spark.storage_tx import TxTable
+from h2outility_spark.workload import _t
+from h2outility_spark.workload_lakehouse import scratch_dir
+from h2outility_spark.workload_text import (
+    CLUSTERS_CTE,
+    JPAIRS_CTE,
+    MH_CAND_CTE,
+    MH_CTE,
+    MINHASH_K,
+    _docs,
+)
+
+# -- concurrent appends through the commit-retry path -------------------------
+
+CONCURRENT_APPENDS_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders WHERE o_orderkey % 100 < 8
+"""
+
+
+def q_txtable_concurrent_appends(spark, sf_dir):
+    """Three writers appending AT THE SAME TIME (own table handles, own
+    manifest reads) after a base append: all four read-modify-commit
+    cycles race for version slots, the atomic ``os.link`` check-and-put
+    hands each version to exactly one writer, and the losers retry from
+    the NEW parent (storage_tx.py::append). The oracle states the
+    lossless union — a lost update (a retry that re-read a stale parent,
+    or a winner whose files the loser dropped) flips the hash.
+    """
+    import threading
+
+    base = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+
+    def slice_mod(lo: int, hi: int):
+        m = F.col("o_orderkey") % 100
+        return base.filter((m >= lo) & (m < hi))
+
+    tdir = scratch_dir("h2ou_txconc_") + "/t"
+    t = TxTable(spark, tdir, key_cols=["o_orderkey"])
+    t.append(slice_mod(0, 2))
+
+    errs: list[Exception] = []
+
+    def writer(lo: int, hi: int) -> None:
+        try:
+            TxTable(spark, tdir, key_cols=["o_orderkey"]).append(
+                slice_mod(lo, hi), _retries=20
+            )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=writer, args=(lo, hi))
+        for lo, hi in ((2, 4), (4, 6), (6, 8))
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    if errs:
+        raise errs[0]
+    return t.snapshot().select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+# -- streaming: watermarked event-time windows under AvailableNow -------------
+
+STREAM_WATERMARK_ORACLE = """
+SELECT date_trunc('hour', ts) AS hour_start, event_type, count(*) AS cnt
+FROM events GROUP BY 1, 2
+"""
+
+#: Event-time split point for the two micro-batch files: every batch-2
+#: event is strictly newer than batch 1's max, so nothing is late beyond
+#: the 1-hour watermark and the streaming counts must equal the batch
+#: GROUP BY exactly.
+_STREAM_CUT = "2024-01-03 00:00:00"
+_FLUSH_TS = "2030-01-01 00:00:00"
+
+
+def q_stream_watermark_windows(spark, sf_dir):
+    """Streaming twin of ``event_time_windows``: hourly event counts per
+    type computed by a WATERMARKED window aggregation drained with
+    ``Trigger.AvailableNow`` — two real micro-batch files exercise state
+    carried across checkpointed restarts, and a far-future flush event
+    advances the watermark past every real window so append mode emits
+    them all (the production "close the books" pattern). The flush
+    window itself is filtered back out. Scale shape: the state store
+    keys on (window, type) — O(open windows), never O(events).
+    """
+    from pyspark.sql.types import StringType, StructField, StructType, TimestampType
+
+    ev = _t(spark, sf_dir, "events").select("ts", "event_type")
+    src = scratch_dir("h2ou_swm_src_")
+    out = scratch_dir("h2ou_swm_out_") + "/out"
+    ckpt = scratch_dir("h2ou_swm_ckpt_") + "/ckpt"
+    cut = F.lit(_STREAM_CUT).cast("timestamp")
+    schema = StructType(
+        [StructField("ts", TimestampType()), StructField("event_type", StringType())]
+    )
+
+    def drain(name: str) -> None:
+        agg = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .load(src)
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.col("win.start").alias("hour_start"), "event_type", "cnt")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+
+    # coalesce(1): one file per drain -> one micro-batch per drain
+    ev.filter(F.col("ts") < cut).coalesce(1).write.mode("append").parquet(src)
+    drain("swm-1")
+    ev.filter(F.col("ts") >= cut).coalesce(1).write.mode("append").parquet(src)
+    drain("swm-2")
+    spark.createDataFrame([(_FLUSH_TS, "__flush__")], "ts string, event_type string").select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    ).coalesce(1).write.mode("append").parquet(src)
+    drain("swm-flush")
+
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("event_type") != "__flush__")
+        .select("hour_start", "event_type", "cnt")
+    )
+
+
+# -- forward as-of join --------------------------------------------------------
+
+ASOF_FORWARD_ORACLE = """
+WITH purch AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+     clicks AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+     j AS (
+       SELECT p.event_id, c.ts AS cts, c.value,
+              row_number() OVER (PARTITION BY p.event_id
+                                 ORDER BY c.ts, c.value DESC) AS rk
+       FROM purch p JOIN clicks c
+         ON c.user_id = p.user_id AND c.ts >= p.ts
+        AND epoch_us(c.ts) - epoch_us(p.ts) <= 7200000000
+     )
+SELECT p.event_id, p.user_id, p.ts,
+       s.cts AS asof_ts, CAST(s.value AS DOUBLE) AS asof_value
+FROM purch p LEFT JOIN (SELECT * FROM j WHERE rk = 1) s USING (event_id)
+"""
+
+
+def q_asof_join_forward(spark, sf_dir):
+    """Forward as-of: each purchase aligned to the user's EARLIEST click
+    at-or-after it, within a 2-hour tolerance — the mirror of the
+    certified backward ``asof_join`` (same one-shuffle union-sort-carry,
+    operators/asof.py::asof_join_forward), with ``value`` as the
+    duplicate-timestamp tiebreak so both engines pick the same click.
+    """
+    ev = _t(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    out = asof.asof_join_forward(
+        purch, clicks, keys=["user_id"], payload_cols=["value"],
+        tolerance_seconds=7200, tiebreak="value",
+    )
+    return out.select("event_id", "user_id", "ts", "asof_ts", F.col("value").alias("asof_value"))
+
+
+# -- near-dup dedup that keeps the BEST representative -------------------------
+
+DEDUP_KEEP_BEST_ORACLE = (
+    "WITH RECURSIVE "
+    + MH_CTE
+    + MH_CAND_CTE
+    + JPAIRS_CTE
+    + CLUSTERS_CTE
+    + """,
+    alld AS (SELECT doc_id, n_chars FROM documents),
+    memb AS (
+      SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+      FROM alld d LEFT JOIN clusters c ON c.node = d.doc_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                   ORDER BY n_chars DESC, doc_id) AS rk
+      FROM memb
+    )
+    SELECT doc_id, cluster_id, n_chars FROM ranked WHERE rk = 1
+    """
+)
+
+
+def q_dedup_keep_best(spark, sf_dir):
+    """Near-dup dedup with a QUALITY policy: MinHash-LSH pairs verified by
+    Jaccard >= 0.2, collapsed to clusters, then ONE representative kept
+    per cluster — the LONGEST document (n_chars), ties to the smallest
+    id. This is the policy real pipelines want (keep-first throws away
+    the best copy whenever the best copy isn't the oldest). Docs outside
+    any cluster are their own representative. Scale shape: pairs come
+    from banded buckets, the window is per-cluster — no O(n^2) stage.
+    """
+    docs = _docs(spark, sf_dir)
+    sigs = dedup.minhash_signatures(docs, num_hashes=MINHASH_K).cache()
+    pairs = dedup.lsh_candidate_pairs(sigs, bands=[[i] for i in range(MINHASH_K)])
+    verified = dedup.jaccard_for_pairs(pairs, docs).filter(F.col("jaccard") >= 0.2)
+    cc = dedup.connected_components(verified.select("id_a", "id_b"))
+    memb = (
+        docs.select("doc_id", "n_chars")
+        .join(cc, docs["doc_id"] == cc["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+            "n_chars",
+        )
+    )
+    w = W.partitionBy("cluster_id").orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        memb.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1).drop("rk")
+    )
+
+
+# -- manifest-pruned range scan -------------------------------------------------
+
+TXTABLE_PRUNE_ORACLE = """
+SELECT o_orderkey, o_orderkey % 1000 AS key_bucket, o_totalprice
+FROM orders
+WHERE o_orderkey % 100 < 4 AND o_orderkey % 1000 BETWEEN 250 AND 499
+"""
+
+
+def q_txtable_prune_scan(spark, sf_dir):
+    """Manifest min/max range scan: four appends land bucket-disjoint
+    files ([0,250), [250,500), [500,750), [750,1000) on ``key_bucket``),
+    then ``TxTable.scan`` answers a [250, 499] range by reading ONLY the
+    overlapping file — the file-level prune comes from manifest stats,
+    no storage listing (storage_tx.py::scan; the read-only-one-file
+    economics are pinned by tests/test_workload_next.py's file-count
+    assertion). The oracle is the plain filter over the source rows.
+    """
+    base = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 < 4)
+        .select(
+            "o_orderkey",
+            (F.col("o_orderkey") % 1000).alias("key_bucket"),
+            "o_totalprice",
+        )
+    )
+    tdir = scratch_dir("h2ou_txprune_") + "/t"
+    t = TxTable(spark, tdir, key_cols=["key_bucket"])
+    for lo, hi in ((0, 250), (250, 500), (500, 750), (750, 1000)):
+        part = base.filter((F.col("key_bucket") >= lo) & (F.col("key_bucket") < hi))
+        t.append(part.coalesce(1))
+    return t.scan("key_bucket", 250, 499)
+
+
+#: name -> (fn, oracle) for the round-8 promotion pass and the parity test.
+STAGED3 = {
+    "txtable_concurrent_appends": (q_txtable_concurrent_appends, CONCURRENT_APPENDS_ORACLE),
+    "stream_watermark_windows": (q_stream_watermark_windows, STREAM_WATERMARK_ORACLE),
+    "asof_join_forward": (q_asof_join_forward, ASOF_FORWARD_ORACLE),
+    "dedup_keep_best": (q_dedup_keep_best, DEDUP_KEEP_BEST_ORACLE),
+    "txtable_prune_scan": (q_txtable_prune_scan, TXTABLE_PRUNE_ORACLE),
+}

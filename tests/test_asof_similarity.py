@@ -138,3 +138,31 @@ def test_hybrid_search_rrf_fusion(spark):
 # (the DuckDB differential for hybrid_search moved to
 # workload_next.HYBRID_SEARCH_ORACLE + tests/test_workload_next.py, which
 # checks it at sf0.001 AND sf0.01 under the driver's comparison discipline)
+
+
+def test_asof_forward_basic_equal_ts_and_no_match(spark):
+    left = spark.createDataFrame(
+        [Row(k="a", ts=ts(5), lid=1), Row(k="a", ts=ts(4), lid=2), Row(k="a", ts=ts(9), lid=3)]
+    )
+    right = spark.createDataFrame(
+        [Row(k="a", ts=ts(4), v=40.0), Row(k="a", ts=ts(6), v=60.0), Row(k="a", ts=ts(8), v=80.0)]
+    )
+    out = {r["lid"]: r for r in asof.asof_join_forward(left, right, ["k"], payload_cols=["v"]).collect()}
+    assert out[1]["v"] == 60.0 and out[1]["asof_ts"] == ts(6)  # earliest at-or-after
+    assert out[2]["v"] == 40.0  # >= semantics: equal timestamps match
+    assert out[3]["v"] is None  # nothing after ts(9)
+
+
+def test_asof_forward_tolerance_and_tiebreak(spark):
+    left = spark.createDataFrame([Row(k="a", ts=ts(0), lid=1), Row(k="a", ts=ts(5), lid=2)])
+    right = spark.createDataFrame(
+        [Row(k="a", ts=ts(6), v=3.0), Row(k="a", ts=ts(6), v=9.0), Row(k="a", ts=ts(20), v=1.0)]
+    )
+    out = {
+        r["lid"]: r
+        for r in asof.asof_join_forward(
+            left, right, ["k"], payload_cols=["v"], tolerance_seconds=2 * 3600, tiebreak="v"
+        ).collect()
+    }
+    assert out[1]["v"] is None  # 6h ahead > 2h tolerance
+    assert out[2]["v"] == 9.0  # duplicate-ts right rows: largest tiebreak wins
