@@ -15,6 +15,9 @@ Coverage targets (VERDICT r6 "stage the round-8 window now"):
     regression tests but no driver row; here three genuinely concurrent
     writers MUST serialize through the conflict loop and the oracle
     states the lossless union.
+  * ``txtable_concurrent_merge`` — a merge racing an append, resolved
+    through merge_upsert's documented conflict contract (surface
+    CommitConflict; the caller re-merges on the moved snapshot).
   * ``stream_watermark_windows`` — event-time windowed aggregation with a
     watermark under ``Trigger.AvailableNow``: the streaming twin of
     ``event_time_windows``, certifying watermark advance + append-mode
@@ -299,9 +302,78 @@ def q_txtable_prune_scan(spark, sf_dir):
     return t.scan("key_bucket", 250, 499)
 
 
+# -- merge racing an append through the documented conflict contract ----------
+
+CONCURRENT_MERGE_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       CASE WHEN o_orderkey % 100 < 2
+            THEN CAST(o_totalprice * 2 AS DOUBLE)
+            ELSE o_totalprice END AS o_totalprice
+FROM orders WHERE o_orderkey % 100 < 6
+"""
+
+
+def q_txtable_concurrent_merge(spark, sf_dir):
+    """A MERGE racing an APPEND on the same table: merge_upsert documents
+    that a commit conflict SURFACES to the caller (re-merging against a
+    moved snapshot silently would be a lost-update hazard), so the merge
+    writer implements the documented contract — catch CommitConflict and
+    re-run the whole merge against the new snapshot. Whichever
+    interleaving wins, the final state is the same: the appended keys
+    land untouched and the doubled prices apply exactly once to the
+    update keys (disjoint from the appends). The oracle states that
+    state; a lost append, a dropped update, or a double-applied update
+    all flip the hash.
+    """
+    import threading
+
+    from h2outility_spark.storage_tx import CommitConflict
+
+    base = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+
+    def slice_mod(lo: int, hi: int):
+        m = F.col("o_orderkey") % 100
+        return base.filter((m >= lo) & (m < hi))
+
+    tdir = scratch_dir("h2ou_txcmrg_") + "/t"
+    t = TxTable(spark, tdir, key_cols=["o_orderkey"])
+    t.append(slice_mod(0, 4))
+    updates = slice_mod(0, 2).withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    errs: list[Exception] = []
+
+    def appender() -> None:
+        try:
+            TxTable(spark, tdir, key_cols=["o_orderkey"]).append(slice_mod(4, 6), _retries=20)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    def merger() -> None:
+        try:
+            h = TxTable(spark, tdir, key_cols=["o_orderkey"])
+            for _ in range(20):
+                try:
+                    h.merge_upsert(updates)
+                    return
+                except CommitConflict:
+                    continue  # documented contract: re-merge on the new snapshot
+            raise CommitConflict("merge lost the commit race 20 times")
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=appender), threading.Thread(target=merger)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    if errs:
+        raise errs[0]
+    return t.snapshot().select("o_orderkey", "o_custkey", "o_totalprice")
+
+
 #: name -> (fn, oracle) for the round-8 promotion pass and the parity test.
 STAGED3 = {
     "txtable_concurrent_appends": (q_txtable_concurrent_appends, CONCURRENT_APPENDS_ORACLE),
+    "txtable_concurrent_merge": (q_txtable_concurrent_merge, CONCURRENT_MERGE_ORACLE),
     "stream_watermark_windows": (q_stream_watermark_windows, STREAM_WATERMARK_ORACLE),
     "asof_join_forward": (q_asof_join_forward, ASOF_FORWARD_ORACLE),
     "dedup_keep_best": (q_dedup_keep_best, DEDUP_KEEP_BEST_ORACLE),
