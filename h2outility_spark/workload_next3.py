@@ -22,6 +22,9 @@ Coverage targets (VERDICT r6 "stage the round-8 window now"):
     watermark under ``Trigger.AvailableNow``: the streaming twin of
     ``event_time_windows``, certifying watermark advance + append-mode
     window flush across checkpointed restarts.
+  * ``stream_session_windows`` — STATEFUL sessionization via
+    ``F.session_window``: open sessions must merge across micro-batch
+    boundaries in the state store before the watermark flushes them.
   * ``asof_join_forward`` — the NEW forward as-of operator (next event
     at-or-after, with tolerance and tiebreak), mirroring the certified
     backward variant.
@@ -175,6 +178,89 @@ def q_stream_watermark_windows(spark, sf_dir):
         spark.read.parquet(out)
         .filter(F.col("event_type") != "__flush__")
         .select("hour_start", "event_type", "cnt")
+    )
+
+
+# -- streaming: stateful session windows under AvailableNow -------------------
+
+STREAM_SESSION_ORACLE = """
+WITH t AS (
+  SELECT user_id, ts, epoch_us(ts) AS tu,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS ptu
+  FROM events
+),
+s AS (
+  SELECT *, sum(CASE WHEN ptu IS NULL OR tu - ptu >= 21600000000 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM t
+)
+SELECT user_id, min(ts) AS session_start, CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
+def q_stream_session_windows(spark, sf_dir):
+    """STATEFUL streaming sessionization: ``F.session_window`` (6-hour
+    inactivity gap) under ``Trigger.AvailableNow`` — the one stateful
+    shape the other streaming queries don't cover, because sessions MERGE
+    ACROSS MICRO-BATCHES in the state store (an open session from batch 1
+    must absorb batch-2 events within the gap). Two event-time-split
+    batches exercise exactly that; a far-future sentinel advances the
+    watermark so append mode flushes every real session.
+
+    Semantics note mirrored in the oracle: session windows merge on
+    OVERLAP ([t, t+gap) intervals), so a gap of exactly 6 h starts a NEW
+    session — the lag-cumsum oracle breaks on ``>=`` (the batch
+    ``sessionization`` query's ``>`` convention would disagree on
+    exact-gap pairs). State is O(open sessions), never O(events).
+    """
+    from pyspark.sql.types import LongType, StructField, StructType, TimestampType
+
+    ev = _t(spark, sf_dir, "events").select("ts", "user_id")
+    src = scratch_dir("h2ou_ssw_src_")
+    out = scratch_dir("h2ou_ssw_out_") + "/out"
+    ckpt = scratch_dir("h2ou_ssw_ckpt_") + "/ckpt"
+    cut = F.lit(_STREAM_CUT).cast("timestamp")
+    schema = StructType(
+        [StructField("ts", TimestampType()), StructField("user_id", LongType())]
+    )
+
+    def drain(name: str) -> None:
+        agg = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .load(src)
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.session_window("ts", "6 hours").alias("sw"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id", F.col("sw.start").alias("session_start"), "n_events")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+
+    ev.filter(F.col("ts") < cut).coalesce(1).write.mode("append").parquet(src)
+    drain("ssw-1")
+    ev.filter(F.col("ts") >= cut).coalesce(1).write.mode("append").parquet(src)
+    drain("ssw-2")
+    spark.createDataFrame([(_FLUSH_TS, -1)], "ts string, user_id long").select(
+        F.col("ts").cast("timestamp").alias("ts"), "user_id"
+    ).coalesce(1).write.mode("append").parquet(src)
+    drain("ssw-flush")
+
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("user_id") >= 0)
+        .select("user_id", "session_start", "n_events")
     )
 
 
@@ -375,6 +461,7 @@ STAGED3 = {
     "txtable_concurrent_appends": (q_txtable_concurrent_appends, CONCURRENT_APPENDS_ORACLE),
     "txtable_concurrent_merge": (q_txtable_concurrent_merge, CONCURRENT_MERGE_ORACLE),
     "stream_watermark_windows": (q_stream_watermark_windows, STREAM_WATERMARK_ORACLE),
+    "stream_session_windows": (q_stream_session_windows, STREAM_SESSION_ORACLE),
     "asof_join_forward": (q_asof_join_forward, ASOF_FORWARD_ORACLE),
     "dedup_keep_best": (q_dedup_keep_best, DEDUP_KEEP_BEST_ORACLE),
     "txtable_prune_scan": (q_txtable_prune_scan, TXTABLE_PRUNE_ORACLE),
