@@ -119,6 +119,7 @@ def main() -> None:
     # (r02 lesson — a single analysis exception killed the bench run). Each
     # query runs under try/except; failures land in "errors" and the JSON
     # line is ALWAYS printed.
+    t_bench_start = time.perf_counter()
     timings: dict[str, float] = {}
     all_samples: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
@@ -218,6 +219,12 @@ def main() -> None:
             import math
 
             for name in SCALING100:
+                # The scaling evidence is supplementary: if an episodic VM
+                # stall has already eaten the wall budget, ship the headline
+                # numbers rather than risk the whole JSON line.
+                if time.perf_counter() - t_bench_start > 420:
+                    errors[f"scaling100:{name}"] = "skipped: bench wall budget exhausted"
+                    continue
                 spec = specs.get(name)
                 t_small = scaling.get(name, {}).get("t_sf0.01")
                 if spec is None or t_small is None:
