@@ -101,6 +101,104 @@ def stream_sessionized(
     )
 
 
+def stream_session_paths(
+    events: DataFrame,
+    gap_seconds: int = 21_600,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """CUSTOM stateful streaming operator via ``applyInPandasWithState`` —
+    the custom-operator ladder rung the built-ins can't reach: per-session
+    ORDERED payload. ``session_window`` can count a session's events but
+    cannot emit the '>'-joined event-type PATH in time order (ordered
+    string aggregation isn't a streaming-aggregate expression); a custom
+    state function can, because it owns the session buffer.
+
+    Semantics (mirrored by the batch oracle): events per key sorted by
+    (ts, id); a gap STRICTLY greater than ``gap_seconds`` closes a
+    session (same ``>`` convention as the batch ``sessionization``
+    query); emitted row = (key, session_start, n_events, path).
+
+    Eager emission: on every invocation, sessions whose last event plus
+    the gap sits BELOW the current watermark are emitted immediately (no
+    in-horizon event can extend or bridge them: any admissible future
+    event has ts >= watermark > last + gap, which is by itself a session
+    break) — state holds only the OPEN tail, O(open sessions), never
+    O(events). The event-time timeout flushes whatever remains when the
+    watermark passes it. Caveat shared with every event-time state op:
+    events older than the watermark (which Spark may or may not drop) can
+    mis-sessionize; feed ordered-enough data or widen the delay.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_seconds * 1_000_000
+    out_schema = (
+        f"{key_col} long, session_start timestamp, n_events long, path string"
+    )
+    state_schema = "tus array<long>, eid array<long>, ety array<string>"
+
+    def fn(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        (uid,) = key
+        if state.exists:
+            tus, eid, ety = (list(x) for x in state.get)
+        else:
+            tus, eid, ety = [], [], []
+        for pdf in pdf_iter:
+            tus.extend((pdf[ts_col].astype("int64") // 1000).tolist())
+            eid.extend(pdf[id_col].astype("int64").tolist())
+            ety.extend(pdf[type_col].astype(str).tolist())
+        rows = sorted(zip(tus, eid, ety))
+        sessions: list[list[tuple]] = []
+        cur: list[tuple] = []
+        for r in rows:
+            if cur and r[0] - cur[-1][0] > gap_us:
+                sessions.append(cur)
+                cur = [r]
+            else:
+                cur.append(r)
+        if cur:
+            sessions.append(cur)
+
+        if state.hasTimedOut:
+            emit, keep = sessions, []
+        else:
+            wm_us = state.getCurrentWatermarkMs() * 1000
+            emit = [s for s in sessions if s[-1][0] + gap_us < wm_us]
+            keep = [s for s in sessions if s[-1][0] + gap_us >= wm_us]
+
+        if keep:
+            flat = [r for s in keep for r in s]
+            state.update(
+                ([r[0] for r in flat], [r[1] for r in flat], [r[2] for r in flat])
+            )
+            state.setTimeoutTimestamp(max(r[0] for r in flat) // 1000 + gap_seconds * 1000 + 1)
+        else:
+            state.remove()
+
+        if emit:
+            yield pd.DataFrame(
+                {
+                    key_col: [uid] * len(emit),
+                    "session_start": [pd.to_datetime(s[0][0], unit="us") for s in emit],
+                    "n_events": [len(s) for s in emit],
+                    "path": [">".join(r[2] for r in s) for s in emit],
+                }
+            )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )
+
+
 def stream_deduped_append(
     events: DataFrame,
     keys: list[str],

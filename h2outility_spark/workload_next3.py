@@ -25,6 +25,10 @@ Coverage targets (VERDICT r6 "stage the round-8 window now"):
   * ``stream_session_windows`` — STATEFUL sessionization via
     ``F.session_window``: open sessions must merge across micro-batch
     boundaries in the state store before the watermark flushes them.
+  * ``stream_session_paths`` — CUSTOM stateful operator via
+    ``applyInPandasWithState`` (ordered per-session event paths, which
+    ``session_window`` cannot express), with eager below-watermark
+    emission and an event-time-timeout flush.
   * ``asof_join_forward`` — the NEW forward as-of operator (next event
     at-or-after, with tolerance and tiebreak), mirroring the certified
     backward variant.
@@ -264,6 +268,90 @@ def q_stream_session_windows(spark, sf_dir):
     )
 
 
+# -- streaming: custom stateful operator (applyInPandasWithState) -------------
+
+STREAM_SESSION_PATHS_ORACLE = """
+WITH t AS (
+  SELECT user_id, event_id, ts, event_type, epoch_us(ts) AS tu,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ptu
+  FROM events
+),
+s AS (
+  SELECT *, sum(CASE WHEN ptu IS NULL OR tu - ptu > 21600000000 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS sid
+  FROM t
+)
+SELECT user_id, min(ts) AS session_start, CAST(count(*) AS BIGINT) AS n_events,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+FROM s GROUP BY user_id, sid
+"""
+
+
+def q_stream_session_paths(spark, sf_dir):
+    """CUSTOM stateful streaming via ``applyInPandasWithState``
+    (streaming/incremental.stream_session_paths): sessionization that
+    emits each session's ORDERED event-type path — semantics
+    ``session_window`` cannot express. Two event-time-split batches force
+    open sessions to extend across micro-batch state; settled sessions
+    emit EAGERLY (below-watermark), the event-time timeout flushes the
+    rest after the sentinel advances the watermark. The oracle restates
+    the whole computation as batch lag-cumsum + ordered string_agg.
+    """
+    from pyspark.sql.types import LongType, StringType, StructField, StructType, TimestampType
+
+    from h2outility_spark.streaming.incremental import stream_session_paths
+
+    ev = _t(spark, sf_dir, "events").select("ts", "user_id", "event_type", "event_id")
+    src = scratch_dir("h2ou_ssp_src_")
+    out = scratch_dir("h2ou_ssp_out_") + "/out"
+    ckpt = scratch_dir("h2ou_ssp_ckpt_") + "/ckpt"
+    cut = F.lit(_STREAM_CUT).cast("timestamp")
+    schema = StructType(
+        [
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("event_id", LongType()),
+        ]
+    )
+
+    def drain(name: str) -> None:
+        paths = stream_session_paths(
+            spark.readStream.schema(schema).format("parquet").load(src)
+        )
+        q = (
+            paths.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+
+    ev.filter(F.col("ts") < cut).coalesce(1).write.mode("append").parquet(src)
+    drain("ssp-1")
+    ev.filter(F.col("ts") >= cut).coalesce(1).write.mode("append").parquet(src)
+    drain("ssp-2")
+    spark.createDataFrame(
+        [(_FLUSH_TS, -1, "__flush__", -1)],
+        "ts string, user_id long, event_type string, event_id long",
+    ).select(
+        F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_type", "event_id"
+    ).coalesce(1).write.mode("append").parquet(src)
+    drain("ssp-flush")
+
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("user_id") >= 0)
+        .select("user_id", "session_start", "n_events", "path")
+    )
+
+
 # -- forward as-of join --------------------------------------------------------
 
 ASOF_FORWARD_ORACLE = """
@@ -462,6 +550,7 @@ STAGED3 = {
     "txtable_concurrent_merge": (q_txtable_concurrent_merge, CONCURRENT_MERGE_ORACLE),
     "stream_watermark_windows": (q_stream_watermark_windows, STREAM_WATERMARK_ORACLE),
     "stream_session_windows": (q_stream_session_windows, STREAM_SESSION_ORACLE),
+    "stream_session_paths": (q_stream_session_paths, STREAM_SESSION_PATHS_ORACLE),
     "asof_join_forward": (q_asof_join_forward, ASOF_FORWARD_ORACLE),
     "dedup_keep_best": (q_dedup_keep_best, DEDUP_KEEP_BEST_ORACLE),
     "txtable_prune_scan": (q_txtable_prune_scan, TXTABLE_PRUNE_ORACLE),
