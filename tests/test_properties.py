@@ -92,3 +92,41 @@ def test_asof_join_matches_bruteforce(spark, data):
         eligible = [(rh, rv) for rh, rv in right_sorted if rh <= h]
         expected = float(eligible[-1][1]) if eligible else None
         assert out[i] == expected, f"left hour {h}: {out[i]} != {expected}"
+
+
+@settings(max_examples=15, deadline=None)
+@given(asof_strategy)
+def test_asof_forward_matches_bruteforce(spark, data):
+    """asof_join_forward == the brute-force definition: for each left row,
+    the payload of the OLDEST right row with right.ts >= left.ts (ties on
+    right.ts resolved to the LARGEST tiebreak, mirroring backward)."""
+    from h2outility_spark.operators.asof import asof_join_forward
+
+    left_hours, right_rows = data
+    left = spark.createDataFrame(
+        [Row(k="a", ts=T0 + timedelta(hours=h), lid=i) for i, h in enumerate(left_hours)]
+    )
+    right_sorted = sorted(right_rows, key=lambda r: (r[0], r[1]))
+    if right_rows:
+        right = spark.createDataFrame(
+            [Row(k="a", ts=T0 + timedelta(hours=h), v=float(v)) for h, v in right_sorted]
+        )
+    else:
+        right = spark.createDataFrame([], "k string, ts timestamp, v double")
+
+    out = {
+        r["lid"]: r["v"]
+        for r in asof_join_forward(
+            left, right, ["k"], payload_cols=["v"], tiebreak="v"
+        ).collect()
+    }
+
+    for i, h in enumerate(left_hours):
+        eligible = [(rh, rv) for rh, rv in right_sorted if rh >= h]
+        if eligible:
+            first_h = eligible[0][0]
+            # largest payload among the earliest eligible hour wins
+            expected = float(max(rv for rh, rv in eligible if rh == first_h))
+        else:
+            expected = None
+        assert out[i] == expected, f"left hour {h}: {out[i]} != {expected}"
