@@ -38,6 +38,13 @@ Coverage targets (VERDICT r6 "stage the round-8 window now"):
   * ``txtable_prune_scan`` — the manifest min/max file-pruned range scan
     (``TxTable.scan``), data-identity-checked against the plain filter
     (the pruning economics are pinned by a pytest file-count assertion).
+  * ``ivfpq_search_adaptive`` — the compound ANN path at its cheapest
+    configuration: adaptive ratio-spill IVF cells + production PQ
+    codebooks + ADC + exact re-rank, spliced from certified oracle
+    fragments. NOTE for promotion: add it to ``test_plan_audit``'s
+    BNLJ_ALLOWED — its three BroadcastNestedLoopJoins are the canonical
+    tiny-broadcast centroid probes (same as ivf_search / ivfpq_search /
+    pq_search).
 """
 
 from __future__ import annotations
@@ -441,6 +448,145 @@ def q_dedup_keep_best(spark, sf_dir):
     )
 
 
+# -- adaptive IVF + PQ compound (IVFADC with ratio-spill cells) ----------------
+
+def _ivfpq_adaptive_oracle() -> str:
+    """Splice three certified oracle fragments into the compound chain:
+    the adaptive-spill IVF head (workload_next2.IVF_ADAPTIVE_ORACLE up
+    through ``qcell`` — label centroids, ratio-1.05 spill assignment,
+    spilled-cell centroids, top-2 probe), the production PQ chain
+    (workload_ext._pq_kmeans_oracle — per-subspace k-means codebooks +
+    encode), and an ADC-score + exact-re-rank tail. Every fragment is
+    already driver-certified on its own; the splice only renames nothing
+    (the CTE namespaces are disjoint by construction)."""
+    from h2outility_spark.workload_ext import _pq_kmeans_oracle
+    from h2outility_spark.workload_next2 import IVF_ADAPTIVE_ORACLE
+
+    head = IVF_ADAPTIVE_ORACLE.split("\ns AS (")[0].rstrip()  # ends with "),"
+    pq = _pq_kmeans_oracle(tail="@@TAIL@@").split("@@TAIL@@")[0].strip()
+    assert pq.startswith("WITH ")
+    pq_ctes = pq[len("WITH "):].rstrip().rstrip(",")
+    tail = """
+cand AS (
+  SELECT DISTINCT qc.query_id, a.vec_id AS cand_id
+  FROM qcell qc JOIN assign a ON a.cell = qc.cell
+  WHERE a.vec_id <> qc.query_id
+),
+recon AS (
+  SELECT enc.vec_id, flatten(list(cb2.cvec ORDER BY enc.s)) AS rvec
+  FROM enc JOIN cbr cb2 ON cb2.s = enc.s AND cb2.code = enc.code
+  GROUP BY enc.vec_id
+),
+adc AS (
+  SELECT c.query_id, c.cand_id,
+         list_inner_product(q.qv, r.rvec)
+           / sqrt(list_inner_product(q.qv, q.qv) * list_inner_product(r.rvec, r.rvec)) AS asim
+  FROM cand c JOIN q ON q.query_id = c.query_id JOIN recon r ON r.vec_id = c.cand_id
+),
+short AS (
+  SELECT query_id, cand_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY asim DESC, cand_id) AS rn
+    FROM adc) WHERE rn <= 30
+),
+ex AS (
+  SELECT s.query_id, s.cand_id,
+         list_inner_product(q.qv, v2.vv)
+           / sqrt(list_inner_product(q.qv, q.qv) * list_inner_product(v2.vv, v2.vv)) AS cos_raw
+  FROM short s JOIN q ON q.query_id = s.query_id JOIN v v2 ON v2.vec_id = s.cand_id
+)
+SELECT query_id, cand_id, floor(cos_raw * 10000.0 + 0.5) / 10000.0 AS cos_sim
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, cand_id) AS rk FROM ex)
+WHERE rk <= 3
+"""
+    return head + "\n" + pq_ctes + ",\n" + tail
+
+
+IVFPQ_ADAPTIVE_ORACLE = _ivfpq_adaptive_oracle()
+
+
+def q_ivfpq_search_adaptive(spark, sf_dir):
+    """The compound ANN path at its cheapest configuration: ADAPTIVE
+    ratio-spill IVF cells prune WHICH vectors are scanned (m=3, ratio
+    1.05, probe 2 — the low-row-budget assignment the committed recall
+    sweep measured), PQ codes compress WHAT the scan reads (8x8 k-means
+    codebooks, the production recipe), ADC scores the probed candidates
+    against reconstructions, and an exact re-rank of the top 30 repairs
+    quantization ranking error. Composed explicitly from the certified
+    primitives so the oracle mirrors it CTE for CTE. Scale shape: cells
+    prune partitions, codes cut scan bytes 32x, both quantizer tables
+    broadcast; the cross joins (vectors/queries x packed centroid or
+    codebook tables, every broadcast side <= 128 rows) are the canonical
+    IVF probe shape already allowlisted for ivf_search/ivfpq_search.
+    """
+    from pyspark.sql import Window as PW
+
+    from h2outility_spark.operators import similarity as sim
+    from h2outility_spark.workload import fround
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents0 = sim.centroids_by_label(emb).withColumn(
+        "centroid_val", fround(F.col("centroid_val"), 6)
+    )
+    assign = sim.ivf_assign_multi(emb, cents0, m=3, ratio=1.05).withColumnRenamed(
+        "cell", "spill_cell"
+    )
+    emb_sp = emb.join(assign, "vec_id").select(
+        "vec_id", "embedding", F.col("spill_cell").alias("label")
+    )
+    cents1 = sim.pack_centroids(sim.centroids_by_label(emb_sp))
+
+    cbs = sim.pq_codebooks_kmeans(emb, m=8, dim=64, k=8, max_iter=2, round_dp=6)
+    codes = sim.pq_encode(emb, cbs)
+    recon = sim.pq_reconstruct(codes, cbs)
+
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), sim.as_double(F.col("embedding")).alias("qv")
+    )
+    scored_cells = q.join(F.broadcast(cents1)).select(
+        "query_id", "qv", "cell", sim.cosine(F.col("qv"), F.col("cvec")).alias("cell_sim")
+    )
+    wc = PW.partitionBy("query_id").orderBy(F.col("cell_sim").desc(), F.col("cell"))
+    best = (
+        scored_cells.withColumn("rk", F.row_number().over(wc))
+        .filter(F.col("rk") <= 2)
+        .select("query_id", "cell")
+    )
+    cand = (
+        assign.select(F.col("vec_id").alias("cand_id"), F.col("spill_cell").alias("cell"))
+        .join(F.broadcast(best), "cell")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id")
+        .distinct()
+    )
+    adc = (
+        cand.join(q, "query_id")
+        .join(recon, cand["cand_id"] == recon["vec_id"])
+        .select("query_id", "cand_id", sim.cosine(F.col("qv"), F.col("rvec")).alias("asim"))
+    )
+    ws = PW.partitionBy("query_id").orderBy(F.col("asim").desc(), F.col("cand_id"))
+    short = (
+        adc.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= 30)
+        .select("query_id", "cand_id")
+    )
+    ex = (
+        short.join(q, "query_id")
+        .join(
+            emb.select(
+                F.col("vec_id").alias("cand_id"), sim.as_double(F.col("embedding")).alias("cv2")
+            ),
+            "cand_id",
+        )
+        .select("query_id", "cand_id", sim.cosine(F.col("qv"), F.col("cv2")).alias("cos_raw"))
+    )
+    wr = PW.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("cand_id"))
+    return (
+        ex.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "cand_id", fround(F.col("cos_raw"), 4).alias("cos_sim"))
+    )
+
+
 # -- manifest-pruned range scan -------------------------------------------------
 
 TXTABLE_PRUNE_ORACLE = """
@@ -553,5 +699,6 @@ STAGED3 = {
     "stream_session_paths": (q_stream_session_paths, STREAM_SESSION_PATHS_ORACLE),
     "asof_join_forward": (q_asof_join_forward, ASOF_FORWARD_ORACLE),
     "dedup_keep_best": (q_dedup_keep_best, DEDUP_KEEP_BEST_ORACLE),
+    "ivfpq_search_adaptive": (q_ivfpq_search_adaptive, IVFPQ_ADAPTIVE_ORACLE),
     "txtable_prune_scan": (q_txtable_prune_scan, TXTABLE_PRUNE_ORACLE),
 }
