@@ -77,3 +77,21 @@ def test_shuffle_budget(spark, name):
     assert broadcasts <= max_broadcasts, (
         f"{name}: {broadcasts} broadcast exchanges (budget {max_broadcasts})"
     )
+
+
+def test_staged_asof_forward_budget(spark):
+    """The round-8 staged forward as-of must keep the backward variant's
+    one-shuffle shape (union-sort-carry on the key, no hidden regroup) —
+    pinned here directly since staged queries aren't registered yet."""
+    spark.catalog.clearCache()
+    from h2outility_spark.workload_next3 import q_asof_join_forward
+
+    plan = (
+        q_asof_join_forward(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    shuffles = len(re.findall(r"(?<!Broadcast)Exchange (hash|range|Single)", plan))
+    assert shuffles <= 1, f"forward as-of grew a second shuffle:\n{plan[:1500]}"
+    assert plan.count("BroadcastExchange") == 0
