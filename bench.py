@@ -168,6 +168,7 @@ def main() -> None:
     # exponent — is acknowledged), never quadratic (e ~= 2).
     SCALING = [
         "neardup_embedding_lsh", "neardup_minhash_pairs", "tpch_q21_waiting_supplier",
+        "dedup_exact_docs",
     ]
     small_dir = sf_dir.replace("sf0.1", "sf0.01")
     scaling: dict[str, dict] = {}
@@ -211,7 +212,7 @@ def main() -> None:
     # (cos >= 0.85) per-band selectivity collapses and the banded path is
     # the linear one, which the minhash measurement below demonstrates on
     # the text side at 100x.
-    SCALING100 = ["neardup_minhash_pairs", "tpch_q21_waiting_supplier"]
+    SCALING100 = ["neardup_minhash_pairs", "tpch_q21_waiting_supplier", "dedup_exact_docs"]
     scaling100: dict[str, dict] = {}
     if small_dir != sf_dir and os.path.isdir(small_dir):
         sf1_dir = _ensure_sf1(sf_dir)

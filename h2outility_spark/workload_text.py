@@ -407,6 +407,7 @@ def q_tfidf_top_terms(spark, sf_dir):
 
 @query(
     "dedup_exact_docs",
+    bench=True,
     oracle="""
     SELECT md5(lower(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')))) AS fp,
            min(doc_id) AS keep_id,

@@ -8,8 +8,11 @@ Usage: python scripts/driver_sim_subset.py q1 q2 ... [--sf /root/testdata/sf0.01
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 
