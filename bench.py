@@ -125,13 +125,15 @@ def main() -> None:
     errors: dict[str, str] = {}
     for name, spec in specs.items():
         try:
-            # Every number is a cold-plan measurement: a frame cached (or a
-            # shuffle reused) by a NEIGHBORING query in this shared session
-            # must not turn a later query's sample into a warm read (the
-            # r6 minhash_signatures 0.046 s artifact).
-            spark.catalog.clearCache()
             samples = []
             for attempt in range(3):
+                # Every number is a cold-plan measurement: neither a frame
+                # cached by a NEIGHBORING query (the r6 minhash_signatures
+                # 0.046 s artifact) nor this query's OWN internal .cache()
+                # from a previous attempt may turn a sample into a warm
+                # read — so the cache clears before EVERY attempt, same as
+                # the scaling blocks below.
+                spark.catalog.clearCache()
                 df = spec.fn(spark, sf_dir)
                 t0 = time.perf_counter()
                 df.write.format("noop").mode("overwrite").save()

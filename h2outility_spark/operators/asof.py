@@ -27,6 +27,33 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 
+def _tiebreak_carry(tiebreak, payload_cols, keys, right_ts):
+    """Extra projection entry needed when the tiebreak names a right-side
+    column OUTSIDE keys/payload/ts — it must be carried through the narrow
+    projection explicitly or F.col(tiebreak) is unresolvable afterwards."""
+    if (
+        tiebreak is None
+        or tiebreak in payload_cols
+        or tiebreak in keys
+        or tiebreak == right_ts
+    ):
+        return []
+    return [F.col(tiebreak).alias("__tb_raw")]
+
+
+def _tiebreak_col(tiebreak, payload_cols, keys, right_ts):
+    """Resolve the tiebreak against the POST-projection right frame: payload
+    columns were renamed __p_*, the timestamp became __rts, keys kept their
+    names, and anything else rode through as __tb_raw."""
+    if tiebreak in payload_cols:
+        return F.col(f"__p_{tiebreak}")
+    if tiebreak == right_ts:
+        return F.col("__rts")
+    if tiebreak in keys:
+        return F.col(tiebreak)
+    return F.col("__tb_raw")
+
+
 def asof_join_backward(
     left: DataFrame,
     right: DataFrame,
@@ -56,12 +83,13 @@ def asof_join_backward(
             *keys,
             F.col(right_ts).alias("__rts"),
             *[F.col(c).alias(f"__p_{c}") for c in payload_cols],
+            *_tiebreak_carry(tiebreak, payload_cols, keys, right_ts),
         )
         .withColumn("__side", F.lit(0))
         .withColumn("__ts", F.col("__rts"))
     )
     if tiebreak is not None:
-        rt = rt.withColumn("__tb", F.col(f"__p_{tiebreak}") if tiebreak in payload_cols else F.col(tiebreak))
+        rt = rt.withColumn("__tb", _tiebreak_col(tiebreak, payload_cols, keys, right_ts)).drop("__tb_raw")
         lt = lt.withColumn("__tb", F.lit(None))
     both = lt.unionByName(rt, allowMissingColumns=True)
     # right rows sort before left rows at equal timestamps → "<=" semantics;
@@ -119,12 +147,13 @@ def asof_join_forward(
             *keys,
             F.col(right_ts).alias("__rts"),
             *[F.col(c).alias(f"__p_{c}") for c in payload_cols],
+            *_tiebreak_carry(tiebreak, payload_cols, keys, right_ts),
         )
         .withColumn("__side", F.lit(1))
         .withColumn("__ts", F.col("__rts"))
     )
     if tiebreak is not None:
-        rt = rt.withColumn("__tb", F.col(f"__p_{tiebreak}") if tiebreak in payload_cols else F.col(tiebreak))
+        rt = rt.withColumn("__tb", _tiebreak_col(tiebreak, payload_cols, keys, right_ts)).drop("__tb_raw")
         lt = lt.withColumn("__tb", F.lit(None))
     both = lt.unionByName(rt, allowMissingColumns=True)
     # left rows sort BEFORE right rows at equal timestamps, so the

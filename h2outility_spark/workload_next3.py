@@ -642,8 +642,11 @@ def q_txtable_concurrent_merge(spark, sf_dir):
     interleaving wins, the final state is the same: the appended keys
     land untouched and the doubled prices apply exactly once to the
     update keys (disjoint from the appends). The oracle states that
-    state; a lost append, a dropped update, or a double-applied update
-    all flip the hash.
+    state; a lost append or a dropped update flips the hash. (A
+    DOUBLE-applied update would not: merge_upsert is replace-by-key, so
+    re-merging the same payload is idempotent by construction — that
+    property is the operator's contract, not something this hash can
+    probe.)
     """
     import threading
 

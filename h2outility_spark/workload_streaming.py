@@ -41,9 +41,11 @@ from h2outility_spark.workload import _t, query
 from h2outility_spark.workload_lakehouse import scratch_dir
 from h2outility_spark.workload_text import JPAIRS_CTE, MINHASH_K, mh_cte
 
-# Explicit whitespace class (see operators/text.WS_CLASS): rendered here
-# straight into DuckDB string literals, where RE2 interprets the escapes.
-_WS = "[ \\t\\n\\r\\f\\x0B]"
+# THE cross-engine whitespace class, imported (not copied) so the oracle
+# can never drift from the Spark-side normalizer it must mirror: the
+# backslash escapes are interpreted identically by Java regex (Spark
+# side) and RE2 inside the DuckDB string literal this renders into.
+from h2outility_spark.operators.text import WS_CLASS as _WS  # noqa: E402
 
 #: Final corpus after: batch1 = doc_id%5!=0 (seed), batch2 = doc_id%5==0
 #: (deduped against the seed), batch3 = replay of batch2 (must commit

@@ -2,12 +2,12 @@
 queries at one or more scale factors — the fast pre-commit gate for a window
 rotation (full parity sweep takes ~25 min; this takes ~2).
 
-Usage: python scripts/driver_sim_subset.py q1 q2 ... [--sf /root/testdata/sf0.01]
+Usage: python scripts/driver_sim_subset.py q1 q2 ... [--sf=/root/testdata/sf0.01]
+(--sf= may repeat; default is both gate scales, sf0.001 then sf0.01)
 """
 
 from __future__ import annotations
 
-import math
 import os
 import sys
 import time
@@ -20,20 +20,7 @@ from h2outility_spark import workload
 from h2outility_spark.sources.parquet import TABLES
 
 
-def _normalize(rows, columns):
-    order = sorted(range(len(columns)), key=lambda i: columns[i])
-    out = []
-    for row in rows:
-        vals = []
-        for i in order:
-            v = row[i]
-            if isinstance(v, float):
-                vals.append("NaN" if math.isnan(v) else f"{v:.9g}")
-            else:
-                vals.append(str(v))
-        out.append(tuple(vals))
-    out.sort()
-    return [columns[i] for i in order], out
+from h2outility_spark.oracle_compare import normalize_rows as _normalize
 
 
 def main() -> int:
@@ -59,7 +46,11 @@ def main() -> int:
         for t in TABLES:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
         for name in names:
-            spec = reg[name]
+            spec = reg.get(name)
+            if spec is None:
+                failed.append((sf_dir, name))
+                print(f"{sf_dir} {name} ERROR: not a registered query", flush=True)
+                continue
             t0 = time.time()
             try:
                 sdf = spec.fn(spark, sf_dir)

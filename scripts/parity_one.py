@@ -12,7 +12,6 @@ differing normalized rows.
 from __future__ import annotations
 
 import argparse
-import math
 import os
 import sys
 
@@ -23,20 +22,11 @@ import duckdb
 from h2outility_spark.sources.parquet import TABLES
 
 
+from h2outility_spark.oracle_compare import normalize_rows
+
+
 def _normalize(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for row in rows:
-        vals = []
-        for i in order:
-            v = row[i]
-            if isinstance(v, float):
-                vals.append("NaN" if math.isnan(v) else f"{v:.9g}")
-            else:
-                vals.append(str(v))
-        out.append(tuple(vals))
-    out.sort()
-    return out
+    return normalize_rows(rows, cols)[1]
 
 
 def main() -> int:

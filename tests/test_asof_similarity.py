@@ -166,3 +166,25 @@ def test_asof_forward_tolerance_and_tiebreak(spark):
     }
     assert out[1]["v"] is None  # 6h ahead > 2h tolerance
     assert out[2]["v"] == 9.0  # duplicate-ts right rows: largest tiebreak wins
+
+
+def test_asof_tiebreak_outside_payload_cols(spark):
+    """The tiebreak may name ANY right-side column — including one that is
+    not in payload_cols (and the right timestamp itself): it must be
+    carried through the internal projection, both directions."""
+    left = spark.createDataFrame([Row(k="a", ts=ts(5), lid=1)])
+    right = spark.createDataFrame(
+        [
+            Row(k="a", ts=ts(4), v=1.0, seq=2),
+            Row(k="a", ts=ts(4), v=9.0, seq=1),
+            Row(k="a", ts=ts(6), v=3.0, seq=4),
+            Row(k="a", ts=ts(6), v=7.0, seq=3),
+        ]
+    )
+    back = asof.asof_join_backward(left, right, ["k"], payload_cols=["v"], tiebreak="seq").collect()
+    assert back[0]["v"] == 1.0  # seq=2 is the LARGEST at ts(4)
+    fwd = asof.asof_join_forward(left, right, ["k"], payload_cols=["v"], tiebreak="seq").collect()
+    assert fwd[0]["v"] == 3.0  # seq=4 is the LARGEST at ts(6)
+    # tiebreak == the right timestamp column degenerates gracefully
+    back2 = asof.asof_join_backward(left, right, ["k"], payload_cols=["v"], tiebreak="ts").collect()
+    assert back2[0]["asof_ts"] == ts(4)

@@ -8,8 +8,6 @@ CORRECTNESS_r{N}.json should be green too.
 
 from __future__ import annotations
 
-import math
-
 import duckdb
 import pytest
 
@@ -26,25 +24,7 @@ def _duck(sf_dir: str):
     return con
 
 
-def _normalize(rows, columns):
-    """Sort columns by name, represent floats rounded to 9 sig-decimals,
-    sort rows — order-insensitive comparable form."""
-    order = sorted(range(len(columns)), key=lambda i: columns[i])
-    out = []
-    for row in rows:
-        vals = []
-        for i in order:
-            v = row[i]
-            if isinstance(v, float):
-                if math.isnan(v):
-                    vals.append("NaN")
-                else:
-                    vals.append(f"{v:.9g}")
-            else:
-                vals.append(str(v))
-        out.append(tuple(vals))
-    out.sort()
-    return [columns[i] for i in order], out
+from h2outility_spark.oracle_compare import normalize_rows as _normalize
 
 
 SPECS = [(name, spec) for name, spec in workload.registry().items() if spec.oracle]

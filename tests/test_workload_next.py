@@ -8,8 +8,6 @@ candidates, which are NOT yet registered."""
 
 from __future__ import annotations
 
-import math
-
 import duckdb
 import pytest
 
@@ -21,20 +19,7 @@ from h2outility_spark.workload_next3 import STAGED3
 from tests.conftest import SF_DIR, SF_DIR_MED
 
 
-def _normalize(rows, columns):
-    order = sorted(range(len(columns)), key=lambda i: columns[i])
-    out = []
-    for row in rows:
-        vals = []
-        for i in order:
-            v = row[i]
-            if isinstance(v, float):
-                vals.append("NaN" if math.isnan(v) else f"{v:.9g}")
-            else:
-                vals.append(str(v))
-        out.append(tuple(vals))
-    out.sort()
-    return [columns[i] for i in order], out
+from h2outility_spark.oracle_compare import normalize_rows as _normalize
 
 
 @pytest.mark.parametrize("sf_dir", [SF_DIR, SF_DIR_MED])
