@@ -212,6 +212,42 @@ def jaccard_for_pairs(
     )
 
 
+def containment_for_pairs(
+    pairs: DataFrame, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Exact DIRECTED n-gram containment for the given (id_a, id_b) pairs:
+    C(a→b) = |A∩B| / |A| and C(b→a) = |A∩B| / |B|.
+
+    The asymmetric complement to Jaccard for SUB-DOCUMENT duplication: a
+    short document pasted verbatim into a long one scores a low Jaccard
+    (the union is dominated by the long side) but containment ≈ 1 in the
+    short→long direction — the measure real pipelines use to catch
+    boilerplate inclusion and quote-expansion dups. Same candidates-only
+    cost shape as :func:`jaccard_for_pairs` (the exact check never runs
+    O(n²); candidates come from the banded signature join).
+    """
+    sh = doc_shingles(docs, id_col, text_col, n).distinct()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.withColumnRenamed(id_col, "id_a")
+    b = sh.withColumnRenamed(id_col, "id_b")
+    inter = (
+        pairs.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("n_inter").cast("double") / F.col("sz_a").cast("double")).alias("cont_ab"),
+            (F.col("n_inter").cast("double") / F.col("sz_b").cast("double")).alias("cont_ba"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Connected components: near-dup pairs -> dedup clusters
 # ---------------------------------------------------------------------------

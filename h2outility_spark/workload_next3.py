@@ -45,6 +45,16 @@ Coverage targets (VERDICT r6 "stage the round-8 window now"):
     BNLJ_ALLOWED — its three BroadcastNestedLoopJoins are the canonical
     tiny-broadcast centroid probes (same as ivf_search / ivfpq_search /
     pq_search).
+  * ``txtable_history_rows`` — commit-log certification: a known five-op
+    sequence's version numbering, op labels, and every historical
+    snapshot's row count on one driver hash.
+  * ``minhash_containment_pairs`` — DIRECTED n-gram containment over the
+    banded candidates (operators/dedup.containment_for_pairs): the
+    asymmetric near-dup measure that catches sub-document duplication
+    symmetric Jaccard dilutes away.
+  * ``stream_static_enrich`` — stream-static broadcast join (the
+    canonical enrichment topology), re-binding the static dim across
+    checkpointed AvailableNow restarts.
 """
 
 from __future__ import annotations
@@ -693,6 +703,178 @@ def q_txtable_concurrent_merge(spark, sf_dir):
     return t.snapshot().select("o_orderkey", "o_custkey", "o_totalprice")
 
 
+# -- TxTable commit-log certification -----------------------------------------
+
+TXTABLE_HISTORY_ORACLE = """
+WITH c AS (
+  SELECT CAST(count(*) FILTER (o_orderkey % 100 < 3) AS BIGINT) AS c3,
+         CAST(count(*) FILTER (o_orderkey % 100 < 4) AS BIGINT) AS c4,
+         CAST(count(*) FILTER (o_orderkey % 100 < 5) AS BIGINT) AS c5
+  FROM orders
+)
+SELECT CAST(0 AS BIGINT) AS version, 'append' AS op, c3 AS n_rows FROM c
+UNION ALL SELECT 1, 'append', c5 FROM c
+UNION ALL SELECT 2, 'overwrite', c4 FROM c
+UNION ALL SELECT 3, 'merge', c4 FROM c
+UNION ALL SELECT 4, 'restore', c5 FROM c
+"""
+
+
+def q_txtable_history_rows(spark, sf_dir):
+    """Commit-log certification: run a known five-op sequence (append,
+    append, overwrite, merge-upsert of existing keys, restore to v1) and
+    return, for EVERY version in ``history()``, its recorded op plus the
+    row count of ``snapshot(version)`` — so the audit log's op labels,
+    version numbering AND every historical snapshot's contents ride one
+    driver hash. history() reads only top-level manifests (O(versions));
+    the five bounded per-version counts are the certification probe, not
+    a scale pattern.
+    """
+    base = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+
+    def slice_mod(lo: int, hi: int):
+        m = F.col("o_orderkey") % 100
+        return base.filter((m >= lo) & (m < hi))
+
+    tdir = scratch_dir("h2ou_txhist_") + "/t"
+    t = TxTable(spark, tdir, key_cols=["o_orderkey"])
+    t.append(slice_mod(0, 3))
+    t.append(slice_mod(3, 5))
+    t.overwrite(slice_mod(0, 4))
+    t.merge_upsert(slice_mod(0, 1).withColumn("o_totalprice", F.col("o_totalprice") * 3))
+    t.restore(1)
+    rows = [
+        (int(h["version"]), str(h["op"]), int(t.snapshot(h["version"]).count()))
+        for h in t.history()
+    ]
+    return spark.createDataFrame(rows, "version long, op string, n_rows long")
+
+
+# -- asymmetric containment near-dup ------------------------------------------
+
+CONTAINMENT_ORACLE = (
+    "WITH "
+    + MH_CTE
+    + MH_CAND_CTE
+    + """
+    dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM dsh GROUP BY 1),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS ni
+      FROM cand c
+      JOIN dsh s1 ON s1.doc_id = c.id_a
+      JOIN dsh s2 ON s2.doc_id = c.id_b AND s2.shingle = s1.shingle
+      GROUP BY 1, 2
+    ),
+    cont AS (
+      SELECT i.id_a, i.id_b,
+             CAST(ni AS DOUBLE) / CAST(sa.sz AS DOUBLE) AS cab,
+             CAST(ni AS DOUBLE) / CAST(sb.sz AS DOUBLE) AS cba
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.id_a
+      JOIN sizes sb ON sb.doc_id = i.id_b
+    )
+    SELECT id_a, id_b,
+           floor(cab * 10000.0 + 0.5) / 10000.0 AS cont_ab,
+           floor(cba * 10000.0 + 0.5) / 10000.0 AS cont_ba
+    FROM cont WHERE greatest(cab, cba) >= 0.5
+    """
+)
+
+
+def q_minhash_containment_pairs(spark, sf_dir):
+    """Asymmetric near-dup: DIRECTED n-gram containment (|A∩B|/|A| and
+    |A∩B|/|B|) for the banded MinHash candidate pairs, keeping pairs
+    where either direction >= 0.5 — the measure that catches a short doc
+    pasted into a long one, which symmetric Jaccard misses (the union
+    dilutes it). Same banded-candidates-then-exact-verify cost shape as
+    the certified Jaccard path (operators/dedup.containment_for_pairs).
+    """
+    from h2outility_spark.workload import fround
+
+    docs = _docs(spark, sf_dir)
+    sigs = dedup.minhash_signatures(docs, num_hashes=MINHASH_K).cache()
+    pairs = dedup.lsh_candidate_pairs(sigs, bands=[[i] for i in range(MINHASH_K)])
+    cont = dedup.containment_for_pairs(pairs, docs)
+    return cont.filter(
+        F.greatest(F.col("cont_ab"), F.col("cont_ba")) >= 0.5
+    ).select(
+        "id_a",
+        "id_b",
+        fround(F.col("cont_ab"), 4).alias("cont_ab"),
+        fround(F.col("cont_ba"), 4).alias("cont_ba"),
+    )
+
+
+# -- stream-static enrichment join --------------------------------------------
+
+STREAM_STATIC_ORACLE = """
+SELECT o.o_orderkey, o.o_custkey, CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+       o.o_totalprice
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE o.o_orderkey % 100 < 4
+"""
+
+
+def q_stream_static_enrich(spark, sf_dir):
+    """Stream-static join — the remaining streaming join surface: each
+    micro-batch of streamed orders joins the STATIC customer dimension
+    (re-planned per batch, broadcast by size), append mode passes the
+    enriched rows straight through (no state, no watermark needed). Two
+    drains over two batch files prove the static side re-binds across
+    checkpointed restarts. At scale this is the canonical enrichment
+    topology: the fact stream never shuffles, the dim broadcasts.
+    """
+    from h2outility_spark.sources.parquet import load_table
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    base = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_nationkey").cast("long").alias("c_nationkey")
+    )
+    src = scratch_dir("h2ou_sse_src_")
+    out = scratch_dir("h2ou_sse_out_") + "/out"
+    ckpt = scratch_dir("h2ou_sse_ckpt_") + "/ckpt"
+    schema = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_custkey", LongType()),
+            StructField("o_totalprice", DoubleType()),
+        ]
+    )
+
+    def slice_mod(lo: int, hi: int):
+        m = F.col("o_orderkey") % 100
+        return base.filter((m >= lo) & (m < hi))
+
+    def drain(name: str) -> None:
+        enriched = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .load(src)
+            .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+            .select("o_orderkey", "o_custkey", "c_nationkey", "o_totalprice")
+        )
+        q = (
+            enriched.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+
+    slice_mod(0, 2).coalesce(1).write.mode("append").parquet(src)
+    drain("sse-1")
+    slice_mod(2, 4).coalesce(1).write.mode("append").parquet(src)
+    drain("sse-2")
+    return spark.read.parquet(out)
+
+
 #: name -> (fn, oracle) for the round-8 promotion pass and the parity test.
 STAGED3 = {
     "txtable_concurrent_appends": (q_txtable_concurrent_appends, CONCURRENT_APPENDS_ORACLE),
@@ -704,4 +886,7 @@ STAGED3 = {
     "dedup_keep_best": (q_dedup_keep_best, DEDUP_KEEP_BEST_ORACLE),
     "ivfpq_search_adaptive": (q_ivfpq_search_adaptive, IVFPQ_ADAPTIVE_ORACLE),
     "txtable_prune_scan": (q_txtable_prune_scan, TXTABLE_PRUNE_ORACLE),
+    "txtable_history_rows": (q_txtable_history_rows, TXTABLE_HISTORY_ORACLE),
+    "minhash_containment_pairs": (q_minhash_containment_pairs, CONTAINMENT_ORACLE),
+    "stream_static_enrich": (q_stream_static_enrich, STREAM_STATIC_ORACLE),
 }
