@@ -97,24 +97,26 @@ def asof_join_backward(
     # unaffected) fixes which one the carry sees last
     order = ["__ts", "__side"] + ([F.col("__tb").asc_nulls_first()] if tiebreak is not None else [])
     w = W.partitionBy(*keys).orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
-    carried = both.select(
-        "*",
-        F.last(F.when(F.col("__side") == 0, F.col("__rts")), ignorenulls=True).over(w).alias("__asof_ts"),
-        *[
-            F.last(F.when(F.col("__side") == 0, F.col(f"__p_{c}")), ignorenulls=True).over(w).alias(f"__a_{c}")
-            for c in payload_cols
-        ],
+    # ONE struct carry, not per-column scans: a per-column last(ignorenulls)
+    # would replace a NULL payload value in the matched row with an OLDER
+    # row's value (and mix columns across rows). The struct is non-null
+    # exactly when a right row exists, so the matched row rides atomically —
+    # the semantics DuckDB ASOF JOIN / pandas merge_asof give.
+    carry = F.when(
+        F.col("__side") == 0,
+        F.struct(F.col("__rts"), *[F.col(f"__p_{c}") for c in payload_cols]),
     )
+    carried = both.select("*", F.last(carry, ignorenulls=True).over(w).alias("__carry"))
     out = carried.filter(F.col("__side") == 1)
     within = F.lit(True)
     if tolerance_seconds is not None:
-        within = (F.unix_micros(F.col(left_ts)) - F.unix_micros(F.col("__asof_ts"))) <= int(
+        within = (F.unix_micros(F.col(left_ts)) - F.unix_micros(F.col("__carry.__rts"))) <= int(
             tolerance_seconds * 1_000_000
         )
     result = out.select(
         *left.columns,
-        F.when(within, F.col("__asof_ts")).alias("asof_ts"),
-        *[F.when(within, F.col(f"__a_{c}")).alias(c) for c in payload_cols],
+        F.when(within, F.col("__carry.__rts")).alias("asof_ts"),
+        *[F.when(within, F.col(f"__carry.__p_{c}")).alias(c) for c in payload_cols],
     )
     return result
 
@@ -163,24 +165,104 @@ def asof_join_forward(
     # never reorders them relative to right rows)
     order = ["__ts", "__side"] + ([F.col("__tb").desc_nulls_last()] if tiebreak is not None else [])
     w = W.partitionBy(*keys).orderBy(*order).rowsBetween(0, W.unboundedFollowing)
-    carried = both.select(
-        "*",
-        F.first(F.when(F.col("__side") == 1, F.col("__rts")), ignorenulls=True).over(w).alias("__asof_ts"),
-        *[
-            F.first(F.when(F.col("__side") == 1, F.col(f"__p_{c}")), ignorenulls=True).over(w).alias(f"__a_{c}")
-            for c in payload_cols
-        ],
+    # Atomic struct carry (see asof_join_backward): per-column
+    # first(ignorenulls) would let a NULL payload in the matched row fall
+    # through to a LATER row — possibly beyond tolerance — mixing columns
+    # from different right rows.
+    carry = F.when(
+        F.col("__side") == 1,
+        F.struct(F.col("__rts"), *[F.col(f"__p_{c}") for c in payload_cols]),
     )
+    carried = both.select("*", F.first(carry, ignorenulls=True).over(w).alias("__carry"))
     out = carried.filter(F.col("__side") == 0)
     within = F.lit(True)
     if tolerance_seconds is not None:
-        within = (F.unix_micros(F.col("__asof_ts")) - F.unix_micros(F.col(left_ts))) <= int(
+        within = (F.unix_micros(F.col("__carry.__rts")) - F.unix_micros(F.col(left_ts))) <= int(
             tolerance_seconds * 1_000_000
         )
     return out.select(
         *left.columns,
-        F.when(within, F.col("__asof_ts")).alias("asof_ts"),
-        *[F.when(within, F.col(f"__a_{c}")).alias(c) for c in payload_cols],
+        F.when(within, F.col("__carry.__rts")).alias("asof_ts"),
+        *[F.when(within, F.col(f"__carry.__p_{c}")).alias(c) for c in payload_cols],
+    )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    payload_cols: list[str] | None = None,
+    tolerance_seconds: float | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """For each left row: columns of the CLOSEST right row in either
+    direction (|right.ts − left.ts| minimized, within the same key),
+    ties between an equally-distant earlier and later row resolved
+    BACKWARD (the at-or-before row wins — pandas merge_asof's
+    ``direction='nearest'`` convention). ``tolerance_seconds`` bounds the
+    distance both ways; ``tiebreak`` resolves duplicate (keys, ts) right
+    rows exactly like the directional variants (largest wins).
+
+    One union-sort-carry pass: both directional carries ride the SAME
+    exchange (one shuffle on the keys); the two window orderings differ
+    only when a tiebreak is given (backward wants the winner sorted last,
+    forward wants it first), costing at most a second in-partition sort,
+    never a second shuffle. Equal-ts right rows are deliberately visible
+    only to the backward carry — a distance-0 match always resolves
+    backward anyway.
+
+    Adds ``asof_ts`` and ``asof_direction`` ('backward'/'forward') beside
+    the carried payload columns.
+    """
+    payload_cols = payload_cols or [c for c in right.columns if c not in keys and c != right_ts]
+    lt = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
+    rt = (
+        right.select(
+            *keys,
+            F.col(right_ts).alias("__rts"),
+            *[F.col(c).alias(f"__p_{c}") for c in payload_cols],
+            *_tiebreak_carry(tiebreak, payload_cols, keys, right_ts),
+        )
+        .withColumn("__side", F.lit(0))
+        .withColumn("__ts", F.col("__rts"))
+    )
+    if tiebreak is not None:
+        rt = rt.withColumn("__tb", _tiebreak_col(tiebreak, payload_cols, keys, right_ts)).drop("__tb_raw")
+        lt = lt.withColumn("__tb", F.lit(None))
+    both = lt.unionByName(rt, allowMissingColumns=True)
+    tb_b = [F.col("__tb").asc_nulls_first()] if tiebreak is not None else []
+    tb_f = [F.col("__tb").desc_nulls_last()] if tiebreak is not None else []
+    wb = W.partitionBy(*keys).orderBy("__ts", "__side", *tb_b).rowsBetween(W.unboundedPreceding, 0)
+    wf = W.partitionBy(*keys).orderBy("__ts", "__side", *tb_f).rowsBetween(0, W.unboundedFollowing)
+    carry = F.when(
+        F.col("__side") == 0,
+        F.struct(F.col("__rts"), *[F.col(f"__p_{c}") for c in payload_cols]),
+    )
+    carried = both.select(
+        "*",
+        F.last(carry, ignorenulls=True).over(wb).alias("__cb"),
+        F.first(carry, ignorenulls=True).over(wf).alias("__cf"),
+    )
+    out = carried.filter(F.col("__side") == 1)
+    lus = F.unix_micros(F.col(left_ts))
+    db = lus - F.unix_micros(F.col("__cb.__rts"))
+    df_ = F.unix_micros(F.col("__cf.__rts")) - lus
+    tol_us = None if tolerance_seconds is None else int(tolerance_seconds * 1_000_000)
+    b_ok = F.col("__cb").isNotNull() & (F.lit(True) if tol_us is None else (db <= F.lit(tol_us)))
+    f_ok = F.col("__cf").isNotNull() & (F.lit(True) if tol_us is None else (df_ <= F.lit(tol_us)))
+    # backward wins ties (db == df_); forward only when strictly closer or
+    # backward is missing/out-of-tolerance
+    use_b = b_ok & (~f_ok | (db <= df_))
+    use_f = f_ok & ~use_b
+    chosen = F.when(use_b, F.col("__cb")).when(use_f, F.col("__cf"))
+    direction = F.when(use_b, F.lit("backward")).when(use_f, F.lit("forward"))
+    return out.select(
+        *left.columns,
+        chosen["__rts"].alias("asof_ts"),
+        direction.alias("asof_direction"),
+        *[chosen[f"__p_{c}"].alias(c) for c in payload_cols],
     )
 
 

@@ -149,7 +149,10 @@ def stream_session_paths(
         else:
             tus, eid, ety = [], [], []
         for pdf in pdf_iter:
-            tus.extend((pdf[ts_col].astype("int64") // 1000).tolist())
+            # normalize to datetime64[us] explicitly: `.astype('int64')//1000`
+            # is only microseconds if pandas happened to deliver ns — under
+            # pandas-2.x non-ns resolutions the gap math would be 1000x off
+            tus.extend(pdf[ts_col].astype("datetime64[us]").astype("int64").tolist())
             eid.extend(pdf[id_col].astype("int64").tolist())
             ety.extend(pdf[type_col].astype(str).tolist())
         rows = sorted(zip(tus, eid, ety))

@@ -188,3 +188,106 @@ def test_asof_tiebreak_outside_payload_cols(spark):
     # tiebreak == the right timestamp column degenerates gracefully
     back2 = asof.asof_join_backward(left, right, ["k"], payload_cols=["v"], tiebreak="ts").collect()
     assert back2[0]["asof_ts"] == ts(4)
+
+
+def test_asof_matched_row_carried_atomically(spark):
+    """A NULL payload value in the matched right row must SURVIVE as NULL —
+    per-column ignorenulls scans would splice in another right row's value
+    (even one beyond tolerance). The matched row rides as one struct, so
+    every payload column comes from the same right row."""
+    left = spark.createDataFrame([Row(k="a", ts=ts(1), lid=1)])
+    right = spark.createDataFrame(
+        [Row(k="a", ts=ts(2), v=None, u=10.0), Row(k="a", ts=ts(3), v=99.0, u=20.0)],
+        "k string, ts timestamp, v double, u double",
+    )
+    fwd = asof.asof_join_forward(
+        left, right, ["k"], payload_cols=["v", "u"], tolerance_seconds=2 * 3600
+    ).collect()
+    assert fwd[0]["asof_ts"] == ts(2) and fwd[0]["u"] == 10.0
+    assert fwd[0]["v"] is None  # matched row's NULL, not ts(3)'s 99.0
+
+    # mirror: backward must not let a NULL fall through to an OLDER row
+    left_b = spark.createDataFrame([Row(k="a", ts=ts(9), lid=1)])
+    right_b = spark.createDataFrame(
+        [Row(k="a", ts=ts(2), v=77.0, u=1.0), Row(k="a", ts=ts(8), v=None, u=2.0)],
+        "k string, ts timestamp, v double, u double",
+    )
+    back = asof.asof_join_backward(left_b, right_b, ["k"], payload_cols=["v", "u"]).collect()
+    assert back[0]["asof_ts"] == ts(8) and back[0]["u"] == 2.0
+    assert back[0]["v"] is None  # matched row's NULL, not ts(2)'s 77.0
+
+
+def test_auto_n_bits_growth_law():
+    """Doubling the corpus raises the signature width by EXACTLY one bit
+    (ceil(log2(2x)) = ceil(log2 x) + 1), holding expected random-bucket
+    occupancy flat — the engine form of the 'bits ~ log2 n' contract."""
+    for n in (100, 500, 4_096, 1_000_000, 3_141_592):
+        assert similarity.auto_n_bits(2 * n) == similarity.auto_n_bits(n) + 1
+    # anchor absolute values: n/target at a power of two
+    assert similarity.auto_n_bits(64 * 32, target_bucket=32) == 6
+    assert similarity.auto_n_bits(128 * 32, target_bucket=32) == 7
+    assert similarity.auto_n_bits(1, target_bucket=32) == 1  # floor
+
+
+def test_rp_lsh_auto_bits_recall_and_plan(spark):
+    """n_bits=None auto-sizes from the corpus count; at the registered 0.45
+    threshold the auto config must keep recall 1.0 vs the brute-force
+    verifier, and the plan must stay the banded hash-join shape (no
+    nested-loop fallback)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n = emb.count()
+    want_bits = similarity.auto_n_bits(n)
+    got = similarity.cosine_neardup_pairs_lsh(emb, threshold=0.45, n_bits=None)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    lsh_pairs = {(r["id_a"], r["id_b"]) for r in got.collect()}
+    true_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_neardup_pairs(emb, threshold=0.45).collect()
+    }
+    assert lsh_pairs == true_pairs  # verify stage filters to exactly the true set
+    # the auto width actually applied: signature length = bits * bands
+    auto_sig = similarity.rp_lsh_signatures(emb, n_planes=want_bits * 32)
+    assert len(auto_sig.first()["rp_sig"]) == want_bits * 32
+
+
+def test_asof_nearest_directions_ties_tolerance(spark):
+    left = spark.createDataFrame(
+        [
+            Row(k="a", ts=ts(5), lid=1),   # 4h back vs 6h fwd -> backward ts(4)... wait see rights
+            Row(k="a", ts=ts(7), lid=2),   # equidistant ts(4)/ts(10) -> backward wins tie
+            Row(k="a", ts=ts(9), lid=3),   # ts(10) fwd (1h) beats ts(4) back (5h)
+            Row(k="a", ts=ts(20), lid=4),  # nearest ts(10) is 10h away -> beyond tolerance
+            Row(k="b", ts=ts(1), lid=5),   # no right rows for key b at all
+        ]
+    )
+    right = spark.createDataFrame([Row(k="a", ts=ts(4), v=40.0), Row(k="a", ts=ts(10), v=100.0)])
+    out = {
+        r["lid"]: r
+        for r in asof.asof_join_nearest(
+            left, right, ["k"], payload_cols=["v"], tolerance_seconds=6 * 3600
+        ).collect()
+    }
+    assert out[1]["v"] == 40.0 and out[1]["asof_direction"] == "backward"
+    assert out[2]["v"] == 40.0 and out[2]["asof_direction"] == "backward"  # tie -> backward
+    assert out[3]["v"] == 100.0 and out[3]["asof_direction"] == "forward"
+    assert out[4]["v"] is None and out[4]["asof_direction"] is None
+    assert out[5]["v"] is None
+
+    # duplicate-ts right rows: largest tiebreak wins in BOTH directions
+    right2 = spark.createDataFrame(
+        [Row(k="a", ts=ts(4), v=1.0), Row(k="a", ts=ts(4), v=9.0),
+         Row(k="a", ts=ts(10), v=2.0), Row(k="a", ts=ts(10), v=8.0)]
+    )
+    out2 = {
+        r["lid"]: r
+        for r in asof.asof_join_nearest(left, right2, ["k"], payload_cols=["v"], tiebreak="v").collect()
+    }
+    assert out2[1]["v"] == 9.0   # backward ts(4): largest v
+    assert out2[3]["v"] == 8.0   # forward ts(10): largest v
+    assert out2[4]["v"] == 8.0   # no tolerance -> ts(10) nearest
+
+    # equal-ts left/right: distance 0, resolves backward
+    left0 = spark.createDataFrame([Row(k="a", ts=ts(4), lid=9)])
+    o0 = asof.asof_join_nearest(left0, right, ["k"], payload_cols=["v"]).collect()[0]
+    assert o0["v"] == 40.0 and o0["asof_direction"] == "backward"
