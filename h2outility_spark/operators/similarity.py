@@ -312,14 +312,28 @@ def rp_sig_udf(planes):
     return sig
 
 
+def auto_n_bits(n_rows: int, target_bucket: int = 32) -> int:
+    """Signature width that HOLDS random-bucket occupancy as data grows:
+    bits = ceil(log2(n / target_bucket)), so doubling the corpus adds
+    exactly one bit (ceil(log2(2x)) = ceil(log2(x)) + 1) and the expected
+    occupancy of a random band bucket stays ~target_bucket. This turns the
+    operator contract "fixed-bit LSH config must grow ~log2(n) with data"
+    (bench.py 100x notes) into engine behavior instead of a caveat the
+    caller must remember at 100 TB."""
+    import math
+
+    return max(1, math.ceil(math.log2(max(2.0, n_rows / target_bucket))))
+
+
 def rp_lsh_candidate_pairs(
     embeddings: DataFrame,
-    n_bits: int = 4,
+    n_bits: int | None = 4,
     n_bands: int = 32,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket: int | None = None,
+    target_bucket: int = 32,
 ) -> DataFrame:
     """Candidate (id_a < id_b) pairs from an RP-LSH banded self-join.
 
@@ -331,7 +345,16 @@ def rp_lsh_candidate_pairs(
     one bucket k-wide and its pairs k²; ``max_bucket`` drops such buckets
     from pairing via a broadcast anti-join against the (tiny) giant-bucket
     list, mirroring dedup.lsh_candidate_pairs_quarantined.
+
+    ``n_bits=None`` auto-sizes the band width from a cheap count
+    (column-pruned parquet count, metadata-cheap) via :func:`auto_n_bits`,
+    so the bucket occupancy — and with it the candidate-set cost — stays
+    flat as the corpus scales instead of silently degrading to O(n²).
+    Pass an explicit ``n_bits`` to pin a configuration (the registered
+    queries do, for oracle determinism).
     """
+    if n_bits is None:
+        n_bits = auto_n_bits(embeddings.count(), target_bucket)
     planes = random_hyperplanes(n_bits * n_bands, dim)
     sig = rp_sig_udf(planes)
     sigs = embeddings.select(F.col(id_col), sig(F.col(vec_col)).alias("sig"))
@@ -366,7 +389,7 @@ def rp_lsh_candidate_pairs(
 def cosine_neardup_pairs_lsh(
     embeddings: DataFrame,
     threshold: float,
-    n_bits: int = 4,
+    n_bits: int | None = 4,
     n_bands: int = 32,
     dim: int = 64,
     id_col: str = "vec_id",

@@ -458,6 +458,8 @@ from h2outility_spark import workload_media  # noqa: E402,F401
 from h2outility_spark import workload_lakehouse  # noqa: E402,F401
 from h2outility_spark import workload_streaming  # noqa: E402,F401
 from h2outility_spark import workload_next2  # noqa: E402,F401
+from h2outility_spark import workload_next3  # noqa: E402,F401
+from h2outility_spark import workload_sinks  # noqa: E402,F401
 
 
 # The driver's correctness gate hashes only the FIRST 50 registered queries.
@@ -476,72 +478,70 @@ from h2outility_spark import workload_next2  # noqa: E402,F401
 # (coverage map in README). Everything outside the window is still
 # oracle-checked every run by tests/test_oracle_parity.py + driver_sim.
 CHECKED_WINDOW = [
-    # -- ROUND-7 ROTATION ---------------------------------------------------
-    # CORRECTNESS_r06 went 50/50 green, so every r6 occupant holds a fresh
-    # row and the window turns over again: 8 slots to FIRST-TIMERS (the six
-    # promoted workload_next2 pairs + the two NEW streaming queries, which
-    # must start life inside the window per test_checked_window), and the
-    # other 42 to the STALEST evidence — the whole last-certified-in-r2 and
-    # last-certified-in-r3 cohorts (30 queries; kmeans_centroids is the
-    # oldest single-row query in the registry), topped up with 12 from the
-    # r4/r5 cohort chosen for family spread. Everything outside the window
-    # stays oracle-checked every run by tests/test_oracle_parity +
-    # driver_sim.
-    # -- first-timers: promoted round-6 staging pairs (workload_next2) -----
-    "image_resize_features",   # codec resize round trip vs index arithmetic
-    "bpe_token_hist",          # engine-proof BPE-ish token inventory
-    "txtable_clone",           # clone independence under source mutation
-    "ivf_search_adaptive",     # ratio-spill IVF, op-for-op chained oracle
-    "txtable_vacuum",          # physical reclamation, live-snapshot invariance
-    "txtable_zorder",          # Morton-clustered rewrite data-identity
-    # -- first-timers: streaming certification (workload_streaming) --------
-    "stream_dedup_ingest",     # 3-batch AvailableNow dedup ingest + replay
-    "txtable_stream_tail",     # version-offset tail source, exactly-once
-    # -- sentinels: last certified in ROUND 2 (the stalest rows anywhere) --
-    "embedding_centroids",
-    "neardup_embedding_pairs",
-    "ngram_jaccard_blocked",
-    "rp_lsh_signatures",
-    "simhash_signatures",
-    # -- sentinels: last certified in ROUND 3 ------------------------------
-    "kmeans_centroids",        # also the registry's oldest single-row query
-    "frame_sample",
-    "neardup_clusters",
-    "ngram_counts",
-    "variable_census",
-    "winnow_fingerprints",
-    "anti_join_customers",
-    "dedup_keep_first",
-    "distinct_series",
-    "doc_fingerprint",
-    "event_time_windows",
-    "last_per_series",
-    "left_join_qualifiers",
-    "minhash_signatures",
-    "qc_change_value",
-    "qc_flag",
-    "qc_islands",
-    "qc_value_change",
-    "rollup_revenue",
-    "season_rollup",
-    "self_alias_join",
-    "semi_join_suppliers",
-    "text_langid",
-    "text_stats",
-    "tpch_q6",
-    # -- sentinels: r4/r5 cohort, one per family for spread -----------------
-    "tpch_q7_nation_volume",   # self-alias nation-pair volume join
-    "tpch_q18_large_orders",   # HAVING-against-aggregate semi join
-    "grouping_sets_revenue",   # multi-level grouping sets
-    "funnel_conversion",       # ordered-step funnel windows
-    "retention_cohorts",       # cohort retention matrix
-    "qc_rolling_zscore",       # rolling robust outlier QC
-    "dedup_incremental",       # batch twin of the new streaming ingest
-    "decontaminate_spans",     # span-surgical benchmark decontamination
-    "pii_redact_docs",         # regex PII redaction + counts
-    "mixture_sample",          # deterministic mixture sampling
-    "ivfpq_search",            # IVF + PQ ADC compound ANN path
-    "pq_search",               # PQ asymmetric-distance search
+    # -- ROUND-8 ROTATION ---------------------------------------------------
+    # CORRECTNESS_r07 went 50/50 green (second all-green round), so the
+    # window turns over completely: 13 slots to FIRST-TIMERS (the twelve
+    # promoted workload_next3 pairs -- stateful streaming trio, concurrent
+    # TxTable writers, forward as-of, keep-best dedup, prune scan, adaptive
+    # IVF-PQ, history audit, directed containment, stream-static enrich --
+    # plus the NEW annotated_export_roundtrip, which certifies the S5/S6/S10
+    # export-sink family under a driver hash for the first time), and the
+    # other 37 to the ENTIRE remaining r5-latest-evidence cohort -- after
+    # this round no query's newest green row predates round 6. Everything
+    # outside the window stays oracle-checked every run by
+    # tests/test_oracle_parity + driver_sim.
+    # -- first-timers: promoted round-7 staging pairs + the sink round-trip -
+    "txtable_concurrent_appends",  # 3 racing appenders through the commit-retry path
+    "txtable_concurrent_merge",    # merge racing an append via the conflict contract
+    "stream_watermark_windows",    # watermarked windowed agg, checkpointed restarts
+    "stream_session_windows",      # F.session_window merges across micro-batches
+    "stream_session_paths",        # CUSTOM applyInPandasWithState session paths
+    "asof_join_forward",           # forward as-of: tolerance + tiebreak, 1 shuffle
+    "dedup_keep_best",             # clusters -> longest-doc representative
+    "ivfpq_search_adaptive",       # adaptive ratio-spill cells + PQ ADC + re-rank
+    "txtable_prune_scan",          # manifest min/max pruning, 1-of-4 files read
+    "txtable_history_rows",        # commit-log audit + per-version snapshot counts
+    "minhash_containment_pairs",   # directed containment over banded candidates
+    "stream_static_enrich",        # stream-static broadcast join across restarts
+    "annotated_export_roundtrip",  # S5/S6/S10 export sinks on one driver hash
+    # -- sentinels: the complete last-certified-in-ROUND-5 cohort -----------
+    "quality_calibrate_per_source",
+    "mixture_plan_tokens",
+    "repetition_signals",
+    "segment_dedup_docs",
+    "pq_codes",
+    "quality_filter_fusion",
+    "pq_codes_kmeans",
+    "shard_assignment",
+    "cdc_segment_dedup",
+    "duplicated_spans",
+    "remove_duplicated_spans",
+    "qc_resample_ffill",
+    "qc_median_despike",
+    "rolling_avg",
+    "cube_orders",
+    "json_props_stats",
+    "regexp_extract_props",
+    "contamination_overlap",
+    "hash_sample_docs",
+    "tfidf_top_terms",
+    "audio_chunks",
+    "corpus_clean_embedding",
+    "embedding_stats",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_late_orders",
+    "tpch_q8_market_share",
+    "tpch_q10_returned",
+    "tpch_q11_value_share",
+    "tpch_q12_priority_buckets",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_share",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_or_of_ands",
+    "tpch_q20_excess_suppliers",
+    "tpch_q22_idle_rich_customers",
 ]
 
 

@@ -1,13 +1,8 @@
-"""Round-8 registry staging area (same lifecycle as ``workload_next`` /
-``workload_next2``): fully-formed (PySpark fn, DuckDB oracle) pairs that
-cannot enter the registry yet — every round-7 CHECKED_WINDOW slot is
-occupied and ``tests/test_checked_window.py`` (correctly) refuses new
-queries outside the window. Deliberately NOT decorated with ``@query``;
-the round-8 rotation wraps them.
-
-Each pair is parity-tested in ``tests/test_workload_next.py`` (STAGED3)
-under the driver's comparison discipline at sf0.001 AND sf0.01, so
-promotion is a decorator change, not new verification work.
+"""Round-7 staging area, PROMOTED to the registry in the round-8 window
+rotation (same lifecycle as ``workload_next`` / ``workload_next2``): each
+(fn, oracle) pair waited fully formed with parity proven at sf0.001 AND
+sf0.01 (``tests/test_workload_next.py`` STAGED3), so promotion was the
+decorator change below plus window slots — zero new verification work.
 
 Coverage targets (VERDICT r6 "stage the round-8 window now"):
   * ``txtable_concurrent_appends`` — the commit-retry path
@@ -63,7 +58,7 @@ from pyspark.sql import Window as W, functions as F
 
 from h2outility_spark.operators import asof, dedup
 from h2outility_spark.storage_tx import TxTable
-from h2outility_spark.workload import _t
+from h2outility_spark.workload import _t, query
 from h2outility_spark.workload_lakehouse import scratch_dir
 from h2outility_spark.workload_text import (
     CLUSTERS_CTE,
@@ -82,6 +77,11 @@ FROM orders WHERE o_orderkey % 100 < 8
 """
 
 
+@query(
+    "txtable_concurrent_appends",
+    oracle=CONCURRENT_APPENDS_ORACLE,
+    description="Three concurrent TxTable appenders serialized through the commit-retry path; oracle states the lossless union",
+)
 def q_txtable_concurrent_appends(spark, sf_dir):
     """Three writers appending AT THE SAME TIME (own table handles, own
     manifest reads) after a base append: all four read-modify-commit
@@ -141,6 +141,11 @@ _STREAM_CUT = "2024-01-03 00:00:00"
 _FLUSH_TS = "2030-01-01 00:00:00"
 
 
+@query(
+    "stream_watermark_windows",
+    oracle=STREAM_WATERMARK_ORACLE,
+    description="Watermarked event-time windowed agg under AvailableNow, append-mode flush across checkpointed restarts",
+)
 def q_stream_watermark_windows(spark, sf_dir):
     """Streaming twin of ``event_time_windows``: hourly event counts per
     type computed by a WATERMARKED window aggregation drained with
@@ -220,6 +225,11 @@ FROM s GROUP BY user_id, sid
 """
 
 
+@query(
+    "stream_session_windows",
+    oracle=STREAM_SESSION_ORACLE,
+    description="Stateful F.session_window sessionization: open sessions merge across micro-batches in the state store",
+)
 def q_stream_session_windows(spark, sf_dir):
     """STATEFUL streaming sessionization: ``F.session_window`` (6-hour
     inactivity gap) under ``Trigger.AvailableNow`` — the one stateful
@@ -305,6 +315,11 @@ FROM s GROUP BY user_id, sid
 """
 
 
+@query(
+    "stream_session_paths",
+    oracle=STREAM_SESSION_PATHS_ORACLE,
+    description="CUSTOM stateful operator (applyInPandasWithState): ordered per-session event-type paths with eager emission + event-time-timeout flush",
+)
 def q_stream_session_paths(spark, sf_dir):
     """CUSTOM stateful streaming via ``applyInPandasWithState``
     (streaming/incremental.stream_session_paths): sessionization that
@@ -388,6 +403,11 @@ FROM purch p LEFT JOIN (SELECT * FROM j WHERE rk = 1) s USING (event_id)
 """
 
 
+@query(
+    "asof_join_forward",
+    oracle=ASOF_FORWARD_ORACLE,
+    description="Forward as-of join (oldest right row at-or-after, tolerance + tiebreak), union-sort-carry in one shuffle",
+)
 def q_asof_join_forward(spark, sf_dir):
     """Forward as-of: each purchase aligned to the user's EARLIEST click
     at-or-after it, within a 2-hour tolerance — the mirror of the
@@ -429,6 +449,11 @@ DEDUP_KEEP_BEST_ORACLE = (
 )
 
 
+@query(
+    "dedup_keep_best",
+    oracle=DEDUP_KEEP_BEST_ORACLE,
+    description="Near-dup clusters collapsed to the best-quality (longest) representative — the production dedup policy",
+)
 def q_dedup_keep_best(spark, sf_dir):
     """Near-dup dedup with a QUALITY policy: MinHash-LSH pairs verified by
     Jaccard >= 0.2, collapsed to clusters, then ONE representative kept
@@ -514,6 +539,11 @@ WHERE rk <= 3
 IVFPQ_ADAPTIVE_ORACLE = _ivfpq_adaptive_oracle()
 
 
+@query(
+    "ivfpq_search_adaptive",
+    oracle=IVFPQ_ADAPTIVE_ORACLE,
+    description="Compound ANN at minimum probe budget: adaptive ratio-spill IVF cells + PQ ADC + exact re-rank",
+)
 def q_ivfpq_search_adaptive(spark, sf_dir):
     """The compound ANN path at its cheapest configuration: ADAPTIVE
     ratio-spill IVF cells prune WHICH vectors are scanned (m=3, ratio
@@ -606,6 +636,11 @@ WHERE o_orderkey % 100 < 4 AND o_orderkey % 1000 BETWEEN 250 AND 499
 """
 
 
+@query(
+    "txtable_prune_scan",
+    oracle=TXTABLE_PRUNE_ORACLE,
+    description="Manifest min/max file-pruned range scan, data-identical to the plain filter (1-of-4 files read, plan-pinned)",
+)
 def q_txtable_prune_scan(spark, sf_dir):
     """Manifest min/max range scan: four appends land bucket-disjoint
     files ([0,250), [250,500), [500,750), [750,1000) on ``key_bucket``),
@@ -643,6 +678,11 @@ FROM orders WHERE o_orderkey % 100 < 6
 """
 
 
+@query(
+    "txtable_concurrent_merge",
+    oracle=CONCURRENT_MERGE_ORACLE,
+    description="merge_upsert racing a concurrent append: CommitConflict surfaced, caller re-merges on the moved snapshot",
+)
 def q_txtable_concurrent_merge(spark, sf_dir):
     """A MERGE racing an APPEND on the same table: merge_upsert documents
     that a commit conflict SURFACES to the caller (re-merging against a
@@ -720,6 +760,11 @@ UNION ALL SELECT 4, 'restore', c5 FROM c
 """
 
 
+@query(
+    "txtable_history_rows",
+    oracle=TXTABLE_HISTORY_ORACLE,
+    description="Commit-log audit: version numbering, op labels, and every historical snapshot row count on one hash",
+)
 def q_txtable_history_rows(spark, sf_dir):
     """Commit-log certification: run a known five-op sequence (append,
     append, overwrite, merge-upsert of existing keys, restore to v1) and
@@ -782,6 +827,11 @@ CONTAINMENT_ORACLE = (
 )
 
 
+@query(
+    "minhash_containment_pairs",
+    oracle=CONTAINMENT_ORACLE,
+    description="Directed n-gram containment over banded candidates — catches sub-document duplication symmetric Jaccard dilutes",
+)
 def q_minhash_containment_pairs(spark, sf_dir):
     """Asymmetric near-dup: DIRECTED n-gram containment (|A∩B|/|A| and
     |A∩B|/|B|) for the banded MinHash candidate pairs, keeping pairs
@@ -816,6 +866,11 @@ WHERE o.o_orderkey % 100 < 4
 """
 
 
+@query(
+    "stream_static_enrich",
+    oracle=STREAM_STATIC_ORACLE,
+    description="Stream-static broadcast enrichment join, static dim re-bound across checkpointed AvailableNow restarts",
+)
 def q_stream_static_enrich(spark, sf_dir):
     """Stream-static join — the remaining streaming join surface: each
     micro-batch of streamed orders joins the STATIC customer dimension

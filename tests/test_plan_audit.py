@@ -22,6 +22,8 @@ BNLJ_ALLOWED = {
     "neardup_embedding_pairs",  # brute-force verifier (neardup_embedding_lsh is the scale path)
     "pq_search",  # ADC scan: query-set broadcast against compressed codes by design
     "ivfpq_search",  # query x broadcast centroid table for cell probing (both tiny)
+    "ivfpq_search_adaptive",  # same three tiny-broadcast centroid probes
+    # (ivf_assign_multi + adaptive cell selection + PQ codebook probe)
     "funnel_conversion",  # three 1-row stage counts joined
     "tpch_q22_idle_rich_customers",  # correlated scalar average (1-row broadcast)
     "tpch_q11_value_share",  # 1-row global-threshold broadcast
