@@ -31,7 +31,9 @@ from h2outility_spark.session import get_spark  # noqa: E402
 #:     every shingle changes and cross-copy Jaccard ~ 0 while WITHIN-copy
 #:     near-dup pairs are preserved bit-for-bit (both sides of a pair go
 #:     through the same substitution);
-#:   * embeddings: copy k circularly rolls the 64 dims by 7k+1 — a
+#:   * embeddings: copy k circularly rolls the 64 dims by 7k (copy 0 is
+#:     the unrotated original, which is fine — decorrelation only needs
+#:     the RELATIVE roll between copies to be nonzero mod 64) — a
 #:     permutation, so within-copy inner products (hence all cosines and
 #:     LSH collisions) are EXACT while cross-copy vectors decorrelate;
 #:   * orders/lineitem: copy k shifts the orderkey space, preserving every
@@ -149,7 +151,12 @@ def main() -> None:
     # The round-1 headline set, kept as a stable cross-round comparable:
     # the full set grew in round 4 (heavy queries added at the judge's
     # request), so the grand total is not comparable to BENCH_r01's — this
-    # subtotal is.
+    # subtotal is. MEASUREMENT-DISCIPLINE NOTE: since round 7 every sample
+    # is COLD (clearCache per attempt), so the standing reference for this
+    # subtotal is the round-7 COLD measurement 4.93 s (recorded in
+    # BASELINE.md) — NOT BENCH_r01's 4.369 s, which was measured warm
+    # before the discipline change. The JSON publishes the same value
+    # under `core11_cold` to make the discipline explicit.
     CORE11 = [
         "series_catalog", "wide_export", "tpch_q1", "tpch_q3", "tpch_q5",
         "qc_interpolate", "sessionization", "text_stats",
@@ -213,7 +220,11 @@ def main() -> None:
     # data/threshold regime, not the engine — at real near-dup regimes
     # (cos >= 0.85) per-band selectivity collapses and the banded path is
     # the linear one, which the minhash measurement below demonstrates on
-    # the text side at 100x.
+    # the text side at 100x. Since round 8 the occupancy-matched resize is
+    # ENGINE behavior, not a caller contract: n_bits=None makes
+    # similarity.auto_n_bits size the bands as ceil(log2(n/target)) from a
+    # cheap count (doubling rows adds exactly one bit; unit-tested with
+    # recall preserved at the registered threshold).
     SCALING100 = ["neardup_minhash_pairs", "tpch_q21_waiting_supplier", "dedup_exact_docs"]
     scaling100: dict[str, dict] = {}
     if small_dir != sf_dir and os.path.isdir(small_dir):
@@ -257,6 +268,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "core11_total_r1_comparable": core11,
+        "core11_cold": core11,  # same number; cold discipline since r7 — compare vs BASELINE.md's 4.93 s
         "queries": timings,
         "samples": all_samples,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

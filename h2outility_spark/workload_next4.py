@@ -1,0 +1,265 @@
+"""Round-9 registry staging area (same lifecycle as ``workload_next`` →
+``workload_next3``): fully-formed (PySpark fn, DuckDB oracle) pairs that
+cannot enter the registry yet — every round-8 CHECKED_WINDOW slot is
+occupied and ``tests/test_checked_window.py`` (correctly) refuses new
+queries outside the window. Deliberately NOT decorated with ``@query``;
+the round-9 rotation wraps them.
+
+Each pair is parity-tested in ``tests/test_workload_next.py`` (STAGED4)
+under the driver's comparison discipline at sf0.001 AND sf0.01, so
+promotion is a decorator change, not new verification work.
+
+Coverage targets (VERDICT r7 "stage the round-9 window"):
+  * ``jdbc_roundtrip`` — the S9 SQL append sink + S3 partitioned JDBC
+    read on ONE driver hash (embedded Derby, the only JDBC engine whose
+    driver ships on Spark's classpath): base write, a second APPEND, then
+    a 4-partition range read back. Generalizes the
+    ``annotated_export_roundtrip`` in-query side-effect pattern to the
+    relational sink (reference: ``series_service.py:746-752`` append,
+    ``service_manager.py:121-159`` dialect URLs).
+  * ``xml_metadata_roundtrip`` — the S8 XML metadata export re-parsed
+    and hash-checked against the catalog SQL (reference:
+    ``odmservices/export_service.py:120-389``).
+  * ``export_rows_roundtrip`` — the S7 flag-gated DISTRIBUTED row export
+    (multi-part ``df.write.csv``) read back whole: flag→column-set
+    contract, distributed write path, and CSV type round-trip on one
+    hash (reference: ``odmservices/export_service.py:15-118``).
+  * ``asof_join_nearest`` — the NEW nearest-direction as-of operator
+    (min |Δt| either way, backward wins ties, tolerance + tiebreak),
+    completing the as-of family; oracle is a per-row LATERAL nearest
+    lookup.
+  * ``grouped_percentiles`` — exact linear-interpolation percentiles per
+    group (Spark ``percentile`` vs DuckDB ``quantile_cont``), the
+    distribution-shape summary the QC rollups lean on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from h2outility_spark.operators import asof
+from h2outility_spark.operators.catalog import derive_catalog
+from h2outility_spark.sinks.csv_sink import export_series_rows
+from h2outility_spark.sinks.jdbc_sink import append_jdbc
+from h2outility_spark.sinks.xml_metadata import export_series_metadata
+from h2outility_spark.sources.parquet import load_jdbc
+from h2outility_spark.workload import DV_CTE, _dv, _t, fround
+from h2outility_spark.workload_lakehouse import scratch_dir
+
+_DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+# -- S9 + S3: JDBC append sink and partitioned read, one hash -----------------
+
+JDBC_ROUNDTRIP_ORACLE = """
+SELECT event_id AS value_id, ts AS local_dt, value AS data_value
+FROM events
+"""
+
+
+def q_jdbc_roundtrip(spark, sf_dir):
+    """Append 80% of the DataValues to an embedded-Derby table through the
+    S9 JDBC sink (2 writer partitions), APPEND the remaining 20% in a
+    second commit, then read the table back as a 4-partition range scan
+    (S3 — the reference's vestigial 250k-row chunked fetch done right) and
+    return it. Losing a row in either append, double-writing one, or a
+    partition-boundary bug in the chunked read all flip the driver hash.
+    """
+    dv = _dv(spark, sf_dir).select(
+        F.col("ValueID").alias("value_id"),
+        F.col("LocalDateTime").alias("local_dt"),
+        F.col("DataValue").alias("data_value"),
+    )
+    url = f"jdbc:derby:{scratch_dir('h2ou_jdbcrt_')}/db;create=true"
+    props = {"driver": _DERBY_DRIVER}
+    append_jdbc(dv.filter(F.col("value_id") % 10 < 8), url, "datavalues", properties=props, num_partitions=2)
+    append_jdbc(dv.filter(F.col("value_id") % 10 >= 8), url, "datavalues", properties=props)
+    bounds = dv.agg(F.min("value_id").alias("lo"), F.max("value_id").alias("hi")).collect()[0]
+    return load_jdbc(
+        spark,
+        url,
+        "datavalues",
+        partition_column="value_id",
+        lower_bound=int(bounds["lo"]),
+        upper_bound=int(bounds["hi"]) + 1,
+        num_partitions=4,
+        properties=props,
+    )
+
+
+# -- S8: XML metadata export round trip ---------------------------------------
+
+_CATALOG_KEYS = ["SiteID", "VariableCode", "MethodID", "SourceID", "QualityControlLevelID"]
+
+def _py_ts(expr: str) -> str:
+    """Render a timestamp the way Python's ``str(datetime)`` does (the XML
+    sink stringifies with str()): 6-digit microseconds, but the fractional
+    part omitted entirely when it is zero — DuckDB's VARCHAR cast instead
+    TRIMS trailing zeros, so a plain CAST drifts on e.g. '.738090'."""
+    return (
+        f"CASE WHEN microsecond({expr}) % 1000000 = 0 "
+        f"THEN strftime({expr}, '%Y-%m-%d %H:%M:%S') "
+        f"ELSE strftime({expr}, '%Y-%m-%d %H:%M:%S.%f') END"
+    )
+
+
+XML_ROUNDTRIP_ORACLE = (
+    DV_CTE
+    + f"""
+SELECT CAST(SiteID AS VARCHAR) AS SiteID,
+       CAST(VariableCode AS VARCHAR) AS VariableCode,
+       CAST(MethodID AS VARCHAR) AS MethodID,
+       CAST(SourceID AS VARCHAR) AS SourceID,
+       CAST(QualityControlLevelID AS VARCHAR) AS QualityControlLevelID,
+       {_py_ts('min(LocalDateTime)')} AS BeginDateTime,
+       {_py_ts('max(LocalDateTime)')} AS EndDateTime,
+       CAST(count(*) AS VARCHAR) AS ValueCount,
+       {_py_ts('min(DateTimeUTC)')} AS BeginDateTimeUTC,
+       {_py_ts('max(DateTimeUTC)')} AS EndDateTimeUTC
+FROM dv
+GROUP BY 1, 2, 3, 4, 5
+"""
+)
+
+
+def q_xml_metadata_roundtrip(spark, sf_dir):
+    """Derive the series catalog, export it through the S8 XML metadata
+    sink, re-parse the XML OFF DISK, and return one row per <Series>
+    element with every child element as a string column — element order,
+    tag naming, and value stringification all ride the driver hash (the
+    oracle re-states the catalog with VARCHAR casts).
+    """
+    import xml.etree.ElementTree as ET
+
+    from pyspark.sql import types as T
+
+    cat = derive_catalog(_dv(spark, sf_dir), keys=_CATALOG_KEYS)
+    path = scratch_dir("h2ou_xmlrt_") + "/meta.xml"
+    export_series_metadata(cat, path)
+
+    cols = cat.columns
+    root = ET.parse(path).getroot()
+    rows = [tuple((el.findtext(c)) for c in cols) for el in root.iter("Series")]
+    schema = T.StructType([T.StructField(c, T.StringType()) for c in cols])
+    return spark.createDataFrame(rows, schema)
+
+
+# -- S7: flag-gated distributed row export round trip -------------------------
+
+EXPORT_ROWS_ORACLE = (
+    DV_CTE
+    + """
+SELECT LocalDateTime, DataValue, DateTimeUTC, SiteID, VariableCode,
+       QualityControlLevelID
+FROM dv
+"""
+)
+
+
+def q_export_rows_roundtrip(spark, sf_dir):
+    """S7 row-wise export with flags utc/site/var/qcl through the
+    DISTRIBUTED csv writer (one part file per partition — the bulk-export
+    path, not the single-file chunk sink), then read every part back with
+    an explicit schema. The flag→column-set contract, the multi-part
+    write, and timestamp/double CSV round-trip fidelity are all on the
+    hash."""
+    from pyspark.sql import types as T
+
+    dv = _dv(spark, sf_dir)
+    out = scratch_dir("h2ou_rowsrt_") + "/rows"
+    export_series_rows(dv, out, utc=True, site=True, var=True, qcl=True)
+    schema = T.StructType(
+        [
+            T.StructField("LocalDateTime", T.TimestampType()),
+            T.StructField("DataValue", T.DoubleType()),
+            T.StructField("DateTimeUTC", T.TimestampType()),
+            T.StructField("SiteID", T.LongType()),
+            T.StructField("VariableCode", T.StringType()),
+            T.StructField("QualityControlLevelID", T.IntegerType()),
+        ]
+    )
+    return spark.read.schema(schema).option("header", True).csv(out)
+
+
+# -- nearest-direction as-of join ---------------------------------------------
+
+ASOF_NEAREST_ORACLE = """
+WITH l AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+     r AS (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'click')
+SELECT l.user_id, l.event_id, l.ts,
+       m.ts AS asof_ts, m.dir AS asof_direction,
+       m.click_value
+FROM l LEFT JOIN LATERAL (
+  SELECT r.ts,
+         CASE WHEN r.ts <= l.ts THEN 'backward' ELSE 'forward' END AS dir,
+         floor(r.value * 100.0 + 0.5) / 100.0 AS click_value
+  FROM r
+  WHERE r.user_id = l.user_id
+    AND abs(epoch_us(r.ts) - epoch_us(l.ts)) <= CAST(7200 AS BIGINT) * 1000000
+  ORDER BY abs(epoch_us(r.ts) - epoch_us(l.ts)),
+           CASE WHEN r.ts <= l.ts THEN 0 ELSE 1 END,
+           r.event_id DESC
+  LIMIT 1
+) m ON TRUE
+"""
+
+
+def q_asof_join_nearest(spark, sf_dir):
+    """Nearest click around each purchase (±2 h): the NEW
+    ``asof_join_nearest`` operator — closest right row in EITHER
+    direction, equidistant ties resolved backward, duplicate-timestamp
+    right rows resolved by largest event_id. The oracle is a per-row
+    LATERAL nearest lookup with the identical ordering contract. One
+    shuffle on user_id (both directional carries ride the same exchange).
+    """
+    ev = _t(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select("user_id", "event_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", fround(F.col("value"), 2).alias("click_value"), "event_id"
+    )
+    return asof.asof_join_nearest(
+        purch,
+        clicks,
+        ["user_id"],
+        payload_cols=["click_value"],
+        tolerance_seconds=7200,
+        tiebreak="event_id",
+    )
+
+
+# -- exact grouped percentiles -------------------------------------------------
+
+GROUPED_PERCENTILES_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       floor((quantile_cont(value, 0.25)) * 10000.0 + 0.5) / 10000.0 AS p25,
+       floor((quantile_cont(value, 0.50)) * 10000.0 + 0.5) / 10000.0 AS p50,
+       floor((quantile_cont(value, 0.90)) * 10000.0 + 0.5) / 10000.0 AS p90
+FROM events
+GROUP BY event_type
+"""
+
+
+def q_grouped_percentiles(spark, sf_dir):
+    """Exact per-group percentiles by linear interpolation (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``: both index p·(n−1) into the
+    sorted values). Exact percentile is a sort-based aggregate — fine at
+    per-group scale; at 100 TB the streaming-sketch twin is
+    ``approx_percentile`` (accuracy-tested in pytest, not hashable
+    cross-engine because sketch merge order is partition-dependent)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        fround(F.expr("percentile(value, 0.25)"), 4).alias("p25"),
+        fround(F.expr("percentile(value, 0.50)"), 4).alias("p50"),
+        fround(F.expr("percentile(value, 0.90)"), 4).alias("p90"),
+    )
+
+
+#: name -> (fn, oracle) for the round-9 promotion pass and the parity test.
+STAGED4 = {
+    "jdbc_roundtrip": (q_jdbc_roundtrip, JDBC_ROUNDTRIP_ORACLE),
+    "xml_metadata_roundtrip": (q_xml_metadata_roundtrip, XML_ROUNDTRIP_ORACLE),
+    "export_rows_roundtrip": (q_export_rows_roundtrip, EXPORT_ROWS_ORACLE),
+    "asof_join_nearest": (q_asof_join_nearest, ASOF_NEAREST_ORACLE),
+    "grouped_percentiles": (q_grouped_percentiles, GROUPED_PERCENTILES_ORACLE),
+}

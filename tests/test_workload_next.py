@@ -2,9 +2,10 @@
 driver's comparison discipline, at sf0.001 AND the driver's sf0.01 —
 promotion to the registry is then a decorator change, not new
 verification. STAGED (round-4 pairs, registered in the round-6 rotation)
-and STAGED2 (round-6 pairs, registered in the round-7 rotation) keep
-pinning the promoted queries' sf0.01 behavior; STAGED3 holds the round-8
-candidates, which are NOT yet registered."""
+STAGED2 (round-6 pairs, registered in the round-7 rotation) and STAGED3
+(round-7 pairs, registered in the round-8 rotation) keep pinning the
+promoted queries' sf0.01 behavior; STAGED4 holds the round-9 candidates,
+which are NOT yet registered."""
 
 from __future__ import annotations
 
@@ -15,6 +16,7 @@ from h2outility_spark.sources.parquet import TABLES
 from h2outility_spark.workload_next import STAGED
 from h2outility_spark.workload_next2 import STAGED2
 from h2outility_spark.workload_next3 import STAGED3
+from h2outility_spark.workload_next4 import STAGED4
 
 from tests.conftest import SF_DIR, SF_DIR_MED
 
@@ -91,3 +93,21 @@ def test_txtable_prune_scan_reads_one_file(spark):
     assert m.group(1) == "1", f"expected 1 pruned file, scan reads {m.group(1)}"
     # and the residual range filter still reaches the parquet reader
     assert "GreaterThanOrEqual(key_bucket" in plan and "LessThanOrEqual(key_bucket" in plan
+
+
+@pytest.mark.parametrize("sf_dir", [SF_DIR, SF_DIR_MED])
+@pytest.mark.parametrize("name", sorted(STAGED4))
+def test_staged4_query_matches_oracle(spark, name, sf_dir):
+    fn, oracle = STAGED4[name]
+    sdf = fn(spark, sf_dir)
+    s_cols, s_rows = _normalize([tuple(r) for r in sdf.collect()], sdf.columns)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    res = con.sql(oracle)
+    o_cols, o_rows = _normalize(res.fetchall(), [d[0] for d in res.description])
+
+    assert s_cols == o_cols, f"{name}: column mismatch {s_cols} vs {o_cols}"
+    assert len(s_rows) == len(o_rows), f"{name}: row count {len(s_rows)} vs {len(o_rows)}"
+    assert s_rows == o_rows, f"{name}: value mismatch"
