@@ -43,7 +43,7 @@ from h2outility_spark.session import get_spark  # noqa: E402
 def _ensure_sf1(sf_dir: str) -> str | None:
     import tempfile
 
-    out = os.path.join(tempfile.gettempdir(), "h2ou_sf1_v1")
+    out = os.path.join(tempfile.gettempdir(), "h2ou_sf1_v2")
     marker = os.path.join(out, "_COMPLETE")
     if os.path.exists(marker):
         return out
@@ -77,16 +77,29 @@ def _ensure_sf1(sf_dir: str) -> str | None:
                 "FROM read_parquet('{src}/{t}.parquet')"
             ).format(key=key, o=k * 200000, src=sf_dir, t=table)
 
+        def events_k(k: int) -> str:
+            # copy k shifts user_id by 10k (> max 1499, so copies cannot
+            # collide) and event_id by 1M: every per-user series — the unit
+            # the window operators (as-of, sessionization, pivot) partition
+            # by — is preserved bit-for-bit within a copy, while group COUNT
+            # grows 10x. Timestamps stay put: per-key work is what scales.
+            return (
+                "SELECT event_id + {eo} AS event_id, user_id + {uo} AS user_id, "
+                "ts, event_type, value, props "
+                "FROM read_parquet('{src}/events.parquet')"
+            ).format(eo=k * 1_000_000, uo=k * 10_000, src=sf_dir)
+
         for name, per_copy in (
             ("documents", docs_k),
             ("embeddings", emb_k),
             ("orders", lambda k: fact_k(k, "orders", "o_orderkey")),
             ("lineitem", lambda k: fact_k(k, "lineitem", "l_orderkey")),
+            ("events", events_k),
         ):
             union = " UNION ALL ".join(per_copy(k) for k in range(10))
             con.execute(f"COPY ({union}) TO '{out}/{name}.parquet' (FORMAT PARQUET)")
         con.close()
-        for t in ("region", "nation", "customer", "supplier", "part", "events"):
+        for t in ("region", "nation", "customer", "supplier", "part"):
             dst = os.path.join(out, f"{t}.parquet")
             if not os.path.exists(dst):
                 os.symlink(os.path.join(sf_dir, f"{t}.parquet"), dst)
@@ -225,7 +238,18 @@ def main() -> None:
     # similarity.auto_n_bits size the bands as ceil(log2(n/target)) from a
     # cheap count (doubling rows adds exactly one bit; unit-tested with
     # recall preserved at the registered threshold).
-    SCALING100 = ["neardup_minhash_pairs", "tpch_q21_waiting_supplier", "dedup_exact_docs"]
+    # asof_join and wide_export ride the round-8 events synthesis (10
+    # key-shifted user copies — per-user series preserved, group count
+    # 10x): they measure the union-sort-carry window family and the
+    # single-shuffle conditional-agg pivot, the two shapes every QC/W
+    # operator reduces to.
+    SCALING100 = [
+        "neardup_minhash_pairs",
+        "tpch_q21_waiting_supplier",
+        "dedup_exact_docs",
+        "asof_join",
+        "wide_export",
+    ]
     scaling100: dict[str, dict] = {}
     if small_dir != sf_dir and os.path.isdir(small_dir):
         sf1_dir = _ensure_sf1(sf_dir)

@@ -255,6 +255,107 @@ def q_grouped_percentiles(spark, sf_dir):
     )
 
 
+# -- S12: REST ingest round trip ----------------------------------------------
+
+REST_INGEST_ORACLE = (
+    DV_CTE
+    + """
+SELECT ValueID AS value_id,
+       strftime(LocalDateTime, '%Y-%m-%d %H:%M:%S.%f') AS local_dt,
+       floor(DataValue * 100.0 + 0.5) / 100.0 AS data_value
+FROM dv WHERE SiteID <= 1
+"""
+)
+
+
+def q_rest_ingest_roundtrip(spark, sf_dir):
+    """S12 on a driver hash: POST a DataValues selection to a local HTTP
+    endpoint through the DISTRIBUTED sink (``post_json_partitions`` —
+    executor-side ``foreachPartition``, 4 partitions, bounded JSON
+    batches), then return exactly what the server RECEIVED. A dropped
+    batch, a double-post, or a JSON type mangling flips the hash. The
+    in-process ThreadingHTTPServer mirrors tests/test_rest_sink.py; on a
+    real cluster the same sink code points at a service URL (reference
+    analog: ``HydroShareUtility.py`` upload loop).
+
+    The received rows are rebuilt driver-side — bounded by construction
+    (the posted selection is a per-chunk slice, same contract as the
+    single-file CSV sinks)."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from h2outility_spark.sinks.rest_sink import post_json_partitions
+
+    received: list[dict] = []
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # silence
+            pass
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(n) if n else b""
+            with lock:
+                received.extend(json.loads(body))
+            out = b'{"ok": true}'
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        sel = (
+            _dv(spark, sf_dir)
+            .filter(F.col("SiteID") <= 1)
+            .select(
+                F.col("ValueID").alias("value_id"),
+                F.date_format("LocalDateTime", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("local_dt"),
+                fround(F.col("DataValue"), 2).alias("data_value"),
+            )
+            .repartition(4)
+        )
+        post_json_partitions(
+            sel, f"http://127.0.0.1:{server.server_port}/ingest", batch_size=50
+        )
+    finally:
+        server.shutdown()
+        server.server_close()
+    rows = [(int(r["value_id"]), str(r["local_dt"]), float(r["data_value"])) for r in received]
+    return spark.createDataFrame(rows, "value_id bigint, local_dt string, data_value double")
+
+
+# -- rolling correlation (W-family depth) --------------------------------------
+
+ROLLING_CORR_ORACLE = """
+SELECT user_id, event_id,
+       floor((corr(value, epoch_us(ts) / 1000000.0)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING))
+             * 10000.0 + 0.5) / 10000.0 AS trend_corr
+FROM events
+"""
+
+
+def q_rolling_corr(spark, sf_dir):
+    """Rolling value-vs-time Pearson correlation per series (±5-row frame):
+    the local-trend detector (corr ~ +1 = steady rise, ~ −1 = steady fall).
+    Degenerate frames (zero variance) are normalized to NULL — Spark's
+    corr yields NaN where DuckDB yields NULL, so the NaN is folded before
+    rounding. One shuffle on the series key, same as every QC window."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-5, 5)
+    c = F.corr(F.col("value"), F.unix_micros("ts") / F.lit(1_000_000.0)).over(w)
+    c = F.when(F.isnan(c), F.lit(None)).otherwise(c)
+    return ev.select("user_id", "event_id", fround(c, 4).alias("trend_corr"))
+
+
 #: name -> (fn, oracle) for the round-9 promotion pass and the parity test.
 STAGED4 = {
     "jdbc_roundtrip": (q_jdbc_roundtrip, JDBC_ROUNDTRIP_ORACLE),
@@ -262,4 +363,6 @@ STAGED4 = {
     "export_rows_roundtrip": (q_export_rows_roundtrip, EXPORT_ROWS_ORACLE),
     "asof_join_nearest": (q_asof_join_nearest, ASOF_NEAREST_ORACLE),
     "grouped_percentiles": (q_grouped_percentiles, GROUPED_PERCENTILES_ORACLE),
+    "rest_ingest_roundtrip": (q_rest_ingest_roundtrip, REST_INGEST_ORACLE),
+    "rolling_corr": (q_rolling_corr, ROLLING_CORR_ORACLE),
 }
