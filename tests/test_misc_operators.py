@@ -142,3 +142,29 @@ def test_rp_lsh_bucket_cap(spark):
     other_un = sorted((r["id_a"], r["id_b"]) for r in uncapped.filter(F.col("id_a") >= 100).collect())
     other_cap = sorted((r["id_a"], r["id_b"]) for r in capped.filter(F.col("id_a") >= 100).collect())
     assert other_un == other_cap
+
+
+def test_approx_percentile_accuracy_vs_exact(spark):
+    """The 100 TB twin of the staged grouped_percentiles query:
+    approx_percentile (mergeable sketch, one pass, no per-group sort) must
+    land within the accuracy contract of the exact interpolated
+    percentile. Not oracle-hashable — sketch merge order is partition-
+    dependent — so the accuracy bound is pinned here instead."""
+    from pyspark.sql import functions as F
+
+    from h2outility_spark.sources.parquet import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    rows = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, array(0.25, 0.5, 0.9))").alias("exact"),
+        F.expr("approx_percentile(value, array(0.25, 0.5, 0.9), 1000)").alias("approx"),
+        F.expr("percentile(value, 0.5)").alias("med"),
+        (F.max("value") - F.min("value")).alias("spread"),
+    ).collect()
+    assert rows
+    for r in rows:
+        for e, a in zip(r["exact"], r["approx"]):
+            # approx_percentile's contract is RANK error (<= n/accuracy
+            # positions); translate to value space via the group spread
+            assert abs(e - a) <= max(0.02 * r["spread"], 1e-9), (r["event_type"], e, a)

@@ -130,3 +130,51 @@ def test_asof_forward_matches_bruteforce(spark, data):
         else:
             expected = None
         assert out[i] == expected, f"left hour {h}: {out[i]} != {expected}"
+
+
+@settings(max_examples=15, deadline=None)
+@given(asof_strategy, st.one_of(st.none(), st.integers(min_value=1, max_value=8)))
+def test_asof_nearest_matches_bruteforce(spark, data, tol_hours):
+    """asof_join_nearest == the brute-force definition: for each left row,
+    the right row minimizing |right.ts − left.ts| (within tolerance when
+    given), an equidistant backward/forward pair resolved BACKWARD, and
+    duplicate-ts right rows resolved to the LARGEST tiebreak."""
+    from h2outility_spark.operators.asof import asof_join_nearest
+
+    left_hours, right_rows = data
+    left = spark.createDataFrame(
+        [Row(k="a", ts=T0 + timedelta(hours=h), lid=i) for i, h in enumerate(left_hours)]
+    )
+    right_sorted = sorted(right_rows, key=lambda r: (r[0], r[1]))
+    if right_rows:
+        right = spark.createDataFrame(
+            [Row(k="a", ts=T0 + timedelta(hours=h), v=float(v)) for h, v in right_sorted]
+        )
+    else:
+        right = spark.createDataFrame([], "k string, ts timestamp, v double")
+
+    tol = None if tol_hours is None else tol_hours * 3600
+    out = {
+        r["lid"]: (r["v"], r["asof_direction"])
+        for r in asof_join_nearest(
+            left, right, ["k"], payload_cols=["v"], tolerance_seconds=tol, tiebreak="v"
+        ).collect()
+    }
+
+    for i, h in enumerate(left_hours):
+        eligible = [
+            (rh, rv)
+            for rh, rv in right_sorted
+            if tol_hours is None or abs(rh - h) <= tol_hours
+        ]
+        if not eligible:
+            assert out[i] == (None, None), f"left hour {h}: {out[i]}"
+            continue
+        best_d = min(abs(rh - h) for rh, rv in eligible)
+        back = [rv for rh, rv in eligible if h - rh == best_d]
+        fwd = [rv for rh, rv in eligible if rh - h == best_d]
+        if back:  # backward wins ties (including distance 0)
+            expected = (float(max(back)), "backward")
+        else:
+            expected = (float(max(fwd)), "forward")
+        assert out[i] == expected, f"left hour {h}: {out[i]} != {expected}"

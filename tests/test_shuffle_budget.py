@@ -95,3 +95,22 @@ def test_staged_asof_forward_budget(spark):
     shuffles = len(re.findall(r"(?<!Broadcast)Exchange (hash|range|Single)", plan))
     assert shuffles <= 1, f"forward as-of grew a second shuffle:\n{plan[:1500]}"
     assert plan.count("BroadcastExchange") == 0
+
+
+def test_staged_asof_nearest_budget(spark):
+    """The round-9 staged nearest as-of runs BOTH directional carries in
+    one pass: still exactly one shuffle on the key (the two window
+    orderings differ only in tiebreak direction — an in-partition re-sort,
+    never a second exchange), and no broadcast."""
+    spark.catalog.clearCache()
+    from h2outility_spark.workload_next4 import q_asof_join_nearest
+
+    plan = (
+        q_asof_join_nearest(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    shuffles = len(re.findall(r"(?<!Broadcast)Exchange (hash|range|Single)", plan))
+    assert shuffles <= 1, f"nearest as-of grew a second shuffle:\n{plan[:1500]}"
+    assert plan.count("BroadcastExchange") == 0
