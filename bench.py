@@ -190,7 +190,7 @@ def main() -> None:
     # exponent — is acknowledged), never quadratic (e ~= 2).
     SCALING = [
         "neardup_embedding_lsh", "neardup_minhash_pairs", "tpch_q21_waiting_supplier",
-        "dedup_exact_docs",
+        "dedup_exact_docs", "asof_join", "wide_export",
     ]
     small_dir = sf_dir.replace("sf0.1", "sf0.01")
     scaling: dict[str, dict] = {}
