@@ -680,6 +680,50 @@ def decontaminate_spans(
     )
 
 
+def chunk_sliding(
+    docs: DataFrame,
+    size: int,
+    stride: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window chunking: ``size``-token windows every ``stride``
+    tokens — the RAG-retrieval / context-window shape (overlap =
+    size − stride keeps boundary sentences visible to both neighbors),
+    complementing ``segments_expr`` (fixed, disjoint) and ``cdc_segments``
+    (content-defined). A trailing window is emitted only if its
+    predecessor did not already reach the document's end, so chunk sets
+    are minimal and deterministic. Blank documents yield no chunks.
+
+    Returns (id, chunk_idx, start_tok, n_tokens, chunk_text); chunk_idx is
+    0-based in start order. Scale shape: one narrow map + posexplode, no
+    shuffle — chunking 100 TB is embarrassingly parallel and stays fully
+    inside codegen (split/sequence/slice built-ins, no UDF).
+    """
+    toks = f"split(trim(regexp_replace({text_col}, '{WS_CLASS_EXPR}+', ' ')), ' ')"
+    n = (
+        f"CASE WHEN length(trim(regexp_replace({text_col}, '{WS_CLASS_EXPR}+', ' '))) = 0 "
+        f"THEN 0 ELSE size({toks}) END"
+    )
+    starts = (
+        f"CASE WHEN {n} = 0 THEN array() "
+        f"ELSE filter(sequence(0, {n} - 1, {stride}), s -> s = 0 OR s - {stride} + {size} < {n}) END"
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.expr(toks).alias("__toks"),
+        F.expr(n).alias("__n"),
+        F.posexplode(F.expr(starts)).alias("chunk_idx", "start_tok"),
+    )
+    return base.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.least(F.lit(size), F.col("__n") - F.col("start_tok")).cast("long").alias("n_tokens"),
+        F.array_join(F.expr(f"slice(__toks, start_tok + 1, {size})"), " ").alias("chunk_text"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Content-defined chunking (Rabin-style boundaries on the token stream)
 # ---------------------------------------------------------------------------

@@ -356,6 +356,44 @@ def q_rolling_corr(spark, sf_dir):
     return ev.select("user_id", "event_id", fround(c, 4).alias("trend_corr"))
 
 
+# -- sliding-window chunking ----------------------------------------------------
+
+_CHUNK_SIZE, _CHUNK_STRIDE = 64, 48
+
+CHUNK_SLIDING_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')), ' ') AS toks,
+         CASE WHEN length(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))) = 0 THEN 0
+              ELSE array_length(regexp_split_to_array(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')), ' ')) END AS n
+  FROM documents
+),
+s AS (
+  SELECT doc_id, toks, n, u.s AS start_tok,
+         row_number() OVER (PARTITION BY doc_id ORDER BY u.s) - 1 AS chunk_idx
+  FROM t, unnest(generate_series(0, n - 1, {_CHUNK_STRIDE})) u(s)
+  WHERE n > 0 AND (u.s = 0 OR u.s - {_CHUNK_STRIDE} + {_CHUNK_SIZE} < n)
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(least({_CHUNK_SIZE}, n - start_tok) AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(toks, start_tok + 1, start_tok + {_CHUNK_SIZE}), ' ') AS chunk_text
+FROM s
+"""
+
+
+def q_chunk_sliding(spark, sf_dir):
+    """Sliding-window chunking of the document corpus (64-token windows
+    every 48 tokens → 16-token overlap): boundary text is visible to both
+    neighboring chunks, the shape RAG retrieval and context-window packing
+    want. Chunk indices, offsets, exact chunk text and the
+    minimal-trailing-window rule all ride the hash. Zero shuffles."""
+    from h2outility_spark.operators import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    return T.chunk_sliding(docs, size=_CHUNK_SIZE, stride=_CHUNK_STRIDE)
+
+
 #: name -> (fn, oracle) for the round-9 promotion pass and the parity test.
 STAGED4 = {
     "jdbc_roundtrip": (q_jdbc_roundtrip, JDBC_ROUNDTRIP_ORACLE),
@@ -365,4 +403,5 @@ STAGED4 = {
     "grouped_percentiles": (q_grouped_percentiles, GROUPED_PERCENTILES_ORACLE),
     "rest_ingest_roundtrip": (q_rest_ingest_roundtrip, REST_INGEST_ORACLE),
     "rolling_corr": (q_rolling_corr, ROLLING_CORR_ORACLE),
+    "chunk_sliding": (q_chunk_sliding, CHUNK_SLIDING_ORACLE),
 }

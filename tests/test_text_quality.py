@@ -210,3 +210,37 @@ def test_space_token_count_explicit_class_covers_all_ascii_ws(spark):
     out = {r["doc_id"]: r["n"] for r in
            docs.select("doc_id", space_token_count(F.col("text")).alias("n")).collect()}
     assert out == {1: 6, 2: 0}
+
+
+def test_chunk_sliding_edges(spark):
+    """Window arithmetic edges: blank -> no chunks; shorter-than-size ->
+    one full-doc chunk; exact multiples -> no redundant trailing window;
+    overlap text shared between neighbors."""
+    from pyspark.sql import Row
+
+    from h2outility_spark.operators.text import chunk_sliding
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="   "),                      # blank
+            Row(doc_id=2, text="a b c"),                    # 3 toks < size
+            Row(doc_id=3, text=" ".join(f"t{i}" for i in range(8))),   # n=8=size -> 1 chunk
+            Row(doc_id=4, text=" ".join(f"t{i}" for i in range(9))),   # n=9 -> starts 0,4
+            Row(doc_id=5, text=" ".join(f"t{i}" for i in range(12))),  # n=12 -> 0,4; 8 would be
+                                                                       # redundant (4+8 >= 12)
+        ]
+    )
+    out = chunk_sliding(docs, size=8, stride=4).collect()
+    by_doc: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r["doc_id"], r["chunk_idx"])):
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 1 not in by_doc
+    assert [(r["start_tok"], r["n_tokens"]) for r in by_doc[2]] == [(0, 3)]
+    assert by_doc[2][0]["chunk_text"] == "a b c"
+    assert [(r["start_tok"], r["n_tokens"]) for r in by_doc[3]] == [(0, 8)]
+    assert [(r["start_tok"], r["n_tokens"]) for r in by_doc[4]] == [(0, 8), (4, 5)]
+    assert [(r["start_tok"], r["n_tokens"]) for r in by_doc[5]] == [(0, 8), (4, 8)]
+    # overlap: chunk 1 of doc 4 starts inside chunk 0's text
+    assert by_doc[4][1]["chunk_text"].split(" ")[0] == "t4"
+    # chunk_idx is dense 0..k
+    assert [r["chunk_idx"] for r in by_doc[5]] == [0, 1]
