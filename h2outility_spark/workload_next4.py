@@ -394,6 +394,40 @@ def q_chunk_sliding(spark, sf_dir):
     return T.chunk_sliding(docs, size=_CHUNK_SIZE, stride=_CHUNK_STRIDE)
 
 
+# -- hourly OHLC rollup ----------------------------------------------------------
+
+SERIES_OHLC_ORACLE = """
+SELECT user_id, event_type, date_trunc('hour', ts) AS hour_start,
+       floor((first(value ORDER BY ts, event_id)) * 100.0 + 0.5) / 100.0 AS open,
+       floor((max(value)) * 100.0 + 0.5) / 100.0 AS high,
+       floor((min(value)) * 100.0 + 0.5) / 100.0 AS low,
+       floor((last(value ORDER BY ts, event_id)) * 100.0 + 0.5) / 100.0 AS close,
+       CAST(count(*) AS BIGINT) AS n_obs
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+def q_series_ohlc(spark, sf_dir):
+    """Hourly OHLC per series (open = first value in the hour, close =
+    last, ties on timestamp broken by event_id): the canonical downsample
+    for sensor/market series. Spark's min_by/max_by over a (ts, event_id)
+    struct ≡ DuckDB's ordered first/last aggregates. ONE hash aggregate
+    with map-side partials — no window, no sort of the full stream; at
+    100 TB this is the cheapest possible shape for a per-hour summary."""
+    ev = _t(spark, sf_dir, "events")
+    order_key = F.struct(F.col("ts"), F.col("event_id"))
+    return ev.groupBy(
+        "user_id", "event_type", F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(
+        fround(F.min_by(F.col("value"), order_key), 2).alias("open"),
+        fround(F.max("value"), 2).alias("high"),
+        fround(F.min("value"), 2).alias("low"),
+        fround(F.max_by(F.col("value"), order_key), 2).alias("close"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+
+
 #: name -> (fn, oracle) for the round-9 promotion pass and the parity test.
 STAGED4 = {
     "jdbc_roundtrip": (q_jdbc_roundtrip, JDBC_ROUNDTRIP_ORACLE),
@@ -404,4 +438,5 @@ STAGED4 = {
     "rest_ingest_roundtrip": (q_rest_ingest_roundtrip, REST_INGEST_ORACLE),
     "rolling_corr": (q_rolling_corr, ROLLING_CORR_ORACLE),
     "chunk_sliding": (q_chunk_sliding, CHUNK_SLIDING_ORACLE),
+    "series_ohlc": (q_series_ohlc, SERIES_OHLC_ORACLE),
 }
