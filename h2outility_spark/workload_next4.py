@@ -35,6 +35,8 @@ Coverage targets (VERDICT r7 "stage the round-9 window"):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from h2outility_spark.operators import asof
@@ -394,6 +396,62 @@ def q_chunk_sliding(spark, sf_dir):
     return T.chunk_sliding(docs, size=_CHUNK_SIZE, stride=_CHUNK_STRIDE)
 
 
+# -- S5 fan-out: one annotated CSV per site chunk, written executor-side ---------
+
+from h2outility_spark.operators.reshape import pivot_column_names as _pcn  # noqa: E402
+from h2outility_spark.workload import PIVOT_PAIRS as _PAIRS, _wide_export_oracle  # noqa: E402
+
+_FANOUT_NAMES = _pcn(_PAIRS)
+
+#: identical content contract to the certified wide_export matrix — the
+#: fan-out must reproduce it file-by-file.
+ANNOTATED_FANOUT_ORACLE = _wide_export_oracle()
+
+
+def q_annotated_export_fanout(spark, sf_dir):
+    """The reference's whole batch behavior in one query, at the 100 TB
+    shape: the full wide matrix is split into per-site chunks and EVERY
+    chunk is serialized to its own annotated CSV EXECUTOR-SIDE
+    (``write_annotated_chunks_distributed`` — applyInPandas over
+    groupBy(SiteID), all chunks in parallel, no driver loop), then every
+    file is read back through the comment-skipping CSV scan and the union
+    returned. The oracle is the certified wide_export matrix: a chunk
+    whose file is missing, double-written, mis-filled, or column-shuffled
+    flips the hash. 150 files at sf0.01; same plan at 100k chunks."""
+    from pyspark.sql import types as T
+
+    from h2outility_spark.operators.reshape import fill_no_data, pivot_wide
+    from h2outility_spark.sinks.csv_sink import write_annotated_chunks_distributed
+    from h2outility_spark.workload import PIVOT_PAIRS
+
+    dv = _dv(spark, sf_dir).withColumn("obs_date", F.to_date("LocalDateTime"))
+    names = _FANOUT_NAMES
+    wide = pivot_wide(dv, ["SiteID", "obs_date"], PIVOT_PAIRS, agg="avg")
+    value_cols = [names[p] for p in PIVOT_PAIRS]
+    rounded = wide.select(
+        "SiteID", "obs_date", *[fround(F.col(f"`{c}`"), 2).alias(c) for c in value_cols]
+    )
+    filled = fill_no_data(rounded, {c: -9999.0 for c in value_cols})
+
+    out_dir = scratch_dir("h2ou_fanout_")
+    summary = write_annotated_chunks_distributed(
+        filled, out_dir, chunk_col="SiteID", order_by=["SiteID", "obs_date"]
+    )
+    n_files = summary.count()  # acts the write job; 1-row-per-chunk frame
+    assert n_files > 0
+
+    schema = T.StructType(
+        [T.StructField("SiteID", T.LongType()), T.StructField("obs_date", T.DateType())]
+        + [T.StructField(c, T.DoubleType()) for c in value_cols]
+    )
+    return (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("comment", "#")
+        .csv(os.path.join(out_dir, "*.csv"))
+    )
+
+
 # -- hourly OHLC rollup ----------------------------------------------------------
 
 SERIES_OHLC_ORACLE = """
@@ -439,4 +497,5 @@ STAGED4 = {
     "rolling_corr": (q_rolling_corr, ROLLING_CORR_ORACLE),
     "chunk_sliding": (q_chunk_sliding, CHUNK_SLIDING_ORACLE),
     "series_ohlc": (q_series_ohlc, SERIES_OHLC_ORACLE),
+    "annotated_export_fanout": (q_annotated_export_fanout, ANNOTATED_FANOUT_ORACLE),
 }
