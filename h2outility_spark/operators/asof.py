@@ -54,6 +54,47 @@ def _tiebreak_col(tiebreak, payload_cols, keys, right_ts):
     return F.col("__tb_raw")
 
 
+def _union_tagged(
+    left, right, keys, left_ts, right_ts, payload_cols, tiebreak, left_side, right_side
+):
+    """Shared prep for every as-of variant: project the right side narrow
+    (__rts + __p_* payloads + tiebreak carry), tag both sides with
+    __side/__ts, resolve the tiebreak to __tb, union. The ``*_side``
+    integers decide who sorts first at equal timestamps — the one
+    semantic difference between the variants' unions. Returns
+    (both, payload_cols). Kept as ONE function so a semantic fix (like
+    round 8's atomic struct carry) lands everywhere at once."""
+    payload_cols = payload_cols or [c for c in right.columns if c not in keys and c != right_ts]
+    lt = left.withColumn("__side", F.lit(left_side)).withColumn("__ts", F.col(left_ts))
+    rt = (
+        right.select(
+            *keys,
+            F.col(right_ts).alias("__rts"),
+            *[F.col(c).alias(f"__p_{c}") for c in payload_cols],
+            *_tiebreak_carry(tiebreak, payload_cols, keys, right_ts),
+        )
+        .withColumn("__side", F.lit(right_side))
+        .withColumn("__ts", F.col("__rts"))
+    )
+    if tiebreak is not None:
+        rt = rt.withColumn("__tb", _tiebreak_col(tiebreak, payload_cols, keys, right_ts)).drop("__tb_raw")
+        lt = lt.withColumn("__tb", F.lit(None))
+    return lt.unionByName(rt, allowMissingColumns=True), payload_cols
+
+
+def _right_row_struct(right_side: int, payload_cols):
+    """The atomic carry unit: ONE struct per right row (non-null exactly
+    when a right row exists), never per-column scans — a per-column
+    first/last(ignorenulls) would replace a NULL payload value in the
+    matched row with ANOTHER row's value (even one beyond tolerance),
+    mixing columns across rows. Struct carry preserves matched-row NULLs —
+    the semantics DuckDB ASOF JOIN / pandas merge_asof give."""
+    return F.when(
+        F.col("__side") == right_side,
+        F.struct(F.col("__rts"), *[F.col(f"__p_{c}") for c in payload_cols]),
+    )
+
+
 def asof_join_backward(
     left: DataFrame,
     right: DataFrame,
@@ -76,36 +117,15 @@ def asof_join_backward(
     JOIN makes; pass a tiebreak whenever the right side isn't unique per
     (keys, ts).
     """
-    payload_cols = payload_cols or [c for c in right.columns if c not in keys and c != right_ts]
-    lt = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
-    rt = (
-        right.select(
-            *keys,
-            F.col(right_ts).alias("__rts"),
-            *[F.col(c).alias(f"__p_{c}") for c in payload_cols],
-            *_tiebreak_carry(tiebreak, payload_cols, keys, right_ts),
-        )
-        .withColumn("__side", F.lit(0))
-        .withColumn("__ts", F.col("__rts"))
+    # right rows (side 0) sort before left rows at equal timestamps → "<="
+    # semantics; among equal-ts right rows the tiebreak (nulls first, so
+    # left rows are unaffected) fixes which one the carry sees last
+    both, payload_cols = _union_tagged(
+        left, right, keys, left_ts, right_ts, payload_cols, tiebreak, left_side=1, right_side=0
     )
-    if tiebreak is not None:
-        rt = rt.withColumn("__tb", _tiebreak_col(tiebreak, payload_cols, keys, right_ts)).drop("__tb_raw")
-        lt = lt.withColumn("__tb", F.lit(None))
-    both = lt.unionByName(rt, allowMissingColumns=True)
-    # right rows sort before left rows at equal timestamps → "<=" semantics;
-    # among equal-ts right rows the tiebreak (nulls first, so left rows are
-    # unaffected) fixes which one the carry sees last
     order = ["__ts", "__side"] + ([F.col("__tb").asc_nulls_first()] if tiebreak is not None else [])
     w = W.partitionBy(*keys).orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
-    # ONE struct carry, not per-column scans: a per-column last(ignorenulls)
-    # would replace a NULL payload value in the matched row with an OLDER
-    # row's value (and mix columns across rows). The struct is non-null
-    # exactly when a right row exists, so the matched row rides atomically —
-    # the semantics DuckDB ASOF JOIN / pandas merge_asof give.
-    carry = F.when(
-        F.col("__side") == 0,
-        F.struct(F.col("__rts"), *[F.col(f"__p_{c}") for c in payload_cols]),
-    )
+    carry = _right_row_struct(0, payload_cols)
     carried = both.select("*", F.last(carry, ignorenulls=True).over(w).alias("__carry"))
     out = carried.filter(F.col("__side") == 1)
     within = F.lit(True)
@@ -142,37 +162,17 @@ def asof_join_forward(
     rows exactly like the backward variant: the LARGEST tiebreak value
     wins the carry, keeping the result partition-order-independent.
     """
-    payload_cols = payload_cols or [c for c in right.columns if c not in keys and c != right_ts]
-    lt = left.withColumn("__side", F.lit(0)).withColumn("__ts", F.col(left_ts))
-    rt = (
-        right.select(
-            *keys,
-            F.col(right_ts).alias("__rts"),
-            *[F.col(c).alias(f"__p_{c}") for c in payload_cols],
-            *_tiebreak_carry(tiebreak, payload_cols, keys, right_ts),
-        )
-        .withColumn("__side", F.lit(1))
-        .withColumn("__ts", F.col("__rts"))
-    )
-    if tiebreak is not None:
-        rt = rt.withColumn("__tb", _tiebreak_col(tiebreak, payload_cols, keys, right_ts)).drop("__tb_raw")
-        lt = lt.withColumn("__tb", F.lit(None))
-    both = lt.unionByName(rt, allowMissingColumns=True)
-    # left rows sort BEFORE right rows at equal timestamps, so the
+    # left rows (side 0) sort BEFORE right rows at equal timestamps, so the
     # forward-looking window still sees an equal-ts right row → ">="
     # semantics; among equal-ts right rows the DESC tiebreak puts the
     # winner first (left rows sit earlier by __side, so their null __tb
     # never reorders them relative to right rows)
+    both, payload_cols = _union_tagged(
+        left, right, keys, left_ts, right_ts, payload_cols, tiebreak, left_side=0, right_side=1
+    )
     order = ["__ts", "__side"] + ([F.col("__tb").desc_nulls_last()] if tiebreak is not None else [])
     w = W.partitionBy(*keys).orderBy(*order).rowsBetween(0, W.unboundedFollowing)
-    # Atomic struct carry (see asof_join_backward): per-column
-    # first(ignorenulls) would let a NULL payload in the matched row fall
-    # through to a LATER row — possibly beyond tolerance — mixing columns
-    # from different right rows.
-    carry = F.when(
-        F.col("__side") == 1,
-        F.struct(F.col("__rts"), *[F.col(f"__p_{c}") for c in payload_cols]),
-    )
+    carry = _right_row_struct(1, payload_cols)
     carried = both.select("*", F.first(carry, ignorenulls=True).over(w).alias("__carry"))
     out = carried.filter(F.col("__side") == 0)
     within = F.lit(True)
@@ -216,30 +216,14 @@ def asof_join_nearest(
     Adds ``asof_ts`` and ``asof_direction`` ('backward'/'forward') beside
     the carried payload columns.
     """
-    payload_cols = payload_cols or [c for c in right.columns if c not in keys and c != right_ts]
-    lt = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
-    rt = (
-        right.select(
-            *keys,
-            F.col(right_ts).alias("__rts"),
-            *[F.col(c).alias(f"__p_{c}") for c in payload_cols],
-            *_tiebreak_carry(tiebreak, payload_cols, keys, right_ts),
-        )
-        .withColumn("__side", F.lit(0))
-        .withColumn("__ts", F.col("__rts"))
+    both, payload_cols = _union_tagged(
+        left, right, keys, left_ts, right_ts, payload_cols, tiebreak, left_side=1, right_side=0
     )
-    if tiebreak is not None:
-        rt = rt.withColumn("__tb", _tiebreak_col(tiebreak, payload_cols, keys, right_ts)).drop("__tb_raw")
-        lt = lt.withColumn("__tb", F.lit(None))
-    both = lt.unionByName(rt, allowMissingColumns=True)
     tb_b = [F.col("__tb").asc_nulls_first()] if tiebreak is not None else []
     tb_f = [F.col("__tb").desc_nulls_last()] if tiebreak is not None else []
     wb = W.partitionBy(*keys).orderBy("__ts", "__side", *tb_b).rowsBetween(W.unboundedPreceding, 0)
     wf = W.partitionBy(*keys).orderBy("__ts", "__side", *tb_f).rowsBetween(0, W.unboundedFollowing)
-    carry = F.when(
-        F.col("__side") == 0,
-        F.struct(F.col("__rts"), *[F.col(f"__p_{c}") for c in payload_cols]),
-    )
+    carry = _right_row_struct(0, payload_cols)
     carried = both.select(
         "*",
         F.last(carry, ignorenulls=True).over(wb).alias("__cb"),

@@ -334,6 +334,7 @@ def rp_lsh_candidate_pairs(
     vec_col: str = "embedding",
     max_bucket: int | None = None,
     target_bucket: int = 32,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Candidate (id_a < id_b) pairs from an RP-LSH banded self-join.
 
@@ -346,15 +347,19 @@ def rp_lsh_candidate_pairs(
     from pairing via a broadcast anti-join against the (tiny) giant-bucket
     list, mirroring dedup.lsh_candidate_pairs_quarantined.
 
-    ``n_bits=None`` auto-sizes the band width from a cheap count
-    (column-pruned parquet count, metadata-cheap) via :func:`auto_n_bits`,
-    so the bucket occupancy — and with it the candidate-set cost — stays
+    ``n_bits=None`` auto-sizes the band width via :func:`auto_n_bits`, so
+    the bucket occupancy — and with it the candidate-set cost — stays
     flat as the corpus scales instead of silently degrading to O(n²).
-    Pass an explicit ``n_bits`` to pin a configuration (the registered
-    queries do, for oracle determinism).
+    The size comes from ``n_rows`` when the caller already knows it;
+    otherwise from ``embeddings.count()`` — metadata-cheap on a raw
+    parquet scan, but a FULL extra execution of a derived pipeline, so
+    callers feeding a computed frame should pass ``n_rows`` (an estimate
+    is fine: only log2 of it matters) or cache the frame first. Pass an
+    explicit ``n_bits`` to pin a configuration (the registered queries
+    do, for oracle determinism).
     """
     if n_bits is None:
-        n_bits = auto_n_bits(embeddings.count(), target_bucket)
+        n_bits = auto_n_bits(n_rows if n_rows is not None else embeddings.count(), target_bucket)
     planes = random_hyperplanes(n_bits * n_bands, dim)
     sig = rp_sig_udf(planes)
     sigs = embeddings.select(F.col(id_col), sig(F.col(vec_col)).alias("sig"))
@@ -392,6 +397,7 @@ def cosine_neardup_pairs_lsh(
     n_bits: int | None = 4,
     n_bands: int = 32,
     dim: int = 64,
+    n_rows: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -411,7 +417,7 @@ def cosine_neardup_pairs_lsh(
     against the brute-force oracle at the test scales, which the driver's
     correctness gate then proves.
     """
-    cand = rp_lsh_candidate_pairs(embeddings, n_bits, n_bands, dim, id_col, vec_col)
+    cand = rp_lsh_candidate_pairs(embeddings, n_bits, n_bands, dim, id_col, vec_col, n_rows=n_rows)
     v = as_double(F.col(vec_col))
     # self-dots precomputed per side (n folds, not one per pair); the pair
     # expression dot(a,b)/sqrt(na*nb) is the same IEEE arithmetic as
