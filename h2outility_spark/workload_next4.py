@@ -452,6 +452,72 @@ def q_annotated_export_fanout(spark, sf_dir):
     )
 
 
+# -- incremental view maintenance off the TxTable CDF -----------------------------
+
+TXTABLE_IVM_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey % 50 AS cust_bucket,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 10 < 8
+),
+upd AS (
+  SELECT o_orderkey, o_custkey % 50 AS cust_bucket,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) + 500 AS cents
+  FROM orders WHERE o_orderkey % 4 = 0
+),
+final AS (
+  SELECT * FROM upd
+  UNION ALL
+  SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+)
+SELECT cust_bucket,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM final GROUP BY cust_bucket
+"""
+
+
+def q_txtable_incremental_agg(spark, sf_dir):
+    """Incremental view maintenance, hash-proven equivalent to a
+    recompute: materialize a per-bucket (count, sum) aggregate at v1,
+    run a mixed upsert (updates to existing keys + brand-new keys)
+    through merge_upsert, then advance the view using ONLY the v1→v2
+    change feed (``ivm.maintain_grouped_agg`` — O(changed rows), never
+    O(table)) and return the maintained view. The oracle recomputes the
+    aggregate from the final state algebraically — any drift between
+    maintain-from-CDF and recompute flips the hash. Measures are integer
+    cents, so maintained ≡ recomputed exactly (integer addition is
+    associative; no float accumulation-order escape hatch)."""
+    from h2outility_spark.operators import ivm
+    from h2outility_spark.storage_tx import TxTable
+
+    cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("bigint")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 50).alias("cust_bucket"),
+        cents.alias("cents"),
+    )
+    base = orders.filter(F.col("o_orderkey") % 10 < 8)
+    upd = orders.filter(F.col("o_orderkey") % 4 == 0).withColumn(
+        "cents", F.col("cents") + F.lit(500)
+    )
+
+    t = TxTable(spark, scratch_dir("h2ou_ivm_") + "/t", key_cols=["o_orderkey"])
+    v1 = t.append(base)
+    old_view = ivm.aggregate_state(
+        t.snapshot(v1), ["cust_bucket"], "cents", "n_orders", "total_cents"
+    )
+    v2 = t.merge_upsert(upd)
+    return ivm.maintain_grouped_agg(
+        old_view,
+        t.changes(v1, v2),
+        ["cust_bucket"],
+        "cents",
+        "n_orders",
+        "total_cents",
+    )
+
+
 # -- hourly OHLC rollup ----------------------------------------------------------
 
 SERIES_OHLC_ORACLE = """
@@ -498,4 +564,5 @@ STAGED4 = {
     "chunk_sliding": (q_chunk_sliding, CHUNK_SLIDING_ORACLE),
     "series_ohlc": (q_series_ohlc, SERIES_OHLC_ORACLE),
     "annotated_export_fanout": (q_annotated_export_fanout, ANNOTATED_FANOUT_ORACLE),
+    "txtable_incremental_agg": (q_txtable_incremental_agg, TXTABLE_IVM_ORACLE),
 }

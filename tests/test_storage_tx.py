@@ -692,3 +692,32 @@ def test_empty_merge_with_schema_evolution_still_evolves(spark, table):
     assert rows_of(snap) == [(1, "a", None)]
     # and a PLAIN empty merge against the evolved schema is still a no-op
     assert table.merge_upsert(spark.createDataFrame([], "k int, v string, tag string")) == v2
+
+
+def test_ivm_maintain_handles_pure_deletes_and_new_keys(spark):
+    """maintain_grouped_agg edges the staged IVM query can't reach:
+    a key whose rows are all deleted must LEAVE the view; a brand-new key
+    must enter it; an untouched key must ride through unchanged."""
+    from pyspark.sql import Row
+
+    from h2outility_spark.operators import ivm
+
+    old = spark.createDataFrame(
+        [Row(k="gone", n=2, total=30), Row(k="stays", n=1, total=5), Row(k="grows", n=1, total=7)]
+    )
+    changes = spark.createDataFrame(
+        [
+            Row(k="gone", v=10, _change_type="delete"),
+            Row(k="gone", v=20, _change_type="delete"),
+            Row(k="grows", v=3, _change_type="insert"),
+            Row(k="new", v=100, _change_type="insert"),
+            # an update = delete+insert pair on the same key
+            Row(k="grows", v=7, _change_type="delete"),
+            Row(k="grows", v=9, _change_type="insert"),
+        ]
+    )
+    out = {
+        r["k"]: (r["n"], r["total"])
+        for r in ivm.maintain_grouped_agg(old, changes, ["k"], "v").collect()
+    }
+    assert out == {"stays": (1, 5), "grows": (2, 12), "new": (1, 100)}
