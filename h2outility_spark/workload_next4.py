@@ -24,6 +24,13 @@ Coverage targets (VERDICT r7 "stage the round-9 window"):
     (multi-part ``df.write.csv``) read back whole: flag→column-set
     contract, distributed write path, and CSV type round-trip on one
     hash (reference: ``odmservices/export_service.py:15-118``).
+  * ``rest_ingest_roundtrip`` — the S12 REST sink's distributed
+    foreachPartition JSON posting against a local HTTP server, returning
+    exactly what the server received.
+  * ``annotated_export_fanout`` — EVERY per-site chunk of the wide
+    matrix written executor-side (``write_annotated_chunks_distributed``,
+    atomic tmp+rename per file), read back whole against the certified
+    wide_export matrix — the 100 TB shape of the S5 batch export.
   * ``asof_join_nearest`` — the NEW nearest-direction as-of operator
     (min |Δt| either way, backward wins ties, tolerance + tiebreak),
     completing the as-of family; oracle is a per-row LATERAL nearest
@@ -31,6 +38,20 @@ Coverage targets (VERDICT r7 "stage the round-9 window"):
   * ``grouped_percentiles`` — exact linear-interpolation percentiles per
     group (Spark ``percentile`` vs DuckDB ``quantile_cont``), the
     distribution-shape summary the QC rollups lean on.
+  * ``rolling_corr`` — ±5-row value-vs-time Pearson window (local trend),
+    zero-variance frames folded NaN→NULL for cross-engine parity.
+  * ``chunk_sliding`` — NEW operator: sliding-window RAG chunking with
+    overlap (pure built-ins, zero shuffles).
+  * ``series_ohlc`` — hourly open/high/low/close per series via
+    min_by/max_by over a (ts, event_id) struct ≡ DuckDB ordered
+    first/last; one map-side-partial hash aggregate.
+  * ``txtable_incremental_agg`` — incremental view maintenance: a
+    materialized (count, sum) aggregate advanced from the v1→v2 change
+    feed ONLY (``operators/ivm.py``), hash-matched against a from-scratch
+    recompute of the final state (integer-cents measures make the
+    equivalence exact).
+  * ``winsorize_values`` — per-group [p05, p95] clipping, bounds
+    broadcast back onto the fact stream (the fact table never shuffles).
 """
 
 from __future__ import annotations
@@ -518,6 +539,48 @@ def q_txtable_incremental_agg(spark, sf_dir):
     )
 
 
+# -- per-group winsorization -------------------------------------------------------
+
+WINSORIZE_ORACLE = """
+WITH b AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       floor((CASE WHEN e.value < b.lo THEN b.lo
+                   WHEN e.value > b.hi THEN b.hi
+                   ELSE e.value END) * 10000.0 + 0.5) / 10000.0 AS winsorized,
+       CAST(e.value < b.lo OR e.value > b.hi AS BOOLEAN) AS clipped
+FROM events e JOIN b USING (event_type)
+"""
+
+
+def q_winsorize_values(spark, sf_dir):
+    """Per-group winsorization: clip every value into its group's
+    [p05, p95] band — the robust-stats pre-step QC pipelines run before
+    fitting anything. Shape: one exact-percentile aggregate over the
+    (tiny) group set, BROADCAST back onto the fact stream, clip in a
+    narrow map — the fact table never shuffles, which is the only
+    acceptable plan at 100 TB (the percentile agg shuffles the values
+    once; swap in approx_percentile to make that map-side too)."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    clipped = F.when(F.col("value") < F.col("lo"), F.col("lo")).when(
+        F.col("value") > F.col("hi"), F.col("hi")
+    ).otherwise(F.col("value"))
+    return ev.join(F.broadcast(bounds), "event_type").select(
+        "event_id",
+        "event_type",
+        fround(clipped, 4).alias("winsorized"),
+        ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))).alias("clipped"),
+    )
+
+
 # -- hourly OHLC rollup ----------------------------------------------------------
 
 SERIES_OHLC_ORACLE = """
@@ -565,4 +628,5 @@ STAGED4 = {
     "series_ohlc": (q_series_ohlc, SERIES_OHLC_ORACLE),
     "annotated_export_fanout": (q_annotated_export_fanout, ANNOTATED_FANOUT_ORACLE),
     "txtable_incremental_agg": (q_txtable_incremental_agg, TXTABLE_IVM_ORACLE),
+    "winsorize_values": (q_winsorize_values, WINSORIZE_ORACLE),
 }
