@@ -55,3 +55,21 @@ def test_bnlj_allowlist_is_tight(spark):
         if "BroadcastNestedLoopJoin" not in plan:
             no_longer.append(name)
     assert not no_longer, f"remove from allowlist (no BNLJ anymore): {no_longer}"
+
+
+def test_staged_pairs_plan_clean(spark):
+    """The staging area gets the same nested-loop audit as the registry,
+    BEFORE promotion: a staged query that plans a CartesianProduct or an
+    unallowlisted BNLJ would otherwise only trip the registry sweep at
+    rotation time, one round too late."""
+    from h2outility_spark.workload_next4 import STAGED4
+
+    offenders: dict[str, list[str]] = {}
+    for name, (fn, _oracle) in STAGED4.items():
+        plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        flags = [b for b in ("CartesianProduct", "BroadcastNestedLoopJoin") if b in plan]
+        if "CartesianProduct" in flags or (
+            "BroadcastNestedLoopJoin" in flags and name not in BNLJ_ALLOWED
+        ):
+            offenders[name] = flags
+    assert not offenders, f"staged queries with nested-loop/cartesian plans: {offenders}"
