@@ -27,7 +27,7 @@ import os
 from pyspark.sql import functions as F
 
 from h2outility_spark.plans import oplist
-from h2outility_spark.workload import DV_CTE, _dv, fround
+from h2outility_spark.workload import DV_CTE, _dv, _t, fround
 from h2outility_spark.workload_lakehouse import scratch_dir
 
 # -- §2.12 op-list record/replay under a driver hash ---------------------------
@@ -90,7 +90,112 @@ def q_oplist_replay(spark, sf_dir):
     )
 
 
+# -- streaming OHLC: ordered-aggregate state under append mode ------------------
+
+#: Same event-time split + flush-sentinel machinery as the certified
+#: stream_watermark_windows (workload_next3): everything before the cut is
+#: micro-batch 1, the rest micro-batch 2, and a far-future sentinel
+#: advances the watermark past every real window so append mode flushes
+#: them all.
+_OHLC_CUT = "2024-01-03 00:00:00"
+_OHLC_FLUSH = "2030-01-01 00:00:00"
+
+STREAM_OHLC_ORACLE = """
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+       floor((first(value ORDER BY ts, event_id)) * 100.0 + 0.5) / 100.0 AS open,
+       floor((max(value)) * 100.0 + 0.5) / 100.0 AS high,
+       floor((min(value)) * 100.0 + 0.5) / 100.0 AS low,
+       floor((last(value ORDER BY ts, event_id)) * 100.0 + 0.5) / 100.0 AS close,
+       CAST(count(*) AS BIGINT) AS n_obs
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_stream_ohlc(spark, sf_dir):
+    """Streaming twin of ``series_ohlc``: hourly OHLC per event type
+    maintained by a WATERMARKED streaming aggregation whose open/close
+    are ORDERED aggregates (min_by/max_by over a (ts, event_id) struct) —
+    the state store must carry the argmin/argmax pair per open window
+    across micro-batch boundaries, a strictly richer state shape than the
+    certified count/sum windows. Two real micro-batches + the flush
+    sentinel, drained with ``Trigger.AvailableNow`` against one
+    checkpoint; the sentinel's window is filtered back out. State is
+    O(open windows × types), never O(events)."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("ts", "event_type", "value", "event_id")
+    src = scratch_dir("h2ou_sohlc_src_")
+    out = scratch_dir("h2ou_sohlc_out_") + "/out"
+    ckpt = scratch_dir("h2ou_sohlc_ckpt_") + "/ckpt"
+    cut = F.lit(_OHLC_CUT).cast("timestamp")
+    schema = StructType(
+        [
+            StructField("ts", TimestampType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("event_id", LongType()),
+        ]
+    )
+
+    def drain(name: str) -> None:
+        order_key = F.struct(F.col("ts"), F.col("event_id"))
+        agg = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .load(src)
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+            .agg(
+                fround(F.min_by(F.col("value"), order_key), 2).alias("open"),
+                fround(F.max("value"), 2).alias("high"),
+                fround(F.min("value"), 2).alias("low"),
+                fround(F.max_by(F.col("value"), order_key), 2).alias("close"),
+                F.count(F.lit(1)).alias("n_obs"),
+            )
+            .select(F.col("win.start").alias("hour_start"), "event_type", "open", "high", "low", "close", "n_obs")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+
+    # coalesce(1): one file per drain -> one micro-batch per drain
+    ev.filter(F.col("ts") < cut).coalesce(1).write.mode("append").parquet(src)
+    drain("sohlc-1")
+    ev.filter(F.col("ts") >= cut).coalesce(1).write.mode("append").parquet(src)
+    drain("sohlc-2")
+    spark.createDataFrame(
+        [(_OHLC_FLUSH, "__flush__", 0.0, 0)], "ts string, event_type string, value double, event_id long"
+    ).select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type", "value", "event_id"
+    ).coalesce(1).write.mode("append").parquet(src)
+    drain("sohlc-flush")
+
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("event_type") != "__flush__")
+        .select("hour_start", "event_type", "open", "high", "low", "close", "n_obs")
+    )
+
+
 #: name -> (fn, oracle) for a future promotion pass and the parity test.
 STAGED5 = {
     "oplist_replay": (q_oplist_replay, OPLIST_REPLAY_ORACLE),
+    "stream_ohlc": (q_stream_ohlc, STREAM_OHLC_ORACLE),
 }
