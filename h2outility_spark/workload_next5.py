@@ -194,8 +194,74 @@ def q_stream_ohlc(spark, sf_dir):
     )
 
 
+# -- interactive edit-session facade round trip ---------------------------------
+
+EDIT_SESSION_ORACLE = (
+    DV_CTE
+    + """,
+store AS (
+  SELECT ValueID, SiteID, VariableCode, LocalDateTime, DataValue, QualifierID
+  FROM dv WHERE SiteID <= 10
+),
+edited AS (
+  SELECT ValueID, SiteID, VariableCode, LocalDateTime,
+         CASE WHEN DataValue > 80.0 THEN DataValue * 0.5 ELSE DataValue END AS DataValue,
+         CASE WHEN DataValue > 80.0 THEN 7 ELSE QualifierID END AS QualifierID
+  FROM store WHERE SiteID <= 5
+)
+SELECT ValueID, SiteID, VariableCode, LocalDateTime,
+       floor(DataValue * 100.0 + 0.5) / 100.0 AS data_value,
+       QualifierID AS qualifier_id
+FROM (SELECT * FROM edited UNION ALL SELECT * FROM store WHERE SiteID > 5)
+"""
+)
+
+
+def q_edit_session_roundtrip(spark, sf_dir):
+    """The §3.3 interactive QC session end-to-end on one hash: open a
+    cached working set (S4) over sites ≤ 5, record a BAD edit (zero
+    everything) and ROLL IT BACK (W9 — if restore() failed to truncate
+    the plan, the zeros survive and flip the hash), re-record the real
+    edits (threshold selection → halve → flag 7), then SAVE through the
+    transactional path (W8/M1: merge_upsert into a TxTable holding the
+    sites ≤ 10 store) and return the committed snapshot. The oracle
+    restates the final store algebraically: edited working set replaces
+    its rows by ValueID, untouched sites ride through."""
+    from h2outility_spark.edit_session import EditSession
+    from h2outility_spark.storage_tx import TxTable
+
+    dv = _dv(spark, sf_dir).select(
+        "ValueID", "SiteID", "VariableCode", "LocalDateTime", "DataValue", "QualifierID"
+    )
+    store_rows = dv.filter(F.col("SiteID") <= 10)
+    table = TxTable(spark, scratch_dir("h2ou_edit_") + "/t", key_cols=["ValueID"])
+    table.append(store_rows)
+
+    sess = EditSession(dv, keys=["SiteID", "VariableCode"], series_filter=F.col("SiteID") <= 5)
+    try:
+        # a wrong turn, rolled back — W9 on the hash
+        sess.select_value_threshold(">", -1e18).change_value("=", 0.0)
+        sess.restore()
+        # the real session
+        sess.select_value_threshold(">", 80.0).change_value("*", 0.5).flag(7)
+        sess.save_to_table(table)
+    finally:
+        sess.close()
+
+    snap = table.snapshot()
+    return snap.select(
+        "ValueID",
+        "SiteID",
+        "VariableCode",
+        "LocalDateTime",
+        fround(F.col("DataValue"), 2).alias("data_value"),
+        F.col("QualifierID").alias("qualifier_id"),
+    )
+
+
 #: name -> (fn, oracle) for a future promotion pass and the parity test.
 STAGED5 = {
     "oplist_replay": (q_oplist_replay, OPLIST_REPLAY_ORACLE),
     "stream_ohlc": (q_stream_ohlc, STREAM_OHLC_ORACLE),
+    "edit_session_roundtrip": (q_edit_session_roundtrip, EDIT_SESSION_ORACLE),
 }
