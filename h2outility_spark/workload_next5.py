@@ -259,9 +259,77 @@ def q_edit_session_roundtrip(spark, sf_dir):
     )
 
 
+# -- MIN/MAX incremental maintenance (the non-self-maintainable aggregates) -----
+
+TXTABLE_MINMAX_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey % 50 AS cust_bucket,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 10 < 8
+),
+upd AS (
+  SELECT o_orderkey, o_custkey % 50 AS cust_bucket,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) + 500 AS cents
+  FROM orders WHERE o_orderkey % 4 = 0
+),
+final AS (
+  SELECT * FROM upd
+  UNION ALL
+  SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+)
+SELECT cust_bucket,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(min(cents) AS BIGINT) AS min_cents,
+       CAST(max(cents) AS BIGINT) AS max_cents
+FROM final GROUP BY cust_bucket
+"""
+
+
+def q_txtable_incremental_minmax(spark, sf_dir):
+    """MIN/MAX under deletes — the aggregates plain IVM cannot maintain —
+    advanced from the CDF with BOUNDED per-key state (k=2 smallest +
+    largest kept per bucket, ``ivm.minmax_state``): a deleted kept value
+    falls out of the multiset, a deleted beyond-horizon value vanishes
+    without effect, and a bucket whose kept set empties is rebuilt by the
+    TARGETED rescan (semi-join on exactly those buckets against the post-
+    merge snapshot — never a full recompute). k=2 is chosen deliberately
+    small so the merge's delete+insert pairs exercise the rescan path on
+    real data. The oracle recomputes min/max/count from the final state —
+    any drift in the kept-set algebra or the rescan targeting flips the
+    hash."""
+    from h2outility_spark.operators import ivm
+    from h2outility_spark.storage_tx import TxTable
+
+    cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("bigint")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 50).alias("cust_bucket"),
+        cents.alias("cents"),
+    )
+    base = orders.filter(F.col("o_orderkey") % 10 < 8)
+    upd = orders.filter(F.col("o_orderkey") % 4 == 0).withColumn(
+        "cents", F.col("cents") + F.lit(500)
+    )
+
+    t = TxTable(spark, scratch_dir("h2ou_ivmmm_") + "/t", key_cols=["o_orderkey"])
+    v1 = t.append(base)
+    old_state = ivm.minmax_state(t.snapshot(v1), ["cust_bucket"], "cents", k=2)
+    v2 = t.merge_upsert(upd)
+    new_state = ivm.maintain_grouped_minmax(
+        old_state, t.changes(v1, v2), t.snapshot(v2), ["cust_bucket"], "cents", k=2
+    )
+    return new_state.select(
+        "cust_bucket",
+        F.col("n").alias("n_orders"),
+        F.element_at("kmin", 1).alias("min_cents"),
+        F.element_at("kmax", 1).alias("max_cents"),
+    )
+
+
 #: name -> (fn, oracle) for a future promotion pass and the parity test.
 STAGED5 = {
     "oplist_replay": (q_oplist_replay, OPLIST_REPLAY_ORACLE),
     "stream_ohlc": (q_stream_ohlc, STREAM_OHLC_ORACLE),
     "edit_session_roundtrip": (q_edit_session_roundtrip, EDIT_SESSION_ORACLE),
+    "txtable_incremental_minmax": (q_txtable_incremental_minmax, TXTABLE_MINMAX_ORACLE),
 }

@@ -721,3 +721,82 @@ def test_ivm_maintain_handles_pure_deletes_and_new_keys(spark):
         for r in ivm.maintain_grouped_agg(old, changes, ["k"], "v").collect()
     }
     assert out == {"stays": (1, 5), "grows": (2, 12), "new": (1, 100)}
+
+
+def test_ivm_minmax_maintain_and_targeted_rescan(spark):
+    """Bounded MIN/MAX maintenance edges: delete inside the kept set,
+    delete beyond the horizon, horizon-gated insert admission, duplicate
+    multiplicities, brand-new keys, and the two rescan triggers — kept
+    SURVIVORS emptying, and the classic masking counterexample where
+    beyond-horizon inserts must NOT satisfy the emptiness test."""
+    from pyspark.sql import Row
+
+    from h2outility_spark.operators import ivm
+
+    base_before = spark.createDataFrame(
+        [Row(k="a", v=x) for x in [1, 2, 5, 7, 9]]
+        + [Row(k="b", v=x) for x in [10, 20, 30]]
+        + [Row(k="dup", v=x) for x in [4, 4, 6]]
+        + [Row(k="mask", v=x) for x in [1, 2, 3]]
+        + [Row(k="hz", v=x) for x in [1, 2, 3]]
+    )
+    old = ivm.minmax_state(base_before, ["k"], "v", k=2)
+    st = {r["k"]: r for r in old.collect()}
+    assert list(st["a"]["kmin"]) == [1, 2] and list(st["a"]["kmax"]) == [9, 7]
+    assert st["a"]["hmin"] == 2 and st["a"]["hmax"] == 7
+    assert list(st["dup"]["kmin"]) == [4, 4] and st["dup"]["hmin"] == 4
+
+    changes = spark.createDataFrame(
+        [
+            # empty key-a's kept-min entirely -> survivors-based rescan
+            Row(k="a", v=1, _change_type="delete"),
+            Row(k="a", v=2, _change_type="delete"),
+            # b: insert below hmin enters kmin; the same value is NOT
+            # admitted to kmax (beyond-horizon there)
+            Row(k="b", v=5, _change_type="insert"),
+            # a brand-new key materializes via targeted rescan
+            Row(k="new", v=42, _change_type="insert"),
+            # duplicate multiplicity arithmetic
+            Row(k="dup", v=4, _change_type="delete"),
+            # THE masking counterexample: delete the whole kept set and
+            # insert values beyond the horizon — the true min is the
+            # truncated 3, which only the rescan can surface
+            Row(k="mask", v=1, _change_type="delete"),
+            Row(k="mask", v=2, _change_type="delete"),
+            Row(k="mask", v=10, _change_type="insert"),
+            Row(k="mask", v=20, _change_type="insert"),
+            # horizon gating without rescan: a survivor remains, and the
+            # beyond-horizon insert must be ignored by kmin
+            Row(k="hz", v=2, _change_type="delete"),
+            Row(k="hz", v=10, _change_type="insert"),
+        ]
+    )
+    base_after = spark.createDataFrame(
+        [Row(k="a", v=x) for x in [5, 7, 9]]
+        + [Row(k="b", v=x) for x in [5, 10, 20, 30]]
+        + [Row(k="new", v=42)]
+        + [Row(k="dup", v=x) for x in [4, 6]]
+        + [Row(k="mask", v=x) for x in [3, 10, 20]]
+        + [Row(k="hz", v=x) for x in [1, 3, 10]]
+    )
+    out = {
+        r["k"]: r
+        for r in ivm.maintain_grouped_minmax(old, changes, base_after, ["k"], "v", k=2).collect()
+    }
+    # key a: kept-min survivors emptied -> rescan surfaces 5 (never kept)
+    assert list(out["a"]["kmin"]) == [5, 7] and out["a"]["n"] == 3
+    # key b: admitted insert enters kmin and re-truncation tightens hmin;
+    # the same insert is correctly refused by kmax
+    assert list(out["b"]["kmin"]) == [5, 10] and out["b"]["n"] == 4
+    assert out["b"]["hmin"] == 10
+    assert list(out["b"]["kmax"]) == [30, 20]
+    # new key materializes
+    assert list(out["new"]["kmin"]) == [42] and out["new"]["n"] == 1
+    # duplicates: one of two 4s deleted; the truncated 6 is NOT
+    # resurrected (legitimate shrink — min stays correct while non-empty)
+    assert list(out["dup"]["kmin"]) == [4] and out["dup"]["n"] == 2
+    assert list(out["dup"]["kmax"]) == [6]
+    # masking counterexample: min must be the truncated 3, via rescan
+    assert list(out["mask"]["kmin"]) == [3, 10] and out["mask"]["n"] == 3
+    # horizon gating: 10 > hmin=2 is refused; kept shrinks to the survivor
+    assert list(out["hz"]["kmin"]) == [1] and out["hz"]["n"] == 3
