@@ -133,11 +133,18 @@ def maintain_grouped_minmax(
     value_col: str,
     k: int = 8,
     change_type_col: str = "_change_type",
+    max_broadcast_keys: int = 100_000,
 ) -> DataFrame:
     """Advance a :func:`minmax_state` view with CDF rows; ``base_after``
     is the post-change table, consulted ONLY for keys flagged for rescan
     (targeted semi-join — the unavoidable non-self-maintainability tail,
     paid per hot key, never per table).
+
+    The rescan-key list is broadcast only while it is provably small: its
+    size is bounded by the distinct keys in the change batch, so a cheap
+    count over the (small, by IVM's premise) CDF decides. A pathological
+    batch touching more than ``max_broadcast_keys`` keys falls back to
+    shuffle joins instead of broadcasting a table-sized key set.
 
     Soundness rests on the horizon invariant (every non-kept value is
     beyond the stored horizon), preserved by three rules per side:
@@ -156,9 +163,11 @@ def maintain_grouped_minmax(
         rows remain — inserts must not satisfy the emptiness test, for
         the same masking reason.
 
-    Re-truncation tightens the horizon to the new kth element (candidates
-    are all within the old horizon, so the invariant holds for both the
-    old unknown region and the newly truncated values). Returns the
+    Re-truncation moves the horizon to the new kth element — always
+    INSIDE the old horizon (candidates are all within it), so it can only
+    move hmin down toward the kept boundary / hmax up; the invariant
+    still covers the old unknown region while the admission gate merely
+    loosens to match the smaller kept set. Returns the
     :func:`minmax_state` shape.
     """
     sign = F.when(F.col(change_type_col) == "insert", F.lit(1)).otherwise(F.lit(-1))
@@ -208,7 +217,9 @@ def maintain_grouped_minmax(
         rebuilt = rebuilt.select(
             *keys,
             F.slice("__full", 1, k).alias(kept_col),
-            # re-truncation tightens the horizon to the new kth element
+            # re-truncation: horizon moves to the new kth element (always
+            # inside the old horizon, so the invariant keeps covering the
+            # old unknown region)
             F.when(F.size("__full") > k, F.element_at("__full", k)).alias("__kth"),
         )
         side = (
@@ -255,11 +266,17 @@ def maintain_grouped_minmax(
         | (F.size("kmin") == 0)
         | (F.size("kmax") == 0)
     ).select(*keys).unionByName(new_keys).distinct()
+    # |rescan_keys| <= |distinct changed keys| (+ new keys, also changed),
+    # so one cheap count over the change batch bounds the broadcast size
+    n_changed_keys = changes.select(*keys).distinct().count()
+    rescan_hinted = (
+        F.broadcast(rescan_keys) if n_changed_keys <= max_broadcast_keys else rescan_keys
+    )
     healthy = (
-        maintained.join(F.broadcast(rescan_keys), keys, "left_anti")
+        maintained.join(rescan_hinted, keys, "left_anti")
         .select(*keys, "kmin", "kmax", "n", "hmin", "hmax")
     )
     rescanned = minmax_state(
-        base_after.join(F.broadcast(rescan_keys), keys, "left_semi"), keys, value_col, k
+        base_after.join(rescan_hinted, keys, "left_semi"), keys, value_col, k
     )
     return healthy.unionByName(rescanned)

@@ -398,6 +398,8 @@ def cosine_neardup_pairs_lsh(
     n_bands: int = 32,
     dim: int = 64,
     n_rows: int | None = None,
+    max_bucket: int | None = None,
+    target_bucket: int = 32,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -417,7 +419,17 @@ def cosine_neardup_pairs_lsh(
     against the brute-force oracle at the test scales, which the driver's
     correctness gate then proves.
     """
-    cand = rp_lsh_candidate_pairs(embeddings, n_bits, n_bands, dim, id_col, vec_col, n_rows=n_rows)
+    cand = rp_lsh_candidate_pairs(
+        embeddings,
+        n_bits,
+        n_bands,
+        dim,
+        id_col,
+        vec_col,
+        max_bucket=max_bucket,
+        target_bucket=target_bucket,
+        n_rows=n_rows,
+    )
     v = as_double(F.col(vec_col))
     # self-dots precomputed per side (n folds, not one per pair); the pair
     # expression dot(a,b)/sqrt(na*nb) is the same IEEE arithmetic as

@@ -700,6 +700,13 @@ def chunk_sliding(
     shuffle — chunking 100 TB is embarrassingly parallel and stays fully
     inside codegen (split/sequence/slice built-ins, no UDF).
     """
+    # size/stride are interpolated into SQL expression strings below —
+    # coerce to int (rejecting injection-shaped inputs) and fail fast on
+    # values sequence() would reject with an opaque runtime error
+    size = int(size)
+    stride = int(stride)
+    if size < 1 or stride < 1:
+        raise ValueError(f"chunk_sliding requires size >= 1 and stride >= 1, got size={size} stride={stride}")
     toks = f"split(trim(regexp_replace({text_col}, '{WS_CLASS_EXPR}+', ' ')), ' ')"
     n = (
         f"CASE WHEN length(trim(regexp_replace({text_col}, '{WS_CLASS_EXPR}+', ' '))) = 0 "

@@ -254,7 +254,7 @@ def test_rp_lsh_auto_bits_recall_and_plan(spark):
 def test_asof_nearest_directions_ties_tolerance(spark):
     left = spark.createDataFrame(
         [
-            Row(k="a", ts=ts(5), lid=1),   # 4h back vs 6h fwd -> backward ts(4)... wait see rights
+            Row(k="a", ts=ts(5), lid=1),   # 1h back vs 5h fwd -> backward ts(4)
             Row(k="a", ts=ts(7), lid=2),   # equidistant ts(4)/ts(10) -> backward wins tie
             Row(k="a", ts=ts(9), lid=3),   # ts(10) fwd (1h) beats ts(4) back (5h)
             Row(k="a", ts=ts(20), lid=4),  # nearest ts(10) is 10h away -> beyond tolerance

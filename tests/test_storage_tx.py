@@ -800,3 +800,38 @@ def test_ivm_minmax_maintain_and_targeted_rescan(spark):
     assert list(out["mask"]["kmin"]) == [3, 10] and out["mask"]["n"] == 3
     # horizon gating: 10 > hmin=2 is refused; kept shrinks to the survivor
     assert list(out["hz"]["kmin"]) == [1] and out["hz"]["n"] == 3
+
+
+def test_ivm_minmax_every_key_changed_shuffle_fallback(spark):
+    """The broadcast guard: a pathological batch that touches EVERY key
+    must not broadcast a table-sized rescan list. With max_broadcast_keys
+    forced to 0 the maintenance falls back to shuffle joins and must still
+    equal a from-scratch recompute; the default (broadcast) path must give
+    the identical answer."""
+    from pyspark.sql import Row
+
+    from h2outility_spark.operators import ivm
+
+    base_before = spark.createDataFrame(
+        [Row(k=f"k{i}", v=j) for i in range(20) for j in (1, 2, 3, 4)]
+    )
+    old = ivm.minmax_state(base_before, ["k"], "v", k=2)
+    # delete every key's entire kept-min set -> every key rescans
+    changes = spark.createDataFrame(
+        [Row(k=f"k{i}", v=j, _change_type="delete") for i in range(20) for j in (1, 2)]
+    )
+    base_after = spark.createDataFrame(
+        [Row(k=f"k{i}", v=j) for i in range(20) for j in (3, 4)]
+    )
+    expected = {
+        (r["k"], tuple(r["kmin"]), tuple(r["kmax"]), r["n"])
+        for r in ivm.minmax_state(base_after, ["k"], "v", k=2).collect()
+    }
+    for cap in (0, 100_000):  # shuffle fallback, then the broadcast path
+        got = {
+            (r["k"], tuple(r["kmin"]), tuple(r["kmax"]), r["n"])
+            for r in ivm.maintain_grouped_minmax(
+                old, changes, base_after, ["k"], "v", k=2, max_broadcast_keys=cap
+            ).collect()
+        }
+        assert got == expected, f"mismatch with max_broadcast_keys={cap}"
