@@ -460,6 +460,8 @@ from h2outility_spark import workload_streaming  # noqa: E402,F401
 from h2outility_spark import workload_next2  # noqa: E402,F401
 from h2outility_spark import workload_next3  # noqa: E402,F401
 from h2outility_spark import workload_sinks  # noqa: E402,F401
+from h2outility_spark import workload_next4  # noqa: E402,F401
+from h2outility_spark import workload_next5  # noqa: E402,F401
 
 
 # The driver's correctness gate hashes only the FIRST 50 registered queries.
@@ -478,70 +480,74 @@ from h2outility_spark import workload_sinks  # noqa: E402,F401
 # (coverage map in README). Everything outside the window is still
 # oracle-checked every run by tests/test_oracle_parity.py + driver_sim.
 CHECKED_WINDOW = [
-    # -- ROUND-8 ROTATION ---------------------------------------------------
-    # CORRECTNESS_r07 went 50/50 green (second all-green round), so the
-    # window turns over completely: 13 slots to FIRST-TIMERS (the twelve
-    # promoted workload_next3 pairs -- stateful streaming trio, concurrent
-    # TxTable writers, forward as-of, keep-best dedup, prune scan, adaptive
-    # IVF-PQ, history audit, directed containment, stream-static enrich --
-    # plus the NEW annotated_export_roundtrip, which certifies the S5/S6/S10
-    # export-sink family under a driver hash for the first time), and the
-    # other 37 to the ENTIRE remaining r5-latest-evidence cohort -- after
-    # this round no query's newest green row predates round 6. Everything
-    # outside the window stays oracle-checked every run by
-    # tests/test_oracle_parity + driver_sim.
-    # -- first-timers: promoted round-7 staging pairs + the sink round-trip -
-    "txtable_concurrent_appends",  # 3 racing appenders through the commit-retry path
-    "txtable_concurrent_merge",    # merge racing an append via the conflict contract
-    "stream_watermark_windows",    # watermarked windowed agg, checkpointed restarts
-    "stream_session_windows",      # F.session_window merges across micro-batches
-    "stream_session_paths",        # CUSTOM applyInPandasWithState session paths
-    "asof_join_forward",           # forward as-of: tolerance + tiebreak, 1 shuffle
-    "dedup_keep_best",             # clusters -> longest-doc representative
-    "ivfpq_search_adaptive",       # adaptive ratio-spill cells + PQ ADC + re-rank
-    "txtable_prune_scan",          # manifest min/max pruning, 1-of-4 files read
-    "txtable_history_rows",        # commit-log audit + per-version snapshot counts
-    "minhash_containment_pairs",   # directed containment over banded candidates
-    "stream_static_enrich",        # stream-static broadcast join across restarts
-    "annotated_export_roundtrip",  # S5/S6/S10 export sinks on one driver hash
-    # -- sentinels: the complete last-certified-in-ROUND-5 cohort -----------
-    "quality_calibrate_per_source",
-    "mixture_plan_tokens",
-    "repetition_signals",
-    "segment_dedup_docs",
-    "pq_codes",
-    "quality_filter_fusion",
-    "pq_codes_kmeans",
-    "shard_assignment",
-    "cdc_segment_dedup",
-    "duplicated_spans",
-    "remove_duplicated_spans",
-    "qc_resample_ffill",
-    "qc_median_despike",
-    "rolling_avg",
-    "cube_orders",
-    "json_props_stats",
-    "regexp_extract_props",
-    "contamination_overlap",
-    "hash_sample_docs",
-    "tfidf_top_terms",
-    "audio_chunks",
-    "corpus_clean_embedding",
-    "embedding_stats",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_late_orders",
-    "tpch_q8_market_share",
-    "tpch_q10_returned",
-    "tpch_q11_value_share",
-    "tpch_q12_priority_buckets",
-    "tpch_q13_order_distribution",
-    "tpch_q14_promo_share",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_cnt",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q19_or_of_ands",
-    "tpch_q20_excess_suppliers",
-    "tpch_q22_idle_rich_customers",
+    # -- ROUND-9 ROTATION ---------------------------------------------------
+    # CORRECTNESS_r08 went 50/50 green (third all-green round), so the
+    # window turns over completely: 13 slots to FIRST-TIMERS — the twelve
+    # promoted workload_next4 pairs (the remaining sink round-trips
+    # jdbc/xml/export-rows/rest/fan-out, completing hash-certification of
+    # EVERY sink family S5–S12; plus nearest as-of, grouped percentiles,
+    # rolling correlation, sliding RAG chunking, hourly OHLC, CDF-driven
+    # incremental view maintenance, winsorization) and
+    # txtable_incremental_minmax PULLED FORWARD from the round-10 seeds
+    # (VERDICT r8 directive 4: the sound bounded MIN/MAX maintenance is the
+    # round's best algorithmic work — its broadcast-size guard landed
+    # first). The other 37 slots go to the stalest sentinels (the
+    # r6-latest cohort); the 13 r6 queries deferred to round 10 each have a
+    # same-family sibling in this window (audio/image/winnow/simhash/
+    # txtable-snapshot/LM-stats variants) and stay oracle-checked every run
+    # by tests/test_oracle_parity + driver_sim.
+    # -- first-timers: promoted round-9 staging pairs + the pulled-forward IVM
+    "jdbc_roundtrip",              # S9 Derby append x2 + S3 4-partition chunked read
+    "xml_metadata_roundtrip",      # S8 XML metadata export re-parsed off disk
+    "export_rows_roundtrip",       # S7 flag-gated distributed multi-part row export
+    "rest_ingest_roundtrip",       # S12 executor-side foreachPartition JSON posting
+    "annotated_export_fanout",     # S5 fan-out: every per-site chunk written executor-side
+    "asof_join_nearest",           # nearest-direction as-of, backward tie-break, 1 shuffle
+    "grouped_percentiles",         # exact linear-interpolation percentiles per group
+    "rolling_corr",                # +-5-row value-vs-time Pearson window
+    "chunk_sliding",               # sliding-window RAG chunking, zero shuffles
+    "series_ohlc",                 # hourly OHLC via min_by/max_by ordered aggregates
+    "txtable_incremental_agg",     # (count,sum) view advanced from the CDF only
+    "txtable_incremental_minmax",  # bounded MIN/MAX IVM w/ targeted rescan (r10 seed pulled fwd)
+    "winsorize_values",            # per-group [p05,p95] clip, bounds broadcast
+    # -- sentinels: the stalest 37 of the last-certified-in-ROUND-6 cohort --
+    "wide_export",
+    "extract_filtered",
+    "extract_incremental",
+    "series_catalog",
+    "series_year_range",
+    "union_dedup",
+    "running_totals",
+    "sessionization",
+    "asof_join",
+    "salted_agg",
+    "range_join_count",
+    "unpivot_part_metrics",
+    "sql_api_q1",
+    "qc_gaps",
+    "qc_interpolate",
+    "qc_drift",
+    "percentile_summary",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q9_product_profit",
+    "tpch_q21_waiting_supplier",
+    "dedup_exact_docs",
+    "neardup_minhash_pairs",
+    "neardup_embedding_lsh",
+    "embedding_knn",
+    "ivf_search",
+    "pack_sequences",
+    "quality_gate_docs",
+    "corpus_clean",
+    "corpus_language_matrix",
+    "doc_length_histogram",
+    "vocab_topk",
+    "audio_vad_segments",
+    "image_dhash",
+    "txtable_changes",
+    "txtable_restore",
 ]
 
 

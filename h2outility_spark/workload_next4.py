@@ -1,13 +1,10 @@
-"""Round-9 registry staging area (same lifecycle as ``workload_next`` →
-``workload_next3``): fully-formed (PySpark fn, DuckDB oracle) pairs that
-cannot enter the registry yet — every round-8 CHECKED_WINDOW slot is
-occupied and ``tests/test_checked_window.py`` (correctly) refuses new
-queries outside the window. Deliberately NOT decorated with ``@query``;
-the round-9 rotation wraps them.
-
-Each pair is parity-tested in ``tests/test_workload_next.py`` (STAGED4)
-under the driver's comparison discipline at sf0.001 AND sf0.01, so
-promotion is a decorator change, not new verification work.
+"""Round-9 staging area, PROMOTED to the registry in the round-9 window
+rotation (same lifecycle as ``workload_next`` → ``workload_next3``): each
+(fn, oracle) pair waited fully formed with parity proven at sf0.001,
+sf0.01 AND sf0.1 (``tests/test_workload_next.py`` STAGED4), so promotion
+was the decorator change below plus window slots — zero new verification
+work. With this promotion every sink family S5–S12 is driver
+hash-certified.
 
 Coverage targets (VERDICT r7 "stage the round-9 window"):
   * ``jdbc_roundtrip`` — the S9 SQL append sink + S3 partitioned JDBC
@@ -66,7 +63,7 @@ from h2outility_spark.sinks.csv_sink import export_series_rows
 from h2outility_spark.sinks.jdbc_sink import append_jdbc
 from h2outility_spark.sinks.xml_metadata import export_series_metadata
 from h2outility_spark.sources.parquet import load_jdbc
-from h2outility_spark.workload import DV_CTE, _dv, _t, fround
+from h2outility_spark.workload import DV_CTE, _dv, _t, fround, query
 from h2outility_spark.workload_lakehouse import scratch_dir
 
 _DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
@@ -79,6 +76,11 @@ FROM events
 """
 
 
+@query(
+    "jdbc_roundtrip",
+    oracle=JDBC_ROUNDTRIP_ORACLE,
+    description="S9+S3: Derby JDBC append sink (two commits) + 4-partition chunked range read-back on one hash",
+)
 def q_jdbc_roundtrip(spark, sf_dir):
     """Append 80% of the DataValues to an embedded-Derby table through the
     S9 JDBC sink (2 writer partitions), APPEND the remaining 20% in a
@@ -144,6 +146,11 @@ GROUP BY 1, 2, 3, 4, 5
 )
 
 
+@query(
+    "xml_metadata_roundtrip",
+    oracle=XML_ROUNDTRIP_ORACLE,
+    description="S8: series-catalog XML metadata export re-parsed off disk, element naming/order/stringification on the hash",
+)
 def q_xml_metadata_roundtrip(spark, sf_dir):
     """Derive the series catalog, export it through the S8 XML metadata
     sink, re-parse the XML OFF DISK, and return one row per <Series>
@@ -178,6 +185,11 @@ FROM dv
 )
 
 
+@query(
+    "export_rows_roundtrip",
+    oracle=EXPORT_ROWS_ORACLE,
+    description="S7: flag-gated distributed multi-part row export with lossless microsecond timestamps, read back whole",
+)
 def q_export_rows_roundtrip(spark, sf_dir):
     """S7 row-wise export with flags utc/site/var/qcl through the
     DISTRIBUTED csv writer (one part file per partition — the bulk-export
@@ -226,6 +238,11 @@ FROM l LEFT JOIN LATERAL (
 """
 
 
+@query(
+    "asof_join_nearest",
+    oracle=ASOF_NEAREST_ORACLE,
+    description="nearest-direction as-of join (min |dt| either way, backward tie-break, tolerance + tiebreak), one shuffle",
+)
 def q_asof_join_nearest(spark, sf_dir):
     """Nearest click around each purchase (±2 h): the NEW
     ``asof_join_nearest`` operator — closest right row in EITHER
@@ -262,6 +279,11 @@ GROUP BY event_type
 """
 
 
+@query(
+    "grouped_percentiles",
+    oracle=GROUPED_PERCENTILES_ORACLE,
+    description="exact per-group linear-interpolation percentiles (Spark percentile = DuckDB quantile_cont)",
+)
 def q_grouped_percentiles(spark, sf_dir):
     """Exact per-group percentiles by linear interpolation (Spark
     ``percentile`` ≡ DuckDB ``quantile_cont``: both index p·(n−1) into the
@@ -291,6 +313,11 @@ FROM dv WHERE SiteID <= 1
 )
 
 
+@query(
+    "rest_ingest_roundtrip",
+    oracle=REST_INGEST_ORACLE,
+    description="S12: distributed foreachPartition JSON posting to a local HTTP server; returns exactly what the server received",
+)
 def q_rest_ingest_roundtrip(spark, sf_dir):
     """S12 on a driver hash: POST a DataValues selection to a local HTTP
     endpoint through the DISTRIBUTED sink (``post_json_partitions`` —
@@ -364,6 +391,11 @@ FROM events
 """
 
 
+@query(
+    "rolling_corr",
+    oracle=ROLLING_CORR_ORACLE,
+    description="rolling value-vs-time Pearson correlation per series (+-5-row frame), NaN->NULL folded for parity",
+)
 def q_rolling_corr(spark, sf_dir):
     """Rolling value-vs-time Pearson correlation per series (±5-row frame):
     the local-trend detector (corr ~ +1 = steady rise, ~ −1 = steady fall).
@@ -405,6 +437,11 @@ FROM s
 """
 
 
+@query(
+    "chunk_sliding",
+    oracle=CHUNK_SLIDING_ORACLE,
+    description="sliding-window RAG chunking (64-token windows every 48), pure built-ins, zero shuffles",
+)
 def q_chunk_sliding(spark, sf_dir):
     """Sliding-window chunking of the document corpus (64-token windows
     every 48 tokens → 16-token overlap): boundary text is visible to both
@@ -429,6 +466,11 @@ _FANOUT_NAMES = _pcn(_PAIRS)
 ANNOTATED_FANOUT_ORACLE = _wide_export_oracle()
 
 
+@query(
+    "annotated_export_fanout",
+    oracle=ANNOTATED_FANOUT_ORACLE,
+    description="S5 at the 100 TB shape: every per-site annotated CSV chunk written executor-side (applyInPandas), read back whole",
+)
 def q_annotated_export_fanout(spark, sf_dir):
     """The reference's whole batch behavior in one query, at the 100 TB
     shape: the full wide matrix is split into per-site chunks and EVERY
@@ -498,6 +540,11 @@ FROM final GROUP BY cust_bucket
 """
 
 
+@query(
+    "txtable_incremental_agg",
+    oracle=TXTABLE_IVM_ORACLE,
+    description="incremental view maintenance: (count,sum) aggregate advanced from the CDF only, O(changed rows)",
+)
 def q_txtable_incremental_agg(spark, sf_dir):
     """Incremental view maintenance, hash-proven equivalent to a
     recompute: materialize a per-bucket (count, sum) aggregate at v1,
@@ -557,6 +604,11 @@ FROM events e JOIN b USING (event_type)
 """
 
 
+@query(
+    "winsorize_values",
+    oracle=WINSORIZE_ORACLE,
+    description="per-group [p05,p95] winsorization, bounds broadcast onto the fact stream (fact table never shuffles)",
+)
 def q_winsorize_values(spark, sf_dir):
     """Per-group winsorization: clip every value into its group's
     [p05, p95] band — the robust-stats pre-step QC pipelines run before
@@ -595,6 +647,11 @@ GROUP BY 1, 2, 3
 """
 
 
+@query(
+    "series_ohlc",
+    oracle=SERIES_OHLC_ORACLE,
+    description="hourly OHLC per series via min_by/max_by ordered aggregates, one map-side-partial hash aggregate",
+)
 def q_series_ohlc(spark, sf_dir):
     """Hourly OHLC per series (open = first value in the hour, close =
     last, ties on timestamp broken by event_id): the canonical downsample

@@ -1,8 +1,10 @@
 """Round-10 registry staging area (same lifecycle as ``workload_next`` →
-``workload_next4``): fully-formed (PySpark fn, DuckDB oracle) pairs that
-cannot enter the registry yet — the round-9 rotation will consume the
-twelve ``workload_next4`` pairs first. Deliberately NOT decorated with
-``@query``; a future rotation wraps them.
+``workload_next4``): fully-formed (PySpark fn, DuckDB oracle) pairs
+waiting for the round-10 rotation. ``txtable_incremental_minmax`` was
+PULLED FORWARD into the round-9 window (VERDICT r8 directive 4 — the
+bounded-state MIN/MAX maintenance deserved driver evidence a round
+early, and its broadcast-size guard landed first); the rest stay
+undecorated until the round-10 rotation wraps them.
 
 Each pair is parity-tested in ``tests/test_workload_next.py`` (STAGED5)
 under the driver's comparison discipline at sf0.001 AND sf0.01.
@@ -27,7 +29,7 @@ import os
 from pyspark.sql import functions as F
 
 from h2outility_spark.plans import oplist
-from h2outility_spark.workload import DV_CTE, _dv, _t, fround
+from h2outility_spark.workload import DV_CTE, _dv, _t, fround, query
 from h2outility_spark.workload_lakehouse import scratch_dir
 
 # -- §2.12 op-list record/replay under a driver hash ---------------------------
@@ -285,6 +287,11 @@ FROM final GROUP BY cust_bucket
 """
 
 
+@query(
+    "txtable_incremental_minmax",
+    oracle=TXTABLE_MINMAX_ORACLE,
+    description="sound bounded MIN/MAX IVM off the CDF: kept-k state, horizon-gated admission, survivors-triggered targeted rescan",
+)
 def q_txtable_incremental_minmax(spark, sf_dir):
     """MIN/MAX under deletes — the aggregates plain IVM cannot maintain —
     advanced from the CDF with BOUNDED per-key state (k=2 smallest +
