@@ -118,6 +118,18 @@ def main() -> None:
         specs = {n: s for n, s in workload.registry().items() if s.bench}
         # Warmup: run the cheapest action once to absorb session/codegen startup.
         spark.range(1_000_000).selectExpr("sum(id)").collect()
+        # ...then a REAL parquet-touching throwaway pass: spark.range alone
+        # absorbs JVM startup but not the parquet-scan/vectorized-reader/
+        # codegen path, so whichever query happened to be measured FIRST
+        # absorbed ~0.8 s of residual warmup — and the window rotation
+        # reorders the registry, making that query a different one every
+        # round (the r8 series_catalog 1.336 s artifact). Untimed, one scan
+        # per distinct source table family.
+        for _wt in ("lineitem", "events", "documents", "embeddings"):
+            try:
+                workload._t(spark, sf_dir, _wt).selectExpr("count(*)").collect()
+            except Exception:  # noqa: BLE001
+                pass
     except Exception as e:  # noqa: BLE001
         # Even a dead session emits the JSON line the driver parses.
         print(json.dumps({
@@ -134,6 +146,14 @@ def main() -> None:
     # (r02 lesson — a single analysis exception killed the bench run). Each
     # query runs under try/except; failures land in "errors" and the JSON
     # line is ALWAYS printed.
+    # The round-1 headline set, kept as a stable cross-round comparable
+    # (see the core11 note below for the measurement-discipline history).
+    CORE11 = [
+        "series_catalog", "wide_export", "tpch_q1", "tpch_q3", "tpch_q5",
+        "qc_interpolate", "sessionization", "text_stats",
+        "minhash_signatures", "embedding_knn", "asof_join",
+    ]
+
     t_bench_start = time.perf_counter()
     timings: dict[str, float] = {}
     all_samples: dict[str, list[float]] = {}
@@ -141,6 +161,10 @@ def main() -> None:
     for name, spec in specs.items():
         try:
             samples = []
+            # CORE11 members (the cross-round comparable) always get 3
+            # attempts — min-of-3 is robust to a single episodic VM stall,
+            # which min-of-2 is not (the r8 series_catalog read).
+            min_attempts = 3 if name in CORE11 else 2
             for attempt in range(3):
                 # Every number is a cold-plan measurement: neither a frame
                 # cached by a NEIGHBORING query (the r6 minhash_signatures
@@ -153,7 +177,10 @@ def main() -> None:
                 t0 = time.perf_counter()
                 df.write.format("noop").mode("overwrite").save()
                 samples.append(time.perf_counter() - t0)
-                if attempt == 1 and max(samples) / max(min(samples), 1e-9) < 3.0:
+                if (
+                    attempt + 1 >= min_attempts
+                    and max(samples) / max(min(samples), 1e-9) < 3.0
+                ):
                     break
             timings[name] = round(min(samples), 3)
             all_samples[name] = [round(s, 3) for s in samples]
@@ -170,11 +197,6 @@ def main() -> None:
     # BASELINE.md) — NOT BENCH_r01's 4.369 s, which was measured warm
     # before the discipline change. The JSON publishes the same value
     # under `core11_cold` to make the discipline explicit.
-    CORE11 = [
-        "series_catalog", "wide_export", "tpch_q1", "tpch_q3", "tpch_q5",
-        "qc_interpolate", "sessionization", "text_stats",
-        "minhash_signatures", "embedding_knn", "asof_join",
-    ]
     core11_missing = [n for n in CORE11 if n not in timings]
     # a failed/missing core query must NOT silently shrink the comparable
     # subtotal into a fake speedup — publish it as null + name the holes

@@ -333,10 +333,535 @@ def q_txtable_incremental_minmax(spark, sf_dir):
     )
 
 
+# -- PageRank over the nation trade graph (iterative broadcast-model) -----------
+
+_PR_DAMP, _PR_ITERS = 0.85, 3
+
+
+def _pagerank_oracle(iters: int = _PR_ITERS, damp: float = _PR_DAMP) -> str:
+    """Weighted PageRank unrolled as chained CTEs (the kmeans-oracle
+    pattern): one (dangling-mass, rank-update) pair per iteration,
+    mirroring the Spark loop step for step. Both sides round to 6 dp at
+    the end only; intermediate sums differ at most in the last ulp."""
+    from h2outility_spark.workload import sql_round
+
+    parts = [
+        """WITH edges AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, CAST(count(*) AS DOUBLE) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+)""",
+        "outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src)",
+        "nodes AS (SELECT n_nationkey AS node FROM nation)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        "r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes)",
+    ]
+    prev = "r0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f"d{i} AS (SELECT coalesce(sum(r), 0.0) / (SELECT n FROM nn) AS ds "
+            f"FROM {prev} WHERE node NOT IN (SELECT src FROM outw))"
+        )
+        parts.append(
+            f"r{i} AS (SELECT nd.node, "
+            f"(1.0 - {damp}) / (SELECT n FROM nn) + {damp} * (coalesce(inc.s, 0.0) + (SELECT ds FROM d{i})) AS r "
+            f"FROM nodes nd LEFT JOIN ("
+            f"SELECT e.dst AS node, sum(p.r * e.w / o.ow) AS s "
+            f"FROM edges e JOIN {prev} p ON e.src = p.node JOIN outw o ON e.src = o.src "
+            f"GROUP BY e.dst) inc ON nd.node = inc.node)"
+        )
+        prev = f"r{i}"
+    final = (
+        f"SELECT node, {sql_round('r', 6)} AS rank FROM {prev}"
+    )
+    return ",\n".join(parts) + "\n" + final
+
+
+PAGERANK_ORACLE = _pagerank_oracle()
+
+
+def q_pagerank_nation_trade(spark, sf_dir):
+    """Weighted PageRank (damping 0.85, 3 iterations) over the
+    customer-nation → supplier-nation trade graph, with dangling-mass
+    redistribution: the iterative-graph-algorithm shape (kmeans pattern —
+    tiny broadcast model per iteration, big data touched once to build
+    the edge list). The edge aggregation is the only heavy shuffle; each
+    iteration joins the 25-row rank vector back to the ≤625-row edge
+    list, so at 100 TB the loop costs nothing after the first pass. The
+    dangling scalar is a bounded per-iteration collect (the broadcast-
+    model discipline kmeans already uses); the oracle unrolls all three
+    iterations as chained CTEs."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("node"))
+
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+        .cache()
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow")).cache()
+    n_nodes = float(nation.count())
+
+    ranks = nation.withColumn("r", F.lit(1.0 / n_nodes))
+    for _ in range(_PR_ITERS):
+        # dangling mass: a bounded scalar collect per iteration
+        ds = (
+            ranks.join(outw, ranks.node == outw.src, "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("s"))
+            .first()["s"]
+        ) / n_nodes
+        inc = (
+            edges.join(F.broadcast(ranks), edges.src == ranks.node)
+            .join(F.broadcast(outw), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") * F.col("w") / F.col("ow")).alias("s"))
+        )
+        ranks = nation.join(
+            F.broadcast(inc), nation.node == inc.dst, "left"
+        ).select(
+            "node",
+            (
+                F.lit((1.0 - _PR_DAMP) / n_nodes)
+                + F.lit(_PR_DAMP) * (F.coalesce(F.col("s"), F.lit(0.0)) + F.lit(ds))
+            ).alias("r"),
+        )
+    return ranks.select("node", fround(F.col("r"), 6).alias("rank"))
+
+
+# -- per-series linear trend fit -------------------------------------------------
+
+TREND_FIT_ORACLE = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n,
+       floor((regr_slope(value, epoch_us(ts) / 86400000000.0)) * 1000000.0 + 0.5) / 1000000.0 AS slope,
+       floor((regr_intercept(value, epoch_us(ts) / 86400000000.0)) * 1000000.0 + 0.5) / 1000000.0 AS intercept
+FROM events
+GROUP BY user_id
+"""
+
+
+def q_series_trend_fit(spark, sf_dir):
+    """Per-series least-squares trend: slope and intercept of value vs
+    time-in-days per user (the drift-rate estimator the QC drift
+    correction consumes). Built-in regr_slope/regr_intercept aggregates —
+    one hash aggregate with map-side partials, no window, no sort; NaN
+    from zero-variance series folds to NULL for cross-engine parity."""
+    ev = _t(spark, sf_dir, "events")
+    days = F.unix_micros(F.col("ts")) / F.lit(86400000000.0)
+    slope = F.expr("regr_slope(value, __days)")
+    intercept = F.expr("regr_intercept(value, __days)")
+    out = (
+        ev.withColumn("__days", days)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            slope.alias("__slope"),
+            intercept.alias("__icept"),
+        )
+    )
+    fold = lambda c: F.when(F.isnan(c), F.lit(None)).otherwise(c)  # noqa: E731
+    return out.select(
+        "user_id",
+        "n",
+        fround(fold(F.col("__slope")), 6).alias("slope"),
+        fround(fold(F.col("__icept")), 6).alias("intercept"),
+    )
+
+
+# -- approx-percentile accuracy under the driver hash ----------------------------
+
+APPROX_PCTL_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       floor((quantile_cont(value, 0.50)) * 10000.0 + 0.5) / 10000.0 AS p50_exact,
+       TRUE AS within_bounds
+FROM events
+GROUP BY event_type
+"""
+
+
+def q_approx_percentile_bounds(spark, sf_dir):
+    """The sketch-accuracy contract promoted from pytest to the driver
+    hash: per group, approx_percentile(value, 0.5, accuracy=1000) —
+    rank error ≤ 0.1% — must land inside the exact [p49.5, p50.5] value
+    band (5× margin). The oracle states TRUE for every group, so ANY
+    group where the sketch drifts out of bounds flips the hash. The
+    sketch is the 100 TB path (mergeable, single-pass, no sort); the
+    exact percentile rides along only as the certificate."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile(value, 0.50)").alias("__exact"),
+        F.expr("approx_percentile(value, 0.50, 1000)").alias("__approx"),
+        F.expr("percentile(value, 0.495)").alias("__lo"),
+        F.expr("percentile(value, 0.505)").alias("__hi"),
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        fround(F.col("__exact"), 4).alias("p50_exact"),
+        ((F.col("__approx") >= F.col("__lo")) & (F.col("__approx") <= F.col("__hi"))).alias(
+            "within_bounds"
+        ),
+    )
+
+
+# -- auto-sized RP-LSH signatures: the width DERIVATION on the hash --------------
+
+RP_AUTOSIG_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+nb AS (
+  SELECT greatest(1, CAST(ceil(log2(greatest(2.0, count(*) / 32.0))) AS INT)) AS bits
+  FROM e
+),
+planes AS (
+  -- range() args must be constants, so enumerate a superset of plane ids
+  -- (32 bits x 32 bands = 1024 covers any realistic derived width) and
+  -- filter to the derived count
+  SELECT CAST(j.range AS INT) AS j, CAST(d.range AS INT) AS d,
+         ('0x' || substr(md5('h' || CAST(j.range AS VARCHAR) || '_' || CAST(d.range AS VARCHAR)), 1, 2))::BIGINT - 127.5 AS p
+  FROM range(1024) j CROSS JOIN range(64) d
+  WHERE j.range < (SELECT bits FROM nb) * 32
+),
+dots AS (
+  SELECT e.vec_id, planes.j, sum(e.v[planes.d + 1] * planes.p) AS dot
+  FROM e, planes
+  GROUP BY e.vec_id, planes.j
+)
+SELECT vec_id,
+       string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS rp_sig,
+       (SELECT bits FROM nb) AS n_bits
+FROM dots GROUP BY vec_id
+"""
+
+
+def q_rp_lsh_autosig(spark, sf_dir):
+    """The RP-LSH auto-sizing contract certified cross-engine: the band
+    width is DERIVED from the corpus size (``auto_n_bits`` —
+    ceil(log2(n/32)), so the derived width differs at every test scale)
+    and every sign bit of every signature at that width rides the hash.
+    The oracle recomputes the md5-derived hyperplanes IN SQL and re-derives
+    the width from its own count(*) — a drift in the derivation formula,
+    the plane constants, or the sign arithmetic at ANY scale flips the
+    hash. Sign decisions are far from zero (plane components O(100), data
+    O(1)), so summation order cannot flip a bit."""
+    from h2outility_spark.operators import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n = emb.count()
+    bits = similarity.auto_n_bits(n, target_bucket=32)
+    sigs = similarity.rp_lsh_signatures(emb, n_planes=bits * 32, dim=64)
+    return sigs.select("vec_id", "rp_sig", F.lit(bits).cast("int").alias("n_bits"))
+
+
+# -- snapshot-isolation reader racing a writer -----------------------------------
+
+READER_ISOLATION_ORACLE = """
+SELECT o_orderkey, o_custkey % 50 AS cust_bucket,
+       CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+FROM orders WHERE o_orderkey % 10 < 8
+"""
+
+
+def q_txtable_reader_isolation(spark, sf_dir):
+    """Snapshot isolation under a real race: a reader pins version v1,
+    then MATERIALIZES it while a concurrent writer thread merges an
+    upsert batch AND compacts the table (both create new versions and
+    rewrite files). The pinned read must return exactly v1's content no
+    matter how the interleaving lands — copy-on-write means old files
+    stay on disk until vacuum, and the v1 manifest is immutable. The
+    oracle states v1 algebraically; any torn read, manifest mutation, or
+    premature file reuse flips the hash."""
+    import threading
+
+    from h2outility_spark.storage_tx import TxTable
+
+    cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("bigint")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 50).alias("cust_bucket"),
+        cents.alias("cents"),
+    )
+    base = orders.filter(F.col("o_orderkey") % 10 < 8)
+    upd = orders.filter(F.col("o_orderkey") % 4 == 0).withColumn(
+        "cents", F.col("cents") + F.lit(500)
+    )
+
+    t = TxTable(spark, scratch_dir("h2ou_riso_") + "/t", key_cols=["o_orderkey"])
+    v1 = t.append(base)
+    pinned = t.snapshot(v1).cache()
+
+    errs: list[Exception] = []
+
+    def writer() -> None:
+        try:
+            t.merge_upsert(upd)
+            t.compact_files()
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    th = threading.Thread(target=writer)
+    th.start()
+    # materialize the pinned snapshot WHILE the writer commits new versions
+    n_pinned = pinned.count()
+    th.join()
+    assert not errs, errs
+    assert n_pinned > 0
+    return pinned.select("o_orderkey", "cust_bucket", "cents")
+
+
+# -- bucketed co-located join ------------------------------------------------------
+
+BUCKETED_JOIN_ORACLE = """
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+def q_bucketed_join_orders(spark, sf_dir):
+    """The co-located join the 100 TB plan wants: both sides are written
+    BUCKETED on the join key (8 buckets, sorted), so the fact-dim join
+    runs bucket-to-bucket with NO exchange on either side — the shuffle
+    is paid once at layout time and amortized over every subsequent
+    join, which is exactly how a 100 TB fact table should meet its
+    high-cardinality dims (pytest pins the no-Exchange plan; the driver
+    hash certifies the result). The tiny post-join rollup is the only
+    shuffle left."""
+    cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("bigint")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", cents.alias("cents"))
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+
+    base = scratch_dir("h2ou_bkt_")
+    spark.sql("DROP TABLE IF EXISTS bkt_orders")
+    spark.sql("DROP TABLE IF EXISTS bkt_customer")
+    (
+        orders.write.format("parquet")
+        .bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .option("path", base + "/orders")
+        .mode("overwrite")
+        .saveAsTable("bkt_orders")
+    )
+    (
+        cust.write.format("parquet")
+        .bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .option("path", base + "/customer")
+        .mode("overwrite")
+        .saveAsTable("bkt_customer")
+    )
+    j = spark.table("bkt_orders").join(
+        spark.table("bkt_customer"), F.col("o_custkey") == F.col("c_custkey")
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("total_cents"),
+    )
+
+
+# -- S1 federated three-source union ----------------------------------------------
+
+FEDERATED_UNION_ORACLE = """
+SELECT event_id AS value_id, ts AS local_dt, value AS data_value
+FROM events
+"""
+
+
+def q_federated_union(spark, sf_dir):
+    """The S1 multi-dialect story on ONE hash: the same logical table is
+    split three ways and round-tripped through three different source
+    formats — a header CSV export (microsecond timestampFormat), a Derby
+    JDBC table, and native parquet — then unioned back. A row lost or
+    mangled by ANY format's writer/reader (timestamp truncation, double
+    formatting, JDBC type mapping) flips the hash. At 100 TB this is the
+    federation shape: per-source scans stay pushdown-friendly and the
+    union is a zero-shuffle concatenation."""
+    from pyspark.sql import types as T
+
+    from h2outility_spark.sinks.jdbc_sink import append_jdbc
+    from h2outility_spark.sources.parquet import load_jdbc
+
+    sel = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("value_id"),
+        F.col("ts").alias("local_dt"),
+        F.col("value").alias("data_value"),
+    )
+    csv_part = sel.filter(F.col("value_id") % 3 == 0)
+    jdbc_part = sel.filter(F.col("value_id") % 3 == 1)
+    pq_part = sel.filter(F.col("value_id") % 3 == 2)
+
+    csv_dir = scratch_dir("h2ou_fedcsv_") + "/rows"
+    (
+        csv_part.write.option("header", True)
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .csv(csv_dir)
+    )
+    url = f"jdbc:derby:{scratch_dir('h2ou_fedjdbc_')}/db;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    append_jdbc(jdbc_part, url, "fed_values", properties=props, num_partitions=2)
+
+    schema = T.StructType(
+        [
+            T.StructField("value_id", T.LongType()),
+            T.StructField("local_dt", T.TimestampType()),
+            T.StructField("data_value", T.DoubleType()),
+        ]
+    )
+    csv_back = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .csv(csv_dir)
+    )
+    jdbc_back = load_jdbc(spark, url, "fed_values", properties=props)
+    return csv_back.unionByName(jdbc_back).unionByName(pq_part)
+
+
+# -- streaming ingestion maintaining a materialized view (IVM composition) --------
+
+STREAM_IVM_ORACLE = """
+SELECT o_custkey % 50 AS cust_bucket,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders
+GROUP BY 1
+"""
+
+
+def q_stream_ivm_agg(spark, sf_dir):
+    """The production composition: a STREAM ingests micro-batches and a
+    TxTable-materialized (count, sum) view is advanced incrementally per
+    batch — ``foreachBatch`` treats each micro-batch as an insert-only
+    change feed for ``ivm.maintain_grouped_agg`` and upserts ONLY the
+    touched buckets back through the transactional merge. Nothing ever
+    recomputes from scratch and no batch is double-applied (the oracle is
+    the from-scratch aggregate of the full table, in integer cents, so
+    any drop/double-apply flips the hash). State per batch is O(changed
+    buckets); the view lives in the lakehouse, not driver memory."""
+    from h2outility_spark.operators import ivm
+    from h2outility_spark.storage_tx import TxTable
+
+    cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("bigint")
+    sel = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 50).alias("cust_bucket"),
+        cents.alias("cents"),
+    )
+    src = scratch_dir("h2ou_sivm_src_")
+    ckpt = scratch_dir("h2ou_sivm_ckpt_") + "/ckpt"
+    view = TxTable(spark, scratch_dir("h2ou_sivm_view_") + "/t", key_cols=["cust_bucket"])
+    state = {"initialized": False}
+
+    def handle(batch_df, _batch_id) -> None:
+        if not state["initialized"]:
+            view.append(
+                ivm.aggregate_state(batch_df, ["cust_bucket"], "cents", "n_orders", "total_cents")
+            )
+            state["initialized"] = True
+            return
+        changes = batch_df.withColumn("_change_type", F.lit("insert"))
+        new_view = ivm.maintain_grouped_agg(
+            view.snapshot(), changes, ["cust_bucket"], "cents", "n_orders", "total_cents"
+        )
+        touched = changes.select("cust_bucket").distinct()
+        view.merge_upsert(new_view.join(touched, ["cust_bucket"], "left_semi"))
+
+    def drain() -> None:
+        q = (
+            spark.readStream.schema(sel.schema)
+            .format("parquet")
+            .load(src)
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+
+    sel.filter(F.col("o_orderkey") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    sel.filter(F.col("o_orderkey") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    return view.snapshot().select("cust_bucket", "n_orders", "total_cents")
+
+
+# -- streaming twin of the sliding-window chunker ----------------------------------
+
+from h2outility_spark.workload_next4 import (  # noqa: E402
+    _CHUNK_SIZE,
+    _CHUNK_STRIDE,
+    CHUNK_SLIDING_ORACLE,
+)
+
+STREAM_CHUNK_ORACLE = CHUNK_SLIDING_ORACLE
+
+
+def q_stream_chunk_flow(spark, sf_dir):
+    """Streaming twin of ``chunk_sliding``: the RAG chunker applied to a
+    document STREAM — two micro-batches drained through one checkpoint,
+    each document chunked exactly once (stateless narrow transform, so
+    streaming adds no state at all; exactly-once comes from the source
+    tracking + append sink). Output is byte-identical to the certified
+    batch chunking — the same oracle proves it."""
+    from h2outility_spark.operators import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    src = scratch_dir("h2ou_schunk_src_")
+    out = scratch_dir("h2ou_schunk_out_") + "/out"
+    ckpt = scratch_dir("h2ou_schunk_ckpt_") + "/ckpt"
+
+    def drain() -> None:
+        chunks = T.chunk_sliding(
+            spark.readStream.schema(docs.schema).format("parquet").load(src),
+            size=_CHUNK_SIZE,
+            stride=_CHUNK_STRIDE,
+        )
+        q = (
+            chunks.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    return spark.read.parquet(out)
+
+
 #: name -> (fn, oracle) for a future promotion pass and the parity test.
 STAGED5 = {
     "oplist_replay": (q_oplist_replay, OPLIST_REPLAY_ORACLE),
     "stream_ohlc": (q_stream_ohlc, STREAM_OHLC_ORACLE),
     "edit_session_roundtrip": (q_edit_session_roundtrip, EDIT_SESSION_ORACLE),
     "txtable_incremental_minmax": (q_txtable_incremental_minmax, TXTABLE_MINMAX_ORACLE),
+    "pagerank_nation_trade": (q_pagerank_nation_trade, PAGERANK_ORACLE),
+    "series_trend_fit": (q_series_trend_fit, TREND_FIT_ORACLE),
+    "approx_percentile_bounds": (q_approx_percentile_bounds, APPROX_PCTL_ORACLE),
+    "rp_lsh_autosig": (q_rp_lsh_autosig, RP_AUTOSIG_ORACLE),
+    "txtable_reader_isolation": (q_txtable_reader_isolation, READER_ISOLATION_ORACLE),
+    "bucketed_join_orders": (q_bucketed_join_orders, BUCKETED_JOIN_ORACLE),
+    "federated_union": (q_federated_union, FEDERATED_UNION_ORACLE),
+    "stream_ivm_agg": (q_stream_ivm_agg, STREAM_IVM_ORACLE),
+    "stream_chunk_flow": (q_stream_chunk_flow, STREAM_CHUNK_ORACLE),
 }

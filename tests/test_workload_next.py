@@ -96,6 +96,25 @@ def test_txtable_prune_scan_reads_one_file(spark):
     assert "GreaterThanOrEqual(key_bucket" in plan and "LessThanOrEqual(key_bucket" in plan
 
 
+def test_bucketed_join_plans_without_exchange_on_join_inputs(spark):
+    """The layout economics behind bucketed_join_orders: with broadcast
+    disabled, the bucketed fact-dim join must sort-merge WITHOUT an
+    Exchange on either input (bucket-to-bucket reads) — the only
+    exchange in the whole plan is the tiny post-join rollup's."""
+    from h2outility_spark.workload_next5 import q_bucketed_join_orders
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = q_bucketed_join_orders(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan, plan[:800]
+    n_exchange = plan.count("Exchange")
+    assert n_exchange <= 1, f"expected <=1 Exchange (rollup only), got {n_exchange}:\n{plan[:1200]}"
+
+
 @pytest.mark.parametrize("sf_dir", [SF_DIR, SF_DIR_MED])
 @pytest.mark.parametrize("name", sorted(STAGED4))
 def test_staged4_query_matches_oracle(spark, name, sf_dir):
