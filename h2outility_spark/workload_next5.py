@@ -749,7 +749,14 @@ def q_stream_ivm_agg(spark, sf_dir):
     recomputes from scratch and no batch is double-applied (the oracle is
     the from-scratch aggregate of the full table, in integer cents, so
     any drop/double-apply flips the hash). State per batch is O(changed
-    buckets); the view lives in the lakehouse, not driver memory."""
+    buckets); the view lives in the lakehouse, not driver memory.
+
+    Honesty note: ``foreachBatch`` is at-least-once — a crash between the
+    merge commit and the checkpoint write would replay the batch on
+    restart. A production deployment makes the merge idempotent by
+    recording the last-applied batch_id in the view table and skipping
+    replays; the drained-to-completion runs here never replay, so the
+    hash certifies the maintenance algebra, not that recovery path."""
     from h2outility_spark.operators import ivm
     from h2outility_spark.storage_tx import TxTable
 
