@@ -856,6 +856,77 @@ def q_stream_chunk_flow(spark, sf_dir):
     return spark.read.parquet(out)
 
 
+# -- vacuum retention guard under a pinned reader ----------------------------------
+
+VACUUM_RETENTION_ORACLE = READER_ISOLATION_ORACLE
+
+
+def q_txtable_vacuum_retention(spark, sf_dir):
+    """The GC-safety contract on a hash: a reader pins v1, a writer
+    merges (making v1's files logically dead) and then VACUUMS — but
+    every dead file is younger than the retention window, so vacuum must
+    refuse to reclaim it and the pinned v1 read must still see whole
+    files. If vacuum ignored retention (or retention bookkeeping used
+    the wrong timestamp), the pinned scan would lose rows or die on a
+    missing file — either flips the hash. This is the invariant that
+    makes long-running 100 TB readers safe to run concurrently with
+    compaction + GC."""
+    from h2outility_spark.storage_tx import TxTable
+
+    cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("bigint")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 50).alias("cust_bucket"),
+        cents.alias("cents"),
+    )
+    base = orders.filter(F.col("o_orderkey") % 10 < 8)
+    upd = orders.filter(F.col("o_orderkey") % 4 == 0).withColumn(
+        "cents", F.col("cents") + F.lit(500)
+    )
+
+    t = TxTable(spark, scratch_dir("h2ou_vret_") + "/t", key_cols=["o_orderkey"])
+    v1 = t.append(base)
+    pinned = t.snapshot(v1)
+    t.merge_upsert(upd)
+    # keep_versions=1 would allow reclaiming v1's dead files — only the
+    # age-based retention window protects the pinned reader here
+    removed = t.vacuum(keep_versions=1, retention_seconds=3600.0)
+    assert removed == [], f"vacuum reclaimed inside the retention window: {removed}"
+    return pinned.select("o_orderkey", "cust_bucket", "cents")
+
+
+# -- sketch-accuracy contract for approx_count_distinct -----------------------------
+
+APPROX_DISTINCT_ORACLE = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS within_bounds
+FROM events
+GROUP BY event_type
+"""
+
+
+def q_approx_distinct_bounds(spark, sf_dir):
+    """HyperLogLog++ accuracy under the driver hash (sibling of
+    approx_percentile_bounds): per group, approx_count_distinct(user_id)
+    at rsd=0.02 must land within ±10% of the exact distinct count (5×
+    the standard deviation, so a correct sketch essentially never
+    trips). The sketch is the 100 TB path — mergeable, fixed memory, no
+    shuffle of the distinct values; the exact count rides along only as
+    the certificate."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.expr("approx_count_distinct(user_id, 0.02)").alias("__approx"),
+    )
+    tol = F.col("exact_users") * F.lit(0.10)
+    return agg.select(
+        "event_type",
+        F.col("exact_users").cast("bigint").alias("exact_users"),
+        (F.abs(F.col("__approx") - F.col("exact_users")) <= tol).alias("within_bounds"),
+    )
+
+
 #: name -> (fn, oracle) for a future promotion pass and the parity test.
 STAGED5 = {
     "oplist_replay": (q_oplist_replay, OPLIST_REPLAY_ORACLE),
@@ -871,4 +942,6 @@ STAGED5 = {
     "federated_union": (q_federated_union, FEDERATED_UNION_ORACLE),
     "stream_ivm_agg": (q_stream_ivm_agg, STREAM_IVM_ORACLE),
     "stream_chunk_flow": (q_stream_chunk_flow, STREAM_CHUNK_ORACLE),
+    "txtable_vacuum_retention": (q_txtable_vacuum_retention, VACUUM_RETENTION_ORACLE),
+    "approx_distinct_bounds": (q_approx_distinct_bounds, APPROX_DISTINCT_ORACLE),
 }
