@@ -213,6 +213,7 @@ def main() -> None:
     SCALING = [
         "neardup_embedding_lsh", "neardup_minhash_pairs", "tpch_q21_waiting_supplier",
         "dedup_exact_docs", "asof_join", "wide_export",
+        "series_ohlc", "chunk_sliding",
     ]
     small_dir = sf_dir.replace("sf0.1", "sf0.01")
     scaling: dict[str, dict] = {}
@@ -265,12 +266,18 @@ def main() -> None:
     # 10x): they measure the union-sort-carry window family and the
     # single-shuffle conditional-agg pivot, the two shapes every QC/W
     # operator reduces to.
+    # series_ohlc and chunk_sliding joined in round 9 (first round with
+    # driver rows): the one-hash-aggregate downsample and the zero-shuffle
+    # narrow text map — the two cheapest shapes in the engine, measured so
+    # the near-linearity claim covers them instead of assuming it.
     SCALING100 = [
         "neardup_minhash_pairs",
         "tpch_q21_waiting_supplier",
         "dedup_exact_docs",
         "asof_join",
         "wide_export",
+        "series_ohlc",
+        "chunk_sliding",
     ]
     scaling100: dict[str, dict] = {}
     if small_dir != sf_dir and os.path.isdir(small_dir):

@@ -441,6 +441,7 @@ FROM s
     "chunk_sliding",
     oracle=CHUNK_SLIDING_ORACLE,
     description="sliding-window RAG chunking (64-token windows every 48), pure built-ins, zero shuffles",
+    bench=True,
 )
 def q_chunk_sliding(spark, sf_dir):
     """Sliding-window chunking of the document corpus (64-token windows
@@ -651,6 +652,7 @@ GROUP BY 1, 2, 3
     "series_ohlc",
     oracle=SERIES_OHLC_ORACLE,
     description="hourly OHLC per series via min_by/max_by ordered aggregates, one map-side-partial hash aggregate",
+    bench=True,
 )
 def q_series_ohlc(spark, sf_dir):
     """Hourly OHLC per series (open = first value in the hour, close =
