@@ -927,6 +927,90 @@ def q_approx_distinct_bounds(spark, sf_dir):
     )
 
 
+# -- the full production loop: stream -> lakehouse -> CDF -> MIN/MAX IVM ----------
+
+STREAM_MINMAX_ORACLE = TXTABLE_MINMAX_ORACLE
+
+
+def q_stream_minmax_ivm(spark, sf_dir):
+    """The complete incremental pipeline on one hash: a STREAM of upsert
+    batches lands in a TxTable through ``foreachBatch`` + merge_upsert,
+    and after every commit the bounded MIN/MAX view state is advanced
+    from that commit's CHANGE FEED ONLY (``t.changes(v_prev, v_new)`` →
+    ``ivm.maintain_grouped_minmax`` with k=2, so the merge's
+    delete+insert pairs exercise the horizon/rescan algebra on real
+    data). The maintained state is materialized per batch and the final
+    batch's state is returned; the oracle recomputes min/max/count from
+    the final table — a drift anywhere in the stream→merge→CDF→maintain
+    chain flips the hash. This is the shape a 100 TB live view runs:
+    per-batch cost O(changes) + the targeted-rescan tail, never
+    O(table)."""
+    from h2outility_spark.operators import ivm
+    from h2outility_spark.storage_tx import TxTable
+
+    cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("bigint")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 50).alias("cust_bucket"),
+        cents.alias("cents"),
+    )
+    base = orders.filter(F.col("o_orderkey") % 10 < 8)
+    upd = orders.filter(F.col("o_orderkey") % 4 == 0).withColumn(
+        "cents", F.col("cents") + F.lit(500)
+    )
+
+    src = scratch_dir("h2ou_smm_src_")
+    ckpt = scratch_dir("h2ou_smm_ckpt_") + "/ckpt"
+    state_dir = scratch_dir("h2ou_smm_state_")
+    t = TxTable(spark, scratch_dir("h2ou_smm_tbl_") + "/t", key_cols=["o_orderkey"])
+    ctl: dict = {"version": None, "state_path": None, "n_batches": 0}
+
+    def handle(batch_df, batch_id) -> None:
+        if ctl["version"] is None:
+            v = t.append(batch_df)
+            state = ivm.minmax_state(t.snapshot(v), ["cust_bucket"], "cents", k=2)
+        else:
+            v_prev = ctl["version"]
+            v = t.merge_upsert(batch_df)
+            old_state = spark.read.parquet(ctl["state_path"])
+            state = ivm.maintain_grouped_minmax(
+                old_state, t.changes(v_prev, v), t.snapshot(v), ["cust_bucket"], "cents", k=2
+            )
+        path = os.path.join(state_dir, f"state_v{v}")
+        state.write.mode("overwrite").parquet(path)
+        ctl["version"] = v
+        ctl["state_path"] = path
+        ctl["n_batches"] += 1
+
+    def drain() -> None:
+        q = (
+            spark.readStream.schema(base.schema)
+            .format("parquet")
+            .load(src)
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+
+    base.coalesce(1).write.mode("append").parquet(src)
+    drain()
+    upd.coalesce(1).write.mode("append").parquet(src)
+    drain()
+    assert ctl["n_batches"] == 2, ctl
+
+    final = spark.read.parquet(ctl["state_path"])
+    return final.select(
+        "cust_bucket",
+        F.col("n").alias("n_orders"),
+        F.element_at("kmin", 1).alias("min_cents"),
+        F.element_at("kmax", 1).alias("max_cents"),
+    )
+
+
 #: name -> (fn, oracle) for a future promotion pass and the parity test.
 STAGED5 = {
     "oplist_replay": (q_oplist_replay, OPLIST_REPLAY_ORACLE),
@@ -944,4 +1028,5 @@ STAGED5 = {
     "stream_chunk_flow": (q_stream_chunk_flow, STREAM_CHUNK_ORACLE),
     "txtable_vacuum_retention": (q_txtable_vacuum_retention, VACUUM_RETENTION_ORACLE),
     "approx_distinct_bounds": (q_approx_distinct_bounds, APPROX_DISTINCT_ORACLE),
+    "stream_minmax_ivm": (q_stream_minmax_ivm, STREAM_MINMAX_ORACLE),
 }
