@@ -50,6 +50,12 @@ BUDGETS = {
     "image_features_jpeg": (0, 0),
     "audio_vad_segments": (1, 0),   # one window shuffle keyed by asset
     "image_neardup": (1, 1),        # band-key self-join: 1 shuffle + 1 broadcast
+    # round-9 promotions: the new flagship shapes
+    "chunk_sliding": (0, 0),        # RAG chunking is a pure narrow map
+    "series_ohlc": (1, 0),          # ordered aggs ride ONE hash aggregate
+    "grouped_percentiles": (1, 0),
+    "rolling_corr": (1, 0),         # one window shuffle on the series key
+    "winsorize_values": (1, 1),     # percentile agg shuffles once; bounds broadcast back
 }
 
 
