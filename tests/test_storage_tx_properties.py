@@ -83,3 +83,55 @@ def test_txtable_matches_model(spark, tmp_path_factory, ops):
             (got_ins if r["_change_type"] == "insert" else got_del)[row] += 1
         assert got_ins == want_ins, f"insert feed {v - 1}->{v}"
         assert got_del == want_del, f"delete feed {v - 1}->{v}"
+
+
+KEYS4 = st.integers(min_value=0, max_value=3)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.data())
+def test_ivm_minmax_matches_recompute_on_random_batches(spark, data):
+    """Randomized soundness for the bounded MIN/MAX maintenance: for any
+    base multiset, any subset of it deleted and any inserts applied
+    through the change feed, the maintained state must agree with a
+    from-scratch recompute on count, and its kept arrays must be true
+    PREFIXES of the final sorted multiset (a legitimately shrunken kept
+    set still always exposes the true extremum). Keys that empty out must
+    leave the view."""
+    from h2outility_spark.operators import ivm
+
+    base = data.draw(st.lists(st.tuples(KEYS4, VALS), min_size=1, max_size=12))
+    del_idx = data.draw(st.sets(st.integers(min_value=0, max_value=len(base) - 1)))
+    inserts = data.draw(st.lists(st.tuples(KEYS4, VALS), max_size=8))
+
+    deletes = [base[i] for i in sorted(del_idx)]
+    after = list(base)
+    for d in deletes:
+        after.remove(d)
+    after = after + inserts
+
+    old = ivm.minmax_state(df_of(spark, base), ["k"], "v", k=2)
+    change_rows = [Row(k=k, v=v, _change_type="delete") for k, v in deletes] + [
+        Row(k=k, v=v, _change_type="insert") for k, v in inserts
+    ]
+    changes = spark.createDataFrame(change_rows, "k int, v int, _change_type string")
+    after_df = spark.createDataFrame(
+        [Row(k=k, v=v) for k, v in after], "k int, v int"
+    )
+    maintained = {
+        r["k"]: r
+        for r in ivm.maintain_grouped_minmax(old, changes, after_df, ["k"], "v", k=2).collect()
+    }
+
+    truth: dict[int, list[int]] = {}
+    for k, v in after:
+        truth.setdefault(k, []).append(v)
+
+    assert set(maintained) == set(truth), f"key sets differ: {set(maintained)} vs {set(truth)}"
+    for k, vals in truth.items():
+        row = maintained[k]
+        asc, desc = sorted(vals), sorted(vals, reverse=True)
+        assert row["n"] == len(vals), f"key {k}: n {row['n']} != {len(vals)}"
+        kmin, kmax = list(row["kmin"]), list(row["kmax"])
+        assert 1 <= len(kmin) <= 2 and kmin == asc[: len(kmin)], f"key {k}: kmin {kmin} vs {asc}"
+        assert 1 <= len(kmax) <= 2 and kmax == desc[: len(kmax)], f"key {k}: kmax {kmax} vs {desc}"
