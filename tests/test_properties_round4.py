@@ -127,3 +127,50 @@ def test_pq_encode_total_and_in_range(spark, vecs):
     seen = {(r["vec_id"], r["s"]) for r in codes}
     assert seen == {(i, s) for i in range(len(vecs)) for s in range(m)}
     assert all(r["code"] in (0, 1) for r in codes)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    docs=st.lists(doc, min_size=1, max_size=4),
+    size=st.integers(min_value=1, max_value=8),
+    stride=st.integers(min_value=1, max_value=8),
+)
+def test_chunk_sliding_invariants(spark, docs, size, stride):
+    """Sliding chunking must hold for ANY (size, stride), not just the
+    registered 64/48: chunk 0 starts at 0; every token position is
+    covered by at least one chunk; each chunk_text is exactly the token
+    slice at its offset; n_tokens is min(size, n - start); and the
+    trailing-window rule is minimal (a window is emitted only if its
+    predecessor did not already reach the document end)."""
+    from h2outility_spark.operators.text import chunk_sliding
+
+    rows = [Row(doc_id=i, text=" ".join(words)) for i, words in enumerate(docs)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        (r["doc_id"], r["chunk_idx"], r["start_tok"], r["n_tokens"], r["chunk_text"])
+        for r in chunk_sliding(sdf, size=size, stride=stride).collect()
+    )
+    by_doc: dict[int, list] = {}
+    for t in out:
+        by_doc.setdefault(t[0], []).append(t)
+    for i, words in enumerate(docs):
+        n = len(words)
+        chunks = by_doc.get(i, [])
+        assert chunks, f"doc {i} produced no chunks"
+        # the emission rule, restated independently: multiples of stride,
+        # kept while the previous window has not already reached the end
+        want_starts = [s for s in range(0, n, stride) if s == 0 or s - stride + size < n]
+        assert [c[2] for c in chunks] == want_starts, f"doc {i}: starts differ"
+        covered = set()
+        for j, (_, idx, start, n_tok, text) in enumerate(chunks):
+            assert idx == j
+            assert n_tok == min(size, n - start)
+            assert text == " ".join(words[start : start + size])
+            covered.update(range(start, min(start + size, n)))
+        if stride <= size:
+            # overlap mode: every token is visible to at least one chunk
+            assert covered == set(range(n)), f"doc {i}: positions uncovered"
+        # minimality: the last chunk's predecessor must NOT already reach the end
+        if len(chunks) > 1:
+            prev_start = chunks[-2][2]
+            assert prev_start + size < n, "trailing window emitted redundantly"
