@@ -291,3 +291,16 @@ def test_asof_nearest_directions_ties_tolerance(spark):
     left0 = spark.createDataFrame([Row(k="a", ts=ts(4), lid=9)])
     o0 = asof.asof_join_nearest(left0, right, ["k"], payload_cols=["v"]).collect()[0]
     assert o0["v"] == 40.0 and o0["asof_direction"] == "backward"
+
+
+def test_lsh_wrapper_forwards_bucket_controls(spark):
+    """cosine_neardup_pairs_lsh must pass max_bucket through to the
+    banded layer: a max_bucket that quarantines every bucket leaves no
+    candidate pairs, while the default keeps the full verified set."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    none_left = similarity.cosine_neardup_pairs_lsh(
+        emb, threshold=0.45, n_bits=4, max_bucket=0
+    )
+    assert none_left.count() == 0
+    full = similarity.cosine_neardup_pairs_lsh(emb, threshold=0.45, n_bits=4)
+    assert full.count() > 0

@@ -244,3 +244,24 @@ def test_chunk_sliding_edges(spark):
     assert by_doc[4][1]["chunk_text"].split(" ")[0] == "t4"
     # chunk_idx is dense 0..k
     assert [r["chunk_idx"] for r in by_doc[5]] == [0, 1]
+
+
+def test_chunk_sliding_rejects_degenerate_and_injection_shaped_params(spark):
+    """size/stride are interpolated into SQL expressions: non-integer
+    inputs must be coerced or rejected at function entry, and values
+    sequence() would choke on (stride=0, size=0) must raise a clear
+    ValueError instead of an opaque Spark runtime error."""
+    import pytest
+    from pyspark.sql import Row
+
+    from h2outility_spark.operators.text import chunk_sliding
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="a b c")])
+    for bad in ((0, 4), (8, 0), (-1, 4), (8, -2)):
+        with pytest.raises(ValueError):
+            chunk_sliding(docs, size=bad[0], stride=bad[1])
+    with pytest.raises((ValueError, TypeError)):
+        chunk_sliding(docs, size="8; DROP TABLE x", stride=4)
+    # numeric strings coerce (int()) rather than reaching the SQL string
+    out = chunk_sliding(docs, size="8", stride="4").collect()
+    assert len(out) == 1 and out[0]["n_tokens"] == 3
