@@ -122,6 +122,24 @@ def _pairs_from_banded(banded: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def lsh_candidate_pairs_between(
+    sigs_new: DataFrame,
+    sigs_old: DataFrame,
+    bands: list[list[int]],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental-ingest candidate pairs: band the NEW batch's signatures
+    and probe the EXISTING corpus's banded index — (id_a = new, id_b =
+    old) pairs whose band keys collide. At 100 TB the old side is a
+    STORED band index (signatures are computed once at ingest and kept),
+    so a daily batch costs O(batch) signing + one hash join against the
+    index, never a corpus re-scan; here both sides are banded from their
+    signatures, which is the same plan shape."""
+    bn = _banded(sigs_new, bands, id_col).withColumnRenamed(id_col, "id_a")
+    bo = _banded(sigs_old, bands, id_col).withColumnRenamed(id_col, "id_b")
+    return bn.join(bo, ["band", "band_key"]).select("id_a", "id_b").distinct()
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: list[list[int]],

@@ -64,9 +64,10 @@ def test_staged_pairs_plan_clean(spark):
     rotation time, one round too late."""
     from h2outility_spark.workload_next4 import STAGED4
     from h2outility_spark.workload_next5 import STAGED5
+    from h2outility_spark.workload_next6 import STAGED6
 
     offenders: dict[str, list[str]] = {}
-    for name, (fn, _oracle) in {**STAGED4, **STAGED5}.items():
+    for name, (fn, _oracle) in {**STAGED4, **STAGED5, **STAGED6}.items():
         plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
         flags = [b for b in ("CartesianProduct", "BroadcastNestedLoopJoin") if b in plan]
         if "CartesianProduct" in flags or (
