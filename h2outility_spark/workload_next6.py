@@ -16,10 +16,11 @@ Coverage targets:
     sibling ``dedup_incremental`` is certified; this is its near-dup
     twin.)
   * ``neardup_ensemble_agree`` — the cross-modal dedup policy real
-    pipelines run before deleting anything: a pair is actionable only
-    when BOTH the text leg (MinHash bands → Jaccard ≥ 0.2) and the
-    embedding leg (RP-LSH bands → cosine ≥ 0.45) agree. The oracle
-    recomputes both legs independently and intersects them.
+    pipelines run before deleting anything: every text-leg near-dup
+    pair (MinHash bands → Jaccard ≥ 0.2) is re-scored with its exact
+    embedding cosine and flagged where the second modality confirms.
+    The oracle recomputes both legs independently; cosine values AND
+    flags ride the hash.
   * ``quality_drift_weekly`` — the monitoring shape: per-series weekly
     median plus its week-over-week delta (lag window), the drift alarm a
     production corpus pipeline watches per source.
@@ -114,34 +115,49 @@ ENSEMBLE_AGREE_ORACLE = (
     ),
     e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
     SELECT jp.id_a, jp.id_b, jp.jaccard,
-           floor(({_COS_SQL}) * 10000.0 + 0.5) / 10000.0 AS cos_sim
+           floor(({_COS_SQL}) * 10000.0 + 0.5) / 10000.0 AS cos_sim,
+           {_COS_SQL} >= 0.25 AS emb_confirms
     FROM jp
     JOIN e ea ON ea.vec_id = jp.id_a
     JOIN e eb ON eb.vec_id = jp.id_b
-    WHERE {_COS_SQL} >= 0.45
 """
 )
 
 
 def q_neardup_ensemble_agree(spark, sf_dir):
-    """Two-modality dedup agreement: keep only pairs where the TEXT leg
-    (MinHash bands → exact Jaccard ≥ 0.2) and the EMBEDDING leg (RP-LSH
-    bands → exact cosine ≥ 0.45) both fire — the confirm-before-delete
-    policy for destructive dedup. Both legs are the certified banded
-    shapes; the join of the two (tiny) verified pair sets adds one
-    broadcast-sized exchange. doc_id ≡ vec_id in the corpus."""
+    """Two-modality dedup scoring — the confirm-before-delete policy for
+    destructive dedup: every TEXT-leg near-dup pair (MinHash bands →
+    exact Jaccard ≥ 0.2) is re-scored on the EMBEDDING side with its
+    exact cosine and flagged when the second modality confirms
+    (cos ≥ 0.25). Both the cosine VALUES and the flags ride the hash, so
+    the pair set is never vacuous even when no pair clears the
+    confirmation bar at some scale. The cosine is computed only for the
+    (tiny) verified text-pair set — two hash joins against the embedding
+    table, never a second O(n²) pass. doc_id ≡ vec_id in the corpus."""
+    from h2outility_spark.operators.similarity import as_double, dot
+
     docs = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings")
     sigs = dedup.minhash_signatures(docs, num_hashes=MINHASH_K)
     text_pairs = dedup.jaccard_for_pairs(
         dedup.lsh_candidate_pairs(sigs, bands=[[i] for i in range(MINHASH_K)]), docs
     ).filter(F.col("jaccard") >= 0.2)
-    emb_pairs = similarity.cosine_neardup_pairs_lsh(emb, threshold=0.45)
-    return text_pairs.join(emb_pairs, ["id_a", "id_b"]).select(
-        "id_a",
-        "id_b",
-        fround(F.col("jaccard"), 4).alias("jaccard"),
-        fround(F.col("cos_sim"), 4).alias("cos_sim"),
+    e = emb.select(F.col("vec_id"), as_double(F.col("embedding")).alias("v"))
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    cos = dot(F.col("va"), F.col("vb")) / F.sqrt(
+        dot(F.col("va"), F.col("va")) * dot(F.col("vb"), F.col("vb"))
+    )
+    return (
+        text_pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            fround(F.col("jaccard"), 4).alias("jaccard"),
+            fround(cos, 4).alias("cos_sim"),
+            (cos >= F.lit(0.25)).alias("emb_confirms"),
+        )
     )
 
 
