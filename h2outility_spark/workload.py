@@ -480,74 +480,77 @@ from h2outility_spark import workload_next5  # noqa: E402,F401
 # (coverage map in README). Everything outside the window is still
 # oracle-checked every run by tests/test_oracle_parity.py + driver_sim.
 CHECKED_WINDOW = [
-    # -- ROUND-9 ROTATION ---------------------------------------------------
-    # CORRECTNESS_r08 went 50/50 green (third all-green round), so the
-    # window turns over completely: 13 slots to FIRST-TIMERS — the twelve
-    # promoted workload_next4 pairs (the remaining sink round-trips
-    # jdbc/xml/export-rows/rest/fan-out, completing hash-certification of
-    # EVERY sink family S5–S12; plus nearest as-of, grouped percentiles,
-    # rolling correlation, sliding RAG chunking, hourly OHLC, CDF-driven
-    # incremental view maintenance, winsorization) and
-    # txtable_incremental_minmax PULLED FORWARD from the round-10 seeds
-    # (VERDICT r8 directive 4: the sound bounded MIN/MAX maintenance is the
-    # round's best algorithmic work — its broadcast-size guard landed
-    # first). The other 37 slots go to the stalest sentinels (the
-    # r6-latest cohort); the 13 r6 queries deferred to round 10 each have a
-    # same-family sibling in this window (audio/image/winnow/simhash/
-    # txtable-snapshot/LM-stats variants) and stay oracle-checked every run
-    # by tests/test_oracle_parity + driver_sim.
-    # -- first-timers: promoted round-9 staging pairs + the pulled-forward IVM
-    "jdbc_roundtrip",              # S9 Derby append x2 + S3 4-partition chunked read
-    "xml_metadata_roundtrip",      # S8 XML metadata export re-parsed off disk
-    "export_rows_roundtrip",       # S7 flag-gated distributed multi-part row export
-    "rest_ingest_roundtrip",       # S12 executor-side foreachPartition JSON posting
-    "annotated_export_fanout",     # S5 fan-out: every per-site chunk written executor-side
-    "asof_join_nearest",           # nearest-direction as-of, backward tie-break, 1 shuffle
-    "grouped_percentiles",         # exact linear-interpolation percentiles per group
-    "rolling_corr",                # +-5-row value-vs-time Pearson window
-    "chunk_sliding",               # sliding-window RAG chunking, zero shuffles
-    "series_ohlc",                 # hourly OHLC via min_by/max_by ordered aggregates
-    "txtable_incremental_agg",     # (count,sum) view advanced from the CDF only
-    "txtable_incremental_minmax",  # bounded MIN/MAX IVM w/ targeted rescan (r10 seed pulled fwd)
-    "winsorize_values",            # per-group [p05,p95] clip, bounds broadcast
-    # -- sentinels: the stalest 37 of the last-certified-in-ROUND-6 cohort --
-    "wide_export",
-    "extract_filtered",
-    "extract_incremental",
-    "series_catalog",
-    "series_year_range",
-    "union_dedup",
-    "running_totals",
-    "sessionization",
-    "asof_join",
-    "salted_agg",
-    "range_join_count",
-    "unpivot_part_metrics",
-    "sql_api_q1",
-    "qc_gaps",
-    "qc_interpolate",
-    "qc_drift",
-    "percentile_summary",
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q9_product_profit",
-    "tpch_q21_waiting_supplier",
-    "dedup_exact_docs",
-    "neardup_minhash_pairs",
-    "neardup_embedding_lsh",
-    "embedding_knn",
-    "ivf_search",
-    "pack_sequences",
-    "quality_gate_docs",
-    "corpus_clean",
-    "corpus_language_matrix",
-    "doc_length_histogram",
-    "vocab_topk",
-    "audio_vad_segments",
-    "image_dhash",
-    "txtable_changes",
-    "txtable_restore",
+    # -- ROUND-10 ROTATION --------------------------------------------------
+    # CORRECTNESS_r09 went 50/50 green (fourth all-green round), so the
+    # window turns over completely again: 15 slots to FIRST-TIMERS — the
+    # promoted workload_next5 STAGED5 pairs, every one tri-scale
+    # parity-green (sf0.001/0.01/0.1) and plan-audited in round 9. These
+    # certify the last uncovered reference surfaces: §2.12 record/replay
+    # (oplist_replay), the full §3.3 interactive QC session
+    # (edit_session_roundtrip), S1 multi-source federation
+    # (federated_union), the production streaming-IVM loops
+    # (stream_ivm_agg / stream_minmax_ivm), snapshot-isolation and
+    # vacuum-retention races, the bucketed exchange-free join, and the
+    # sketch-accuracy contracts. The other 35 slots follow the staleness
+    # rotation: first the 13 queries whose newest driver row dates from
+    # round 6 (the deferred cohort in NOTES_NEXT_ROUND §1), then 22 of the
+    # r7-latest cohort picked for family spread (joins, dedup, ANN,
+    # k-means, text, QC, lakehouse, streaming). Everything outside the
+    # window stays oracle-checked every run by tests/test_oracle_parity +
+    # driver_sim.
+    # -- first-timers: the 15 promoted round-10 staging pairs ---------------
+    "oplist_replay",            # §2.12 record/replay: JSON plan save/load/compile/replay
+    "edit_session_roundtrip",   # §3.3 QC session: select→edit→flag→transactional save
+    "federated_union",          # S1: CSV + Derby JDBC + parquet three-way union
+    "stream_ohlc",              # streaming hourly OHLC w/ ordered-aggregate state
+    "stream_ivm_agg",           # foreachBatch TxTable view maintenance (count,sum)
+    "stream_minmax_ivm",        # stream → merge_upsert → CDF → bounded MIN/MAX IVM
+    "stream_chunk_flow",        # streaming twin of the RAG chunker
+    "pagerank_nation_trade",    # weighted PageRank, damping 0.85, dangling mass
+    "series_trend_fit",         # per-series OLS slope/intercept, NaN→NULL fold
+    "approx_percentile_bounds", # sketch inside exact [p49.5,p50.5] band (boolean)
+    "approx_distinct_bounds",   # HLL++ 5-sigma accuracy certificate (boolean)
+    "rp_lsh_autosig",           # auto-sized RP-LSH, width re-derived in SQL
+    "txtable_reader_isolation", # pinned v1 reader vs concurrent merge+compact
+    "txtable_vacuum_retention", # vacuum refuses reclaim inside retention window
+    "bucketed_join_orders",     # 8-bucket co-located join, no Exchange
+    # -- sentinels: the 13 last-certified-in-ROUND-6 queries ----------------
+    "audio_window_features",
+    "image_features_jpeg",
+    "image_neardup",
+    "neardup_winnow_pairs",
+    "neardup_simhash_pairs",
+    "txtable_compact_snapshot",
+    "txtable_evolve_schema",
+    "txtable_snapshot_as_of",
+    "bigram_condprob",
+    "doc_lm_score",
+    "prefix_dup_rate",
+    "approx_distinct_parts",
+    "hybrid_search_knn",
+    # -- sentinels: 22 of the r7-latest cohort, one-per-family spread -------
+    "anti_join_customers",
+    "left_join_qualifiers",
+    "self_alias_join",
+    "dedup_incremental",
+    "dedup_keep_first",
+    "minhash_signatures",
+    "ngram_jaccard_blocked",
+    "neardup_clusters",
+    "ivf_search_adaptive",
+    "ivfpq_search",
+    "pq_search",
+    "embedding_centroids",
+    "kmeans_centroids",
+    "text_langid",
+    "text_stats",
+    "pii_redact_docs",
+    "doc_fingerprint",
+    "qc_islands",
+    "qc_value_change",
+    "txtable_zorder",
+    "txtable_stream_tail",
+    "stream_dedup_ingest",
 ]
 
 

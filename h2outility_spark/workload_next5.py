@@ -1,10 +1,12 @@
 """Round-10 registry staging area (same lifecycle as ``workload_next`` →
 ``workload_next4``): fully-formed (PySpark fn, DuckDB oracle) pairs
-waiting for the round-10 rotation. ``txtable_incremental_minmax`` was
+PROMOTED at the round-10 rotation. ``txtable_incremental_minmax`` was
 PULLED FORWARD into the round-9 window (VERDICT r8 directive 4 — the
 bounded-state MIN/MAX maintenance deserved driver evidence a round
-early, and its broadcast-size guard landed first); the rest stay
-undecorated until the round-10 rotation wraps them.
+early, and its broadcast-size guard landed first); the remaining 15
+pairs were wrapped with ``@query`` in round 10 (VERDICT r9 directive 1)
+after the tri-scale parity sweep (sf0.001 + sf0.01 + sf0.1) read ALL
+MATCH in round 9.
 
 Each pair is parity-tested in ``tests/test_workload_next.py`` (STAGED5)
 under the driver's comparison discipline at sf0.001 AND sf0.01.
@@ -71,6 +73,11 @@ FROM sel
 )
 
 
+@query(
+    "oplist_replay",
+    oracle=OPLIST_REPLAY_ORACLE,
+    description="§2.12 record/replay: four-op QC plan saved to JSON, loaded, compiled, replayed",
+)
 def q_oplist_replay(spark, sf_dir):
     """Record → persist → load → replay: the op-list is SAVED as JSON and
     read back before compiling, so the serialization format rides the
@@ -114,6 +121,11 @@ GROUP BY 1, 2
 """
 
 
+@query(
+    "stream_ohlc",
+    oracle=STREAM_OHLC_ORACLE,
+    description="streaming hourly OHLC: ordered-aggregate (argmin/argmax) state across micro-batches",
+)
 def q_stream_ohlc(spark, sf_dir):
     """Streaming twin of ``series_ohlc``: hourly OHLC per event type
     maintained by a WATERMARKED streaming aggregation whose open/close
@@ -219,6 +231,11 @@ FROM (SELECT * FROM edited UNION ALL SELECT * FROM store WHERE SiteID > 5)
 )
 
 
+@query(
+    "edit_session_roundtrip",
+    oracle=EDIT_SESSION_ORACLE,
+    description="§3.3 interactive QC session end-to-end: select→edit→flag→transactional save→read back",
+)
 def q_edit_session_roundtrip(spark, sf_dir):
     """The §3.3 interactive QC session end-to-end on one hash: open a
     cached working set (S4) over sites ≤ 5, record a BAD edit (zero
@@ -383,6 +400,11 @@ def _pagerank_oracle(iters: int = _PR_ITERS, damp: float = _PR_DAMP) -> str:
 PAGERANK_ORACLE = _pagerank_oracle()
 
 
+@query(
+    "pagerank_nation_trade",
+    oracle=PAGERANK_ORACLE,
+    description="weighted PageRank over the nation trade graph: damping 0.85, 3 iterations, dangling-mass redistribution",
+)
 def q_pagerank_nation_trade(spark, sf_dir):
     """Weighted PageRank (damping 0.85, 3 iterations) over the
     customer-nation → supplier-nation trade graph, with dangling-mass
@@ -449,6 +471,11 @@ GROUP BY user_id
 """
 
 
+@query(
+    "series_trend_fit",
+    oracle=TREND_FIT_ORACLE,
+    description="per-series OLS trend: regr_slope/regr_intercept, NaN-on-zero-variance folded to NULL",
+)
 def q_series_trend_fit(spark, sf_dir):
     """Per-series least-squares trend: slope and intercept of value vs
     time-in-days per user (the drift-rate estimator the QC drift
@@ -489,6 +516,11 @@ GROUP BY event_type
 """
 
 
+@query(
+    "approx_percentile_bounds",
+    oracle=APPROX_PCTL_ORACLE,
+    description="sketch-accuracy contract: approx_percentile must land inside the exact [p49.5,p50.5] band",
+)
 def q_approx_percentile_bounds(spark, sf_dir):
     """The sketch-accuracy contract promoted from pytest to the driver
     hash: per group, approx_percentile(value, 0.5, accuracy=1000) —
@@ -544,6 +576,11 @@ FROM dots GROUP BY vec_id
 """
 
 
+@query(
+    "rp_lsh_autosig",
+    oracle=RP_AUTOSIG_ORACLE,
+    description="auto-sized RP-LSH signatures: the oracle re-derives the md5 hyperplanes AND the width in SQL",
+)
 def q_rp_lsh_autosig(spark, sf_dir):
     """The RP-LSH auto-sizing contract certified cross-engine: the band
     width is DERIVED from the corpus size (``auto_n_bits`` —
@@ -572,6 +609,11 @@ FROM orders WHERE o_orderkey % 10 < 8
 """
 
 
+@query(
+    "txtable_reader_isolation",
+    oracle=READER_ISOLATION_ORACLE,
+    description="snapshot isolation race: pinned v1 reader materializes WHILE a writer merges + compacts",
+)
 def q_txtable_reader_isolation(spark, sf_dir):
     """Snapshot isolation under a real race: a reader pins version v1,
     then MATERIALIZES it while a concurrent writer thread merges an
@@ -630,6 +672,11 @@ GROUP BY c.c_mktsegment
 """
 
 
+@query(
+    "bucketed_join_orders",
+    oracle=BUCKETED_JOIN_ORACLE,
+    description="bucketed co-located fact-dim join: 8 buckets, exchange-free sort-merge plan",
+)
 def q_bucketed_join_orders(spark, sf_dir):
     """The co-located join the 100 TB plan wants: both sides are written
     BUCKETED on the join key (8 buckets, sorted), so the fact-dim join
@@ -679,6 +726,11 @@ FROM events
 """
 
 
+@query(
+    "federated_union",
+    oracle=FEDERATED_UNION_ORACLE,
+    description="S1 multi-source federation: CSV + embedded-Derby JDBC + parquet three-way union",
+)
 def q_federated_union(spark, sf_dir):
     """The S1 multi-dialect story on ONE hash: the same logical table is
     split three ways and round-tripped through three different source
@@ -740,6 +792,11 @@ GROUP BY 1
 """
 
 
+@query(
+    "stream_ivm_agg",
+    oracle=STREAM_IVM_ORACLE,
+    description="foreachBatch advancing a TxTable-materialized (count,sum) view — touched-buckets-only merges",
+)
 def q_stream_ivm_agg(spark, sf_dir):
     """The production composition: a STREAM ingests micro-batches and a
     TxTable-materialized (count, sum) view is advanced incrementally per
@@ -817,6 +874,11 @@ from h2outility_spark.workload_next4 import (  # noqa: E402
 STREAM_CHUNK_ORACLE = CHUNK_SLIDING_ORACLE
 
 
+@query(
+    "stream_chunk_flow",
+    oracle=STREAM_CHUNK_ORACLE,
+    description="streaming twin of the sliding-window RAG chunker: stateless flatMap under AvailableNow",
+)
 def q_stream_chunk_flow(spark, sf_dir):
     """Streaming twin of ``chunk_sliding``: the RAG chunker applied to a
     document STREAM — two micro-batches drained through one checkpoint,
@@ -861,6 +923,11 @@ def q_stream_chunk_flow(spark, sf_dir):
 VACUUM_RETENTION_ORACLE = READER_ISOLATION_ORACLE
 
 
+@query(
+    "txtable_vacuum_retention",
+    oracle=VACUUM_RETENTION_ORACLE,
+    description="vacuum must refuse to reclaim files inside the retention window while a pinned reader holds v1",
+)
 def q_txtable_vacuum_retention(spark, sf_dir):
     """The GC-safety contract on a hash: a reader pins v1, a writer
     merges (making v1's files logically dead) and then VACUUMS — but
@@ -906,6 +973,11 @@ GROUP BY event_type
 """
 
 
+@query(
+    "approx_distinct_bounds",
+    oracle=APPROX_DISTINCT_ORACLE,
+    description="HLL++ accuracy certificate: approx_count_distinct inside the 5-sigma band of the exact count",
+)
 def q_approx_distinct_bounds(spark, sf_dir):
     """HyperLogLog++ accuracy under the driver hash (sibling of
     approx_percentile_bounds): per group, approx_count_distinct(user_id)
@@ -932,6 +1004,11 @@ def q_approx_distinct_bounds(spark, sf_dir):
 STREAM_MINMAX_ORACLE = TXTABLE_MINMAX_ORACLE
 
 
+@query(
+    "stream_minmax_ivm",
+    oracle=STREAM_MINMAX_ORACLE,
+    description="full production loop: stream → merge_upsert → CDF → bounded MIN/MAX IVM per micro-batch",
+)
 def q_stream_minmax_ivm(spark, sf_dir):
     """The complete incremental pipeline on one hash: a STREAM of upsert
     batches lands in a TxTable through ``foreachBatch`` + merge_upsert,
