@@ -334,7 +334,31 @@ def main() -> None:
         out["core11_missing"] = core11_missing
     if errors:
         out["errors"] = errors
+
+    # The driver keeps only a ~2 KB TAIL of stdout: the full record (with
+    # per-query samples and both scaling blocks) outgrew that in rounds 8-9
+    # and the official bench artifact recorded "parsed": null twice. So:
+    # persist the full record to a local file, print it (for humans and any
+    # head-capture), then print a final COMPACT line — headline numbers
+    # only, a few hundred bytes — which the tail capture always keeps
+    # intact and the driver can parse.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_full_local.json"), "w") as f:
+            json.dump(out, f, indent=1)
+    except OSError:
+        pass
     print(json.dumps(out))
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "core11_cold": core11,
+        "queries": timings,
+        "sf": out["sf"],
+        "n_errors": len(errors),
+        "full_record": "BENCH_full_local.json",
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

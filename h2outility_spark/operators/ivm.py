@@ -134,6 +134,7 @@ def maintain_grouped_minmax(
     k: int = 8,
     change_type_col: str = "_change_type",
     max_broadcast_keys: int = 100_000,
+    n_changed_keys: int | None = None,
 ) -> DataFrame:
     """Advance a :func:`minmax_state` view with CDF rows; ``base_after``
     is the post-change table, consulted ONLY for keys flagged for rescan
@@ -144,7 +145,10 @@ def maintain_grouped_minmax(
     size is bounded by the distinct keys in the change batch, so a cheap
     count over the (small, by IVM's premise) CDF decides. A pathological
     batch touching more than ``max_broadcast_keys`` keys falls back to
-    shuffle joins instead of broadcasting a table-sized key set.
+    shuffle joins instead of broadcasting a table-sized key set. Callers
+    that already know the batch size (per-micro-batch foreachBatch loops)
+    pass ``n_changed_keys`` (any upper bound on the batch's distinct keys)
+    to skip that count job entirely.
 
     Soundness rests on the horizon invariant (every non-kept value is
     beyond the stored horizon), preserved by three rules per side:
@@ -267,8 +271,13 @@ def maintain_grouped_minmax(
         | (F.size("kmax") == 0)
     ).select(*keys).unionByName(new_keys).distinct()
     # |rescan_keys| <= |distinct changed keys| (+ new keys, also changed),
-    # so one cheap count over the change batch bounds the broadcast size
-    n_changed_keys = changes.select(*keys).distinct().count()
+    # so one cheap count over the change batch bounds the broadcast size.
+    # A caller that already knows the batch size (a foreachBatch loop that
+    # just built the micro-batch, a CDF reader that counted its files)
+    # passes n_changed_keys — any upper bound on the distinct changed keys
+    # — and skips the extra Spark job per maintenance call.
+    if n_changed_keys is None:
+        n_changed_keys = changes.select(*keys).distinct().count()
     rescan_hinted = (
         F.broadcast(rescan_keys) if n_changed_keys <= max_broadcast_keys else rescan_keys
     )

@@ -690,16 +690,34 @@ def q_bucketed_join_orders(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", cents.alias("cents"))
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
 
+    # Per-invocation table names (derived from the scratch dir's unique
+    # suffix): fixed session-global names raced under interleaved
+    # invocations — the sf0.001 parity run, the sf0.01 driver run, and the
+    # plan-audit all call this fn in one session, and the returned frame
+    # resolves its table names LAZILY (ADVICE r9). Unique names make each
+    # invocation self-contained; a best-effort atexit DROP tidies the
+    # session catalog without breaking the late driver collect.
+    import atexit
+
     base = scratch_dir("h2ou_bkt_")
-    spark.sql("DROP TABLE IF EXISTS bkt_orders")
-    spark.sql("DROP TABLE IF EXISTS bkt_customer")
+    tag = os.path.basename(base).replace("h2ou_bkt_", "").replace("-", "_")
+    t_orders, t_cust = f"bkt_orders_{tag}", f"bkt_customer_{tag}"
+
+    def _drop(names=(t_orders, t_cust), session=spark):
+        for n in names:
+            try:
+                session.sql(f"DROP TABLE IF EXISTS {n}")
+            except Exception:  # noqa: BLE001 — session may already be stopped
+                pass
+
+    atexit.register(_drop)
     (
         orders.write.format("parquet")
         .bucketBy(8, "o_custkey")
         .sortBy("o_custkey")
         .option("path", base + "/orders")
         .mode("overwrite")
-        .saveAsTable("bkt_orders")
+        .saveAsTable(t_orders)
     )
     (
         cust.write.format("parquet")
@@ -707,10 +725,10 @@ def q_bucketed_join_orders(spark, sf_dir):
         .sortBy("c_custkey")
         .option("path", base + "/customer")
         .mode("overwrite")
-        .saveAsTable("bkt_customer")
+        .saveAsTable(t_cust)
     )
-    j = spark.table("bkt_orders").join(
-        spark.table("bkt_customer"), F.col("o_custkey") == F.col("c_custkey")
+    j = spark.table(t_orders).join(
+        spark.table(t_cust), F.col("o_custkey") == F.col("c_custkey")
     )
     return j.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_orders"),
@@ -1050,8 +1068,18 @@ def q_stream_minmax_ivm(spark, sf_dir):
             v_prev = ctl["version"]
             v = t.merge_upsert(batch_df)
             old_state = spark.read.parquet(ctl["state_path"])
+            # The caller KNOWS the key domain (cust_bucket in [0, 50)), so the
+            # broadcast guard's per-batch distinct-count job is skipped via the
+            # n_changed_keys hint — in a per-micro-batch loop that extra Spark
+            # job would otherwise run on every commit (ADVICE r9 / VERDICT r9 #2).
             state = ivm.maintain_grouped_minmax(
-                old_state, t.changes(v_prev, v), t.snapshot(v), ["cust_bucket"], "cents", k=2
+                old_state,
+                t.changes(v_prev, v),
+                t.snapshot(v),
+                ["cust_bucket"],
+                "cents",
+                k=2,
+                n_changed_keys=50,
             )
         path = os.path.join(state_dir, f"state_v{v}")
         state.write.mode("overwrite").parquet(path)

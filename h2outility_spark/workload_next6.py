@@ -116,7 +116,7 @@ ENSEMBLE_AGREE_ORACLE = (
     e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
     SELECT jp.id_a, jp.id_b, jp.jaccard,
            floor(({_COS_SQL}) * 10000.0 + 0.5) / 10000.0 AS cos_sim,
-           {_COS_SQL} >= 0.25 AS emb_confirms
+           floor(({_COS_SQL}) * 10000.0 + 0.5) / 10000.0 >= 0.25 AS emb_confirms
     FROM jp
     JOIN e ea ON ea.vec_id = jp.id_a
     JOIN e eb ON eb.vec_id = jp.id_b
@@ -156,7 +156,11 @@ def q_neardup_ensemble_agree(spark, sf_dir):
             "id_b",
             fround(F.col("jaccard"), 4).alias("jaccard"),
             fround(cos, 4).alias("cos_sim"),
-            (cos >= F.lit(0.25)).alias("emb_confirms"),
+            # flag off the ROUNDED cosine: Spark and DuckDB sum the dot
+            # product in different orders, so a raw cosine landing on the
+            # threshold boundary could flip the boolean on one engine only
+            # (ADVICE r9) — the 4-dp round collapses that ULP gap
+            (fround(cos, 4) >= F.lit(0.25)).alias("emb_confirms"),
         )
     )
 
