@@ -273,6 +273,30 @@ def hash_sample(docs, percent: int, id_col: str = "doc_id"):
     return docs.filter(bucket < (65536 * percent) // 100)
 
 
+def hash_split(docs, train: int = 8, val: int = 1, test: int = 1, id_col: str = "doc_id"):
+    """Deterministic train/val/test assignment — ``hash_sample``'s sibling
+    for the other standard training-data split shape. The id is md5-hashed
+    into ``train+val+test`` equal-probability cells (default 8/1/1) and
+    each doc gets a ``split`` label; no RNG state, so the assignment is
+    stable across runs, engines and repartitionings, and a doc can never
+    migrate between splits when the corpus grows (the property that
+    prevents silent train/test contamination across dataset versions).
+    Narrow map, zero shuffles.
+    """
+    from pyspark.sql import functions as F
+
+    n_cells = train + val + test
+    cell = F.expr(
+        f"CAST(conv(substr(md5(CAST({id_col} AS STRING)), 1, 4), 16, 10) AS BIGINT) % {n_cells}"
+    )
+    split = (
+        F.when(cell < train, F.lit("train"))
+        .when(cell < train + val, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.withColumn("split", split)
+
+
 def pack_sequences(docs, budget_tokens: int, id_col: str = "doc_id", text_col: str = "text"):
     """Training-sequence packing plan: assign docs (in deterministic id
     order) to context-window bins of ``budget_tokens`` via the exclusive

@@ -24,6 +24,23 @@ Coverage targets:
   * ``quality_drift_weekly`` — the monitoring shape: per-series weekly
     median plus its week-over-week delta (lag window), the drift alarm a
     production corpus pipeline watches per source.
+  * ``txtable_zorder_race`` — snapshot isolation through a PHYSICAL
+    rewrite: a pinned reader materializes v2 while a writer merges and
+    then OPTIMIZE-ZORDERs (Morton rewrite of the reader's own files).
+  * ``stream_mixture_plan`` — streaming twin of the certified
+    ``mixture_plan_tokens``: per-source totals maintained by a streaming
+    aggregation whose state survives a restart (two drains, one
+    checkpoint), feeding the same epoch/cap arithmetic.
+  * ``secondary_sort_export`` — repartition + sortWithinPartitions +
+    Arrow-batched mapInPandas folding each key's rows into an
+    order-SENSITIVE rolling fingerprint across batch boundaries; the
+    hash certifies the ordered-export contract end-to-end.
+  * ``rag_prep_pipeline`` — the chunker FEEDING the packer in one
+    lineage (sliding 64/48 chunks → 512-token context bins by exclusive
+    prefix sum): the composition contract on one hash.
+  * ``stratified_split`` — deterministic 8/1/1 train/val/test via
+    md5-cell arithmetic (``text.hash_split``), recomputed in SQL by the
+    oracle; docs can never migrate between splits as the corpus grows.
 """
 
 from __future__ import annotations
@@ -204,9 +221,335 @@ def q_quality_drift_weekly(spark, sf_dir):
     )
 
 
+# -- OPTIMIZE ZORDER under a live pinned reader ------------------------------------
+
+#: same base slice as the reader-isolation race: the pinned snapshot must
+#: be byte-identical to the pre-race table no matter what the writer does
+ZORDER_RACE_ORACLE = """
+SELECT o_orderkey, o_custkey % 50 AS cust_bucket,
+       CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+FROM orders WHERE o_orderkey % 10 < 8
+"""
+
+
+def q_txtable_zorder_race(spark, sf_dir):
+    """The maintenance race the certified pair set still lacked: a reader
+    pins a snapshot and materializes it WHILE a writer thread merges new
+    rows and then runs OPTIMIZE ZORDER (``compact_files(zorder=True)`` —
+    a multi-axis Morton REWRITE of the reader's own data files). Snapshot
+    isolation must hold through a physical rewrite, not just through
+    appends: the manifest pins FILES, compaction only ever adds new files
+    and publishes a new version, and vacuum (not run here) is the only
+    thing that may reclaim the old ones. The pinned frame rides the hash;
+    the oracle restates the pre-race table."""
+    import threading
+
+    from h2outility_spark.storage_tx import TxTable
+
+    cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("bigint")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 50).alias("cust_bucket"),
+        cents.alias("cents"),
+    )
+    base = orders.filter(F.col("o_orderkey") % 10 < 8)
+    upd = orders.filter(F.col("o_orderkey") % 4 == 0).withColumn(
+        "cents", F.col("cents") + F.lit(500)
+    )
+
+    t = TxTable(
+        spark, scratch_dir("h2ou_zrace_") + "/t", key_cols=["cust_bucket", "o_orderkey"]
+    )
+    # two appends -> at least two data files, so the z-order compaction
+    # genuinely rewrites multi-file state under the pinned reader
+    t.append(base.filter(F.col("o_orderkey") % 2 == 0))
+    v2 = t.append(base.filter(F.col("o_orderkey") % 2 == 1))
+    pinned = t.snapshot(v2).cache()
+
+    errs: list[Exception] = []
+
+    def writer() -> None:
+        try:
+            t.merge_upsert(upd)
+            t.compact_files(target_rows=10_000_000, small_rows=10_000_000, zorder=True)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    th = threading.Thread(target=writer)
+    th.start()
+    n_pinned = pinned.count()  # materialize DURING the rewrite
+    th.join()
+    assert not errs, errs
+    assert n_pinned > 0
+    return pinned.select("o_orderkey", "cust_bucket", "cents")
+
+
+# -- streaming twin of the mixture token planner -----------------------------------
+
+from h2outility_spark.operators.text import token_count  # noqa: E402
+from h2outility_spark.workload import sql_round  # noqa: E402
+from h2outility_spark.workload_lakehouse import scratch_dir  # noqa: E402
+from h2outility_spark.workload_text import _N_TOKENS_SQL  # noqa: E402
+
+STREAM_MIXTURE_ORACLE = f"""
+WITH tok AS (
+  SELECT source, {_N_TOKENS_SQL} AS n_tokens
+  FROM documents
+),
+per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+  FROM tok GROUP BY source
+),
+planned AS (
+  SELECT source, n_docs, total_tokens,
+         (200000.0 / count(*) OVER ())
+           / (CASE WHEN total_tokens > 0 THEN CAST(total_tokens AS DOUBLE) END) AS epochs
+  FROM per_src
+)
+SELECT source, n_docs, total_tokens,
+       {sql_round("epochs", 6)} AS epochs,
+       {sql_round("least(epochs, 4.0)", 6)} AS capped_epochs,
+       {sql_round("least(epochs, 4.0) * CAST(total_tokens AS DOUBLE)", 2)} AS planned_tokens,
+       CAST(epochs < 1.0 AS BOOLEAN) AS downsampled
+FROM planned
+"""
+
+
+def q_stream_mixture_plan(spark, sf_dir):
+    """Streaming twin of the certified ``mixture_plan_tokens``: the
+    per-source (doc count, token sum) totals are maintained by a
+    STREAMING aggregation whose state survives a stream restart — two
+    ingest batches drained through the same checkpoint, complete-mode
+    output materialized per batch via ``foreachBatch``, last batch's
+    totals feeding the same epoch/cap arithmetic as the batch planner.
+    State is O(sources), never O(docs); at 100 TB this is the live
+    mixture dashboard that re-plans as each ingest lands. Both drains
+    share one checkpoint, so batch 1's totals must come out of the
+    RESTORED state store, not a re-read of its files."""
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    b1 = docs.filter(F.col("doc_id") % 5 != 0)
+    b2 = docs.filter(F.col("doc_id") % 5 == 0)
+
+    src = scratch_dir("h2ou_smix_src_")
+    ckpt = scratch_dir("h2ou_smix_ckpt_") + "/ckpt"
+    state_path = scratch_dir("h2ou_smix_state_") + "/totals"
+
+    agg = (
+        spark.readStream.schema(docs.schema)
+        .format("parquet")
+        .load(src)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count(F.col("text")).cast("bigint")).alias("total_tokens"),
+        )
+    )
+
+    def handle(batch_df, batch_id) -> None:
+        # complete mode: every trigger emits the FULL current totals
+        batch_df.write.mode("overwrite").parquet(state_path)
+
+    def drain() -> None:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .foreachBatch(handle)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+
+    b1.coalesce(1).write.mode("append").parquet(src)
+    drain()
+    b2.coalesce(1).write.mode("append").parquet(src)
+    drain()
+
+    per_src = spark.read.parquet(state_path)
+    nsrc = F.count(F.lit(1)).over(W.partitionBy())
+    safe_tokens = F.when(F.col("total_tokens") > 0, F.col("total_tokens").cast("double"))
+    planned = per_src.withColumn("epochs_raw", (F.lit(200000.0) / nsrc) / safe_tokens)
+    return planned.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        fround(F.col("epochs_raw"), 6).alias("epochs"),
+        fround(F.least(F.col("epochs_raw"), F.lit(4.0)), 6).alias("capped_epochs"),
+        fround(
+            F.least(F.col("epochs_raw"), F.lit(4.0)) * F.col("total_tokens").cast("double"), 2
+        ).alias("planned_tokens"),
+        (F.col("epochs_raw") < 1.0).alias("downsampled"),
+    )
+
+
+# -- secondary-sort export: repartition + sortWithinPartitions + mapInPandas -------
+
+SECONDARY_SORT_ORACLE = """
+WITH e AS (
+  SELECT event_type, event_id, ts,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       md5(string_agg(CAST(event_id AS VARCHAR) || ':' || CAST(cents AS VARCHAR),
+                      '|' ORDER BY ts, event_id)) AS fingerprint
+FROM e GROUP BY event_type
+"""
+
+
+def q_secondary_sort_export(spark, sf_dir):
+    """The classic secondary-sort consumer (NOTES r9 §6): all rows of a
+    key delivered to ONE consumer IN event-time order, without a driver
+    collect — ``repartition(key)`` co-locates each key,
+    ``sortWithinPartitions(key, ts, id)`` orders it, and an Arrow-batched
+    ``mapInPandas`` streams the partition, folding each key's rows into
+    an incremental md5 ACROSS batch boundaries (a key's run can span
+    Arrow batches; holding the concatenation in memory would be O(key),
+    the rolling digest is O(1)). The per-key fingerprint is
+    order-SENSITIVE, so the hash certifies that the sort actually held
+    end-to-end — the contract every ordered export (S5's per-chunk CSV
+    bodies, reference ``DatasetUtilities.py:247-288``) relies on. ONE
+    shuffle; state is one digest per open key."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    parted = ev.repartition("event_type").sortWithinPartitions(
+        "event_type", "ts", "event_id"
+    )
+
+    def fold(batches):
+        import hashlib
+
+        import pandas as pd
+
+        state: dict = {}  # event_type -> [md5, n_rows, started]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            parts = pdf["event_id"].astype(str) + ":" + pdf["cents"].astype(str)
+            for key, grp in parts.groupby(pdf["event_type"], sort=False):
+                chunk = "|".join(grp)
+                st = state.get(key)
+                if st is None:
+                    st = [hashlib.md5(), 0]
+                    state[key] = st
+                    st[0].update(chunk.encode())
+                else:
+                    st[0].update(("|" + chunk).encode())
+                st[1] += len(grp)
+        if state:
+            yield pd.DataFrame(
+                {
+                    "event_type": list(state),
+                    "n_events": [v[1] for v in state.values()],
+                    "fingerprint": [v[0].hexdigest() for v in state.values()],
+                }
+            )
+
+    return parted.mapInPandas(
+        fold, "event_type string, n_events bigint, fingerprint string"
+    )
+
+
+# -- the RAG-prep pipeline: chunker feeding the packer on one hash ------------------
+
+from h2outility_spark.workload_next4 import CHUNK_SLIDING_ORACLE  # noqa: E402
+
+_RAG_BIN_TOKENS = 512
+
+RAG_PREP_ORACLE = f"""
+WITH chunks AS ({CHUNK_SLIDING_ORACLE}),
+pre AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id, chunk_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prefix
+  FROM chunks
+)
+SELECT CAST(prefix // {_RAG_BIN_TOKENS} AS BIGINT) AS bin_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM pre GROUP BY 1
+"""
+
+
+def q_rag_prep_pipeline(spark, sf_dir):
+    """The actual RAG-prep pipeline on one hash: the certified sliding
+    chunker (64-token windows every 48) FEEDS the certified packing rule
+    (exclusive prefix sum into 512-token context bins) in a single
+    lineage — Catalyst fuses the zero-shuffle chunker into the window
+    stage, so composing the two operators adds no pass over the corpus.
+    A drift in either operator OR in the composition contract (bin
+    charging by first token, chunk order (doc_id, chunk_idx)) flips the
+    hash. The same shard-first caveat as ``pack_sequences`` applies at
+    100 TB: the global-order window runs per hash-shard."""
+    from pyspark.sql import Window as W
+
+    from h2outility_spark.operators import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = T.chunk_sliding(docs, size=64, stride=48)
+    w = W.orderBy("doc_id", "chunk_idx").rowsBetween(W.unboundedPreceding, -1)
+    pre = chunks.withColumn("prefix", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return (
+        pre.withColumn("bin_id", F.expr(f"prefix div {_RAG_BIN_TOKENS}"))
+        .groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+
+
+# -- deterministic stratified train/val/test split ----------------------------------
+
+STRATIFIED_SPLIT_ORACLE = f"""
+WITH b AS (
+  SELECT source,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 10 AS cell,
+         {_N_TOKENS_SQL} AS n_tokens
+  FROM documents
+)
+SELECT source,
+       CASE WHEN cell < 8 THEN 'train' WHEN cell < 9 THEN 'val' ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM b GROUP BY 1, 2
+"""
+
+
+def q_stratified_split(spark, sf_dir):
+    """Deterministic 8/1/1 train/val/test assignment per source
+    (``text.hash_split``): md5(id) mod 10 cells, no RNG state, so a doc
+    can NEVER migrate between splits as the corpus grows — the property
+    that prevents silent train/test contamination across dataset
+    versions. The oracle recomputes the md5 cell arithmetic in SQL, so
+    the cell derivation itself is certified cross-engine (the
+    hash_sample pattern). Narrow map + one rollup shuffle."""
+    from h2outility_spark.operators.text import hash_split
+
+    docs = hash_split(_t(spark, sf_dir, "documents"), train=8, val=1, test=1)
+    return docs.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text")).cast("bigint")).alias("total_tokens"),
+    )
+
+
 #: name -> (fn, oracle) for a future promotion pass and the parity test.
 STAGED6 = {
     "dedup_incremental_lsh": (q_dedup_incremental_lsh, DEDUP_INCR_LSH_ORACLE),
     "neardup_ensemble_agree": (q_neardup_ensemble_agree, ENSEMBLE_AGREE_ORACLE),
     "quality_drift_weekly": (q_quality_drift_weekly, QUALITY_DRIFT_ORACLE),
+    "txtable_zorder_race": (q_txtable_zorder_race, ZORDER_RACE_ORACLE),
+    "stream_mixture_plan": (q_stream_mixture_plan, STREAM_MIXTURE_ORACLE),
+    "secondary_sort_export": (q_secondary_sort_export, SECONDARY_SORT_ORACLE),
+    "rag_prep_pipeline": (q_rag_prep_pipeline, RAG_PREP_ORACLE),
+    "stratified_split": (q_stratified_split, STRATIFIED_SPLIT_ORACLE),
 }
