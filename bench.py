@@ -212,7 +212,7 @@ def main() -> None:
     # exponent — is acknowledged), never quadratic (e ~= 2).
     SCALING = [
         "neardup_embedding_lsh", "neardup_minhash_pairs", "tpch_q21_waiting_supplier",
-        "dedup_exact_docs", "asof_join", "wide_export",
+        "dedup_exact_docs", "asof_join", "asof_join_nearest", "wide_export",
         "series_ohlc", "chunk_sliding",
     ]
     small_dir = sf_dir.replace("sf0.1", "sf0.01")
@@ -270,11 +270,17 @@ def main() -> None:
     # driver rows): the one-hash-aggregate downsample and the zero-shuffle
     # narrow text map — the two cheapest shapes in the engine, measured so
     # the near-linearity claim covers them instead of assuming it.
+    # asof_join_nearest joined in round 10 (VERDICT r9 directive 5): the
+    # bidirectional carry is a strictly richer window than asof_join's
+    # backward-only one (two directional passes + |dt| arbitration on the
+    # SAME single exchange), so its exponent certifies that the extra
+    # arbitration stays in the shuffle rather than adding a pass.
     SCALING100 = [
         "neardup_minhash_pairs",
         "tpch_q21_waiting_supplier",
         "dedup_exact_docs",
         "asof_join",
+        "asof_join_nearest",
         "wide_export",
         "series_ohlc",
         "chunk_sliding",

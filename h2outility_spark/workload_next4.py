@@ -242,6 +242,7 @@ FROM l LEFT JOIN LATERAL (
     "asof_join_nearest",
     oracle=ASOF_NEAREST_ORACLE,
     description="nearest-direction as-of join (min |dt| either way, backward tie-break, tolerance + tiebreak), one shuffle",
+    bench=True,  # round 10: joined the headline set + both scaling blocks
 )
 def q_asof_join_nearest(spark, sf_dir):
     """Nearest click around each purchase (±2 h): the NEW
