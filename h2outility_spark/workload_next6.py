@@ -41,6 +41,11 @@ Coverage targets:
   * ``stratified_split`` — deterministic 8/1/1 train/val/test via
     md5-cell arithmetic (``text.hash_split``), recomputed in SQL by the
     oracle; docs can never migrate between splits as the corpus grows.
+  * ``embedding_quantize_error`` — symmetric per-vector int8
+    quantization with its accuracy certificate (every dimension's
+    reconstruction error within half a quantization step) on the hash.
+  * ``vocab_oov_rate`` — per-doc out-of-vocabulary rate against the
+    corpus's top-1000 token vocabulary (broadcast membership join).
 """
 
 from __future__ import annotations
@@ -542,6 +547,122 @@ def q_stratified_split(spark, sf_dir):
     )
 
 
+# -- int8 embedding quantization certificate ----------------------------------------
+
+EMB_QUANTIZE_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+m AS (
+  SELECT e.vec_id, max(abs(u.x)) AS maxabs, CAST(count(*) AS BIGINT) AS n_dims
+  FROM e, unnest(e.v) u(x) GROUP BY e.vec_id
+),
+err AS (
+  SELECT e.vec_id,
+         max(abs(u.x - floor(u.x / (m.maxabs / 127.0) + 0.5) * (m.maxabs / 127.0))) AS max_err
+  FROM e JOIN m ON m.vec_id = e.vec_id, unnest(e.v) u(x)
+  WHERE m.maxabs > 0
+  GROUP BY e.vec_id
+)
+SELECT m.vec_id, m.n_dims,
+       floor((m.maxabs / 127.0) * 1000000.0 + 0.5) / 1000000.0 AS scale,
+       coalesce(err.max_err <= (m.maxabs / 127.0) * 0.5 + 1e-9, TRUE) AS quantizes_ok
+FROM m LEFT JOIN err ON err.vec_id = m.vec_id
+"""
+
+
+def q_embedding_quantize_error(spark, sf_dir):
+    """Symmetric per-vector int8 quantization with its accuracy
+    certificate on the hash — the 4x embedding-storage compression every
+    100 TB vector corpus runs before ANN indexing: scale = max|x|/127,
+    code = floor(x/scale + 0.5), and the reconstruction error of every
+    dimension must stay within half a quantization step. Both engines
+    evaluate the identical elementwise IEEE expression shapes, so values
+    (not just booleans) agree bit-for-bit; a zero vector has no scale and
+    passes vacuously (NULL-folded, mirrored by the oracle's LEFT JOIN).
+    Narrow map over the vectors, zero shuffles."""
+    from h2outility_spark.operators.similarity import as_double
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    maxabs = F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
+    e = e.withColumn("__s", F.when(maxabs > 0, maxabs / F.lit(127.0)))
+    s = F.col("__s")
+    err = F.array_max(
+        F.transform(F.col("v"), lambda x: F.abs(x - F.floor(x / s + F.lit(0.5)) * s))
+    )
+    return e.select(
+        "vec_id",
+        F.size("v").cast("bigint").alias("n_dims"),
+        fround(s, 6).alias("scale"),
+        F.coalesce(err <= s * F.lit(0.5) + F.lit(1e-9), F.lit(True)).alias("quantizes_ok"),
+    )
+
+
+# -- tokenizer vocabulary coverage (OOV rate) ----------------------------------------
+
+from h2outility_spark.workload_text import toks_cte  # noqa: E402
+
+_VOCAB_K = 1000
+
+VOCAB_OOV_ORACLE = (
+    "WITH "
+    + toks_cte()
+    + f""",
+freq AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+vocab AS (
+  SELECT w FROM (SELECT w, row_number() OVER (ORDER BY c DESC, w) AS rk FROM freq)
+  WHERE rk <= {_VOCAB_K}
+),
+per AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+  FROM toks t LEFT JOIN vocab v ON t.w = v.w
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens, n_oov,
+       {sql_round("CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE)", 6)} AS oov_rate
+FROM per
+"""
+)
+
+
+def q_vocab_oov_rate(spark, sf_dir):
+    """Tokenizer-vocabulary coverage per document: the corpus's top-1000
+    tokens (count desc, token tie-break — ``vocab_topk``'s rule) become
+    the vocabulary, and every doc reports its out-of-vocabulary token
+    count and rate — the coverage diagnostic run before freezing a
+    tokenizer on a new corpus. The vocab is top-k-bounded so it
+    BROADCASTS to the membership join (never a shuffle of the token
+    table against itself); the frequency pass is one combiner-friendly
+    groupBy. At 100 TB: one agg + one broadcast join + one rollup."""
+    from pyspark.sql import Window as W
+
+    from h2outility_spark.operators.text import shingles_expr
+
+    docs = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    toks = docs.select("doc_id", F.explode(shingles_expr("text", 1)).alias("w"))
+    freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    rk = F.row_number().over(W.partitionBy().orderBy(F.desc("c"), "w"))
+    vocab = (
+        freq.withColumn("rk", rk)
+        .filter(F.col("rk") <= _VOCAB_K)
+        .select("w", F.lit(1).alias("__inv"))
+    )
+    per = toks.join(F.broadcast(vocab), "w", "left").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("__inv").isNull(), 1).otherwise(0)).cast("bigint").alias("n_oov"),
+    )
+    return per.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        fround(F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"), 6).alias(
+            "oov_rate"
+        ),
+    )
+
+
 #: name -> (fn, oracle) for a future promotion pass and the parity test.
 STAGED6 = {
     "dedup_incremental_lsh": (q_dedup_incremental_lsh, DEDUP_INCR_LSH_ORACLE),
@@ -552,4 +673,6 @@ STAGED6 = {
     "secondary_sort_export": (q_secondary_sort_export, SECONDARY_SORT_ORACLE),
     "rag_prep_pipeline": (q_rag_prep_pipeline, RAG_PREP_ORACLE),
     "stratified_split": (q_stratified_split, STRATIFIED_SPLIT_ORACLE),
+    "embedding_quantize_error": (q_embedding_quantize_error, EMB_QUANTIZE_ORACLE),
+    "vocab_oov_rate": (q_vocab_oov_rate, VOCAB_OOV_ORACLE),
 }
