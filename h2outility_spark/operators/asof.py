@@ -250,6 +250,78 @@ def asof_join_nearest(
     )
 
 
+def asof_join_interp(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    value_col: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """For each left row: the right-side ``value_col`` LINEARLY
+    INTERPOLATED at the left timestamp between the bracketing right rows
+    (newest at-or-before, oldest strictly-after) — the time-series
+    alignment kdb's ``aj`` + interpolation and pandas ``merge_asof`` +
+    ``interpolate`` perform, and the join-flavored sibling of the
+    certified per-series ``qc.interpolate``. Where only one bracket
+    exists the carry degrades to that side's value (constant
+    extrapolation), labeled by ``method`` ('interp'/'backward'/
+    'forward'); no bracket at all yields NULL.
+
+    Same single union-sort-carry pass as :func:`asof_join_nearest`: both
+    directional carries ride ONE exchange on the keys. Equal-timestamp
+    right rows are visible only to the backward carry, so the interp
+    factor is exactly 0 there and the result equals the backward value —
+    a distance-0 match never divides by zero (``ts_after`` is strictly
+    later than ``ts_before`` whenever both exist). The interpolation
+    arithmetic is integer-microsecond deltas cast to double, one
+    multiply, one add — identical IEEE expression shapes in any engine
+    that mirrors it, so results are oracle-exact bit-for-bit.
+    ``tiebreak``: largest wins among duplicate (keys, ts) right rows,
+    exactly like the directional variants.
+    """
+    both, payload_cols = _union_tagged(
+        left, right, keys, left_ts, right_ts, [value_col], tiebreak, left_side=1, right_side=0
+    )
+    tb_b = [F.col("__tb").asc_nulls_first()] if tiebreak is not None else []
+    tb_f = [F.col("__tb").desc_nulls_last()] if tiebreak is not None else []
+    wb = W.partitionBy(*keys).orderBy("__ts", "__side", *tb_b).rowsBetween(W.unboundedPreceding, 0)
+    wf = W.partitionBy(*keys).orderBy("__ts", "__side", *tb_f).rowsBetween(0, W.unboundedFollowing)
+    carry = _right_row_struct(0, payload_cols)
+    carried = both.select(
+        "*",
+        F.last(carry, ignorenulls=True).over(wb).alias("__cb"),
+        F.first(carry, ignorenulls=True).over(wf).alias("__cf"),
+    )
+    out = carried.filter(F.col("__side") == 1)
+    tb_ = F.col("__cb.__rts")
+    tf_ = F.col("__cf.__rts")
+    vb = F.col(f"__cb.__p_{value_col}")
+    vf = F.col(f"__cf.__p_{value_col}")
+    lus = F.unix_micros(F.col(left_ts))
+    frac = (lus - F.unix_micros(tb_)).cast("double") / (
+        F.unix_micros(tf_) - F.unix_micros(tb_)
+    ).cast("double")
+    interp = (
+        F.when(tb_.isNotNull() & tf_.isNotNull(), vb + (vf - vb) * frac)
+        .when(tb_.isNotNull(), vb)
+        .otherwise(vf)
+    )
+    method = (
+        F.when(tb_.isNotNull() & tf_.isNotNull(), F.lit("interp"))
+        .when(tb_.isNotNull(), F.lit("backward"))
+        .when(tf_.isNotNull(), F.lit("forward"))
+    )
+    return out.select(
+        *left.columns,
+        tb_.alias("ts_before"),
+        tf_.alias("ts_after"),
+        method.alias("method"),
+        interp.alias(f"{value_col}_interp"),
+    )
+
+
 def range_join_count(
     left: DataFrame,
     right: DataFrame,

@@ -46,6 +46,15 @@ Coverage targets:
     reconstruction error within half a quantization step) on the hash.
   * ``vocab_oov_rate`` — per-doc out-of-vocabulary rate against the
     corpus's top-1000 token vocabulary (broadcast membership join).
+  * ``heavy_hitters_cms`` — NEW operator module ``operators/sketch.py``:
+    a Count-Min grid built by one explode + one combiner-friendly hash
+    aggregate; top-10 exact counts next to their CMS estimates plus the
+    over-estimate guarantee; the oracle rebuilds the identical
+    md5-derived grid in SQL.
+  * ``asof_interp_join`` — NEW operator ``asof.asof_join_interp``:
+    linear interpolation of the right value at the left timestamp
+    between bracketing rows (constant extrapolation at the edges),
+    completing the as-of family backward/forward/nearest/interp.
 """
 
 from __future__ import annotations
@@ -663,6 +672,137 @@ def q_vocab_oov_rate(spark, sf_dir):
     )
 
 
+# -- Count-Min heavy hitters with the over-estimate certificate ---------------------
+
+_CMS_D, _CMS_W = 3, 256
+
+HEAVY_HITTERS_ORACLE = f"""
+WITH cells AS (
+  SELECT j,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 8))::BIGINT
+           % {_CMS_W} AS bucket,
+         count(*) AS c
+  FROM events, range(0, {_CMS_D}) t(j)
+  GROUP BY 1, 2
+),
+exact AS (SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n FROM events GROUP BY 1),
+topk AS (
+  SELECT user_id, exact_n
+  FROM (SELECT *, row_number() OVER (ORDER BY exact_n DESC, user_id) AS rk FROM exact)
+  WHERE rk <= 10
+),
+probes AS (
+  SELECT t.user_id, t.exact_n, r.j,
+         ('0x' || substr(md5(CAST(t.user_id AS VARCHAR) || ':' || CAST(r.j AS VARCHAR)), 1, 8))::BIGINT
+           % {_CMS_W} AS bucket
+  FROM topk t, range(0, {_CMS_D}) r(j)
+),
+est AS (
+  SELECT p.user_id, min(coalesce(c.c, 0)) AS est_n
+  FROM probes p LEFT JOIN cells c ON c.j = p.j AND c.bucket = p.bucket
+  GROUP BY 1
+)
+SELECT t.user_id, t.exact_n, CAST(e.est_n AS BIGINT) AS est_n,
+       e.est_n >= t.exact_n AS over_ok
+FROM topk t JOIN est e ON e.user_id = t.user_id
+"""
+
+
+def q_heavy_hitters_cms(spark, sf_dir):
+    """Count-Min heavy hitters (``operators/sketch.py``): the d×w grid is
+    ONE explode + ONE combiner-friendly hash aggregate whose output is
+    bounded (d·w cells) however large the stream, and grids merge
+    cell-wise — the 100 TB frequent-items shape. The top-10 exact counts
+    ride the hash next to their CMS estimates plus the sketch's defining
+    over-estimate guarantee (est ≥ exact, violated by nothing but a
+    broken hash/grid). The oracle rebuilds the exact same md5-derived
+    grid in SQL, so the estimates must agree to the COUNT, not just the
+    boolean."""
+    from pyspark.sql import Window as W
+
+    from h2outility_spark.operators import sketch
+
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    cms = sketch.count_min_table(ev, "user_id", depth=_CMS_D, width=_CMS_W)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    topk = (
+        exact.withColumn(
+            "rk", F.row_number().over(W.partitionBy().orderBy(F.desc("exact_n"), "user_id"))
+        )
+        .filter(F.col("rk") <= 10)
+        .drop("rk")
+    )
+    est = sketch.count_min_estimate(
+        cms, topk.select("user_id"), "user_id", depth=_CMS_D, width=_CMS_W
+    )
+    return topk.join(est, "user_id").select(
+        "user_id",
+        "exact_n",
+        F.col("est_n").cast("bigint").alias("est_n"),
+        (F.col("est_n") >= F.col("exact_n")).alias("over_ok"),
+    )
+
+
+# -- interpolating as-of join --------------------------------------------------------
+
+ASOF_INTERP_ORACLE = """
+WITH l AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+     r AS (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'click')
+SELECT l.user_id, l.event_id, l.ts,
+       b.ts AS ts_before, f.ts AS ts_after,
+       CASE WHEN b.ts IS NOT NULL AND f.ts IS NOT NULL THEN 'interp'
+            WHEN b.ts IS NOT NULL THEN 'backward'
+            WHEN f.ts IS NOT NULL THEN 'forward' END AS method,
+       floor((CASE
+         WHEN b.ts IS NOT NULL AND f.ts IS NOT NULL THEN
+           b.v + (f.v - b.v) * (CAST(epoch_us(l.ts) - epoch_us(b.ts) AS DOUBLE)
+                                / CAST(epoch_us(f.ts) - epoch_us(b.ts) AS DOUBLE))
+         WHEN b.ts IS NOT NULL THEN b.v
+         ELSE f.v END) * 10000.0 + 0.5) / 10000.0 AS value_interp
+FROM l
+LEFT JOIN LATERAL (
+  SELECT r.ts, r.value AS v FROM r
+  WHERE r.user_id = l.user_id AND r.ts <= l.ts
+  ORDER BY r.ts DESC, r.event_id DESC LIMIT 1
+) b ON TRUE
+LEFT JOIN LATERAL (
+  SELECT r.ts, r.value AS v FROM r
+  WHERE r.user_id = l.user_id AND r.ts > l.ts
+  ORDER BY r.ts ASC, r.event_id DESC LIMIT 1
+) f ON TRUE
+"""
+
+
+def q_asof_interp_join(spark, sf_dir):
+    """The interpolating as-of join (``asof.asof_join_interp``): each
+    purchase gets the click value LINEARLY INTERPOLATED at its timestamp
+    between the bracketing clicks (constant extrapolation at the edges,
+    labeled by ``method``) — completing the as-of family
+    backward/forward/nearest/interp. Both bracket carries ride ONE
+    shuffle on user_id; the oracle is a two-LATERAL bracket lookup with
+    the identical integer-microsecond interpolation arithmetic, so the
+    interpolated DOUBLES (4-dp) match bit-for-bit, not just the shape."""
+    from h2outility_spark.operators import asof
+
+    ev = _t(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select("user_id", "event_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    out = asof.asof_join_interp(
+        purch, clicks, ["user_id"], value_col="value", tiebreak="event_id"
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "ts_before",
+        "ts_after",
+        "method",
+        fround(F.col("value_interp"), 4).alias("value_interp"),
+    )
+
+
 #: name -> (fn, oracle) for a future promotion pass and the parity test.
 STAGED6 = {
     "dedup_incremental_lsh": (q_dedup_incremental_lsh, DEDUP_INCR_LSH_ORACLE),
@@ -675,4 +815,6 @@ STAGED6 = {
     "stratified_split": (q_stratified_split, STRATIFIED_SPLIT_ORACLE),
     "embedding_quantize_error": (q_embedding_quantize_error, EMB_QUANTIZE_ORACLE),
     "vocab_oov_rate": (q_vocab_oov_rate, VOCAB_OOV_ORACLE),
+    "heavy_hitters_cms": (q_heavy_hitters_cms, HEAVY_HITTERS_ORACLE),
+    "asof_interp_join": (q_asof_interp_join, ASOF_INTERP_ORACLE),
 }
