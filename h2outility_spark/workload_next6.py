@@ -645,17 +645,17 @@ def q_vocab_oov_rate(spark, sf_dir):
     BROADCASTS to the membership join (never a shuffle of the token
     table against itself); the frequency pass is one combiner-friendly
     groupBy. At 100 TB: one agg + one broadcast join + one rollup."""
-    from pyspark.sql import Window as W
-
     from h2outility_spark.operators.text import shingles_expr
 
     docs = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
     toks = docs.select("doc_id", F.explode(shingles_expr("text", 1)).alias("w"))
     freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    rk = F.row_number().over(W.partitionBy().orderBy(F.desc("c"), "w"))
+    # top-k via orderBy+limit → TakeOrderedAndProject (per-partition heaps
+    # + one k-row merge), NOT a row_number window, whose single-partition
+    # sort of the whole distinct-token table is the 100 TB bottleneck
     vocab = (
-        freq.withColumn("rk", rk)
-        .filter(F.col("rk") <= _VOCAB_K)
+        freq.orderBy(F.desc("c"), "w")
+        .limit(_VOCAB_K)
         .select("w", F.lit(1).alias("__inv"))
     )
     per = toks.join(F.broadcast(vocab), "w", "left").groupBy("doc_id").agg(
