@@ -304,3 +304,75 @@ def test_lsh_wrapper_forwards_bucket_controls(spark):
     assert none_left.count() == 0
     full = similarity.cosine_neardup_pairs_lsh(emb, threshold=0.45, n_bits=4)
     assert full.count() > 0
+
+
+def test_asof_interp_brackets_edges_and_ties(spark):
+    """asof_join_interp: exact linear interpolation between brackets,
+    constant extrapolation at the edges, equal-ts resolving to the
+    backward value, duplicate-(key,ts) right rows resolved by the
+    LARGEST tiebreak, and a key with no right rows yielding NULLs."""
+    left = spark.createDataFrame(
+        [
+            Row(k="a", ts=ts(2), lid=1),   # between ts(0)=10 and ts(4)=50 -> 30
+            Row(k="a", ts=ts(0), lid=2),   # equal-ts: backward value exactly
+            Row(k="a", ts=ts(9), lid=3),   # after the last right row -> backward const
+            Row(k="b", ts=ts(1), lid=4),   # before b's only right row -> forward const
+            Row(k="c", ts=ts(1), lid=5),   # no right rows at all
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k="a", ts=ts(0), v=10.0, rid=1),
+            Row(k="a", ts=ts(0), v=99.0, rid=2),  # duplicate ts: rid=2 wins
+            Row(k="a", ts=ts(4), v=50.0, rid=3),
+            Row(k="b", ts=ts(5), v=7.0, rid=4),
+        ]
+    )
+    out = {
+        r["lid"]: r
+        for r in asof.asof_join_interp(
+            left, right, ["k"], value_col="v", tiebreak="rid"
+        ).collect()
+    }
+    # lid 1: halfway between winner 99.0 at ts(0) and 50.0 at ts(4)
+    assert out[1]["method"] == "interp"
+    assert abs(out[1]["v_interp"] - (99.0 + (50.0 - 99.0) * 0.5)) < 1e-12
+    assert out[1]["ts_before"] == ts(0) and out[1]["ts_after"] == ts(4)
+    # lid 2: frac = 0 -> exactly the backward (tiebreak-winning) value
+    assert out[2]["method"] == "interp" and out[2]["v_interp"] == 99.0
+    # lid 3: nothing after -> constant backward extrapolation
+    assert out[3]["method"] == "backward" and out[3]["v_interp"] == 50.0
+    assert out[3]["ts_after"] is None
+    # lid 4: nothing before -> constant forward extrapolation
+    assert out[4]["method"] == "forward" and out[4]["v_interp"] == 7.0
+    # lid 5: no brackets at all
+    assert out[5]["method"] is None and out[5]["v_interp"] is None
+
+
+def test_count_min_overestimates_and_merges(spark):
+    """The two load-bearing CMS properties: (a) every estimate >= the
+    true count (collisions only ADD); (b) grids are mergeable — the grid
+    of A union B equals the cell-wise SUM of the two shards' grids, the
+    property that lets 100 TB shards/days sketch independently."""
+    from h2outility_spark.operators import sketch
+
+    a = spark.createDataFrame([Row(x=i % 7) for i in range(100)])
+    b = spark.createDataFrame([Row(x=i % 13) for i in range(50)])
+    d, w = 3, 16  # tiny width -> guaranteed collisions, the interesting case
+
+    both = a.unionByName(b)
+    cms_both = sketch.count_min_table(both, "x", depth=d, width=w)
+    exact = both.groupBy("x").count()
+    est = sketch.count_min_estimate(cms_both, exact.select("x"), "x", depth=d, width=w)
+    joined = {r["x"]: r for r in exact.join(est, "x").collect()}
+    assert joined and all(r["est_n"] >= r["count"] for r in joined.values())
+
+    merged = (
+        sketch.count_min_table(a, "x", depth=d, width=w)
+        .unionByName(sketch.count_min_table(b, "x", depth=d, width=w))
+        .groupBy("j", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    lhs = {(r["j"], r["bucket"]): r["c"] for r in cms_both.collect()}
+    rhs = {(r["j"], r["bucket"]): r["c"] for r in merged.collect()}
+    assert lhs == rhs
