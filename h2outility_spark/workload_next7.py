@@ -1,0 +1,266 @@
+"""Round-12 registry staging area (same lifecycle as ``workload_next`` →
+``workload_next6``): fully-formed (PySpark fn, DuckDB oracle) pairs that
+cannot enter the registry yet — the round-11 rotation will consume the
+``workload_next6`` pairs first. Deliberately NOT decorated with
+``@query``; a future rotation wraps them.
+
+Each pair is parity-tested in ``tests/test_workload_next.py`` (STAGED7)
+under the driver's comparison discipline at sf0.001 AND sf0.01.
+
+Coverage targets:
+  * ``jsonl_roundtrip`` — JSON Lines, THE training-data interchange
+    format, as a full write→read fidelity roundtrip: microsecond
+    timestamps (explicit timestampFormat, Spark's default truncates),
+    full-precision doubles (Jackson shortest-round-trip repr), and a
+    JSON-ish string column whose quotes/braces must survive the
+    escaping. The oracle restates the source table — any writer/reader
+    loss flips the hash. (Reference parity: the reference's CSV/XML/SQL
+    export family, same roundtrip discipline as the certified
+    ``export_rows_roundtrip``.)
+  * ``stream_heavy_hitters`` — the Count-Min grid maintained per
+    micro-batch by CELL-WISE MERGE (union + re-aggregate of the shard
+    grids, the mergeability law ``test_count_min_overestimates_and_
+    merges`` pins): two drains through one checkpoint, final grid
+    queried for the top-10 exact heavy hitters. The streamed-and-merged
+    grid must equal the one-shot grid bit-for-bit, which the shared
+    oracle (same as ``heavy_hitters_cms``) enforces.
+  * ``bm25_topk_docs`` — BM25 retrieval scoring (k1=1.2, b=0.75,
+    Lucene's +1 idf) of every document against the corpus's own top-3
+    tokens (derived, so never vacuous), top-20 by the 6-dp-ROUNDED
+    score with doc_id tie-break — the ranked-retrieval sibling of the
+    certified tf-idf, and the lexical half of a RAG retriever next to
+    ``hybrid_search_knn``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from h2outility_spark.workload import _t, fround, sql_round
+from h2outility_spark.workload_lakehouse import scratch_dir
+from h2outility_spark.workload_next6 import _CMS_D, _CMS_W, HEAVY_HITTERS_ORACLE
+from h2outility_spark.workload_text import toks_cte
+
+# -- JSON Lines write -> read fidelity roundtrip -------------------------------------
+
+_JSON_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+JSONL_ROUNDTRIP_ORACLE = """
+SELECT event_id, ts, user_id, event_type, value, props FROM events
+"""
+
+
+def q_jsonl_roundtrip(spark, sf_dir):
+    """Distributed JSONL export + schema-pinned read-back on one hash.
+    The three classic JSONL loss modes are all on the hash: (a) Spark's
+    default JSON timestampFormat truncates to millis — the explicit
+    SSSSSS format keeps microseconds lossless (the CSV sink's r9
+    lesson); (b) doubles ride Jackson's shortest-round-trip repr, so
+    read-back is bit-exact; (c) ``props`` holds a JSON-ish string whose
+    quotes must survive escape→unescape. Multi-part write (one file per
+    partition), read back with the EXPLICIT schema — inference is the
+    other classic JSONL corruption (longs→doubles) and pinning the
+    schema is the contract a 100 TB ingest runs with."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    out = os.path.join(scratch_dir("h2ou_jsonl_"), "events_jsonl")
+    (
+        ev.write.mode("overwrite")
+        .option("timestampFormat", _JSON_TS_FMT)
+        .json(out)
+    )
+    return (
+        spark.read.schema(ev.schema)
+        .option("timestampFormat", _JSON_TS_FMT)
+        .json(out)
+    )
+
+
+# -- streaming Count-Min: per-batch grid merge ---------------------------------------
+
+STREAM_CMS_ORACLE = HEAVY_HITTERS_ORACLE
+
+
+def q_stream_heavy_hitters(spark, sf_dir):
+    """The Count-Min sketch in its production seat: each micro-batch
+    sketches ITSELF (one explode + one bounded hash agg) and the running
+    grid advances by CELL-WISE MERGE — a union + re-aggregate of two
+    d×w grids, never a re-scan of history. Because the merge law is
+    exact (grid(A∪B) = grid(A) ⊕ grid(B), unit-pinned), the streamed
+    grid is bit-identical to the one-shot grid, so this shares
+    ``heavy_hitters_cms``'s oracle: the top-10 exact counts, the CMS
+    estimates off the STREAMED grid, and the over-estimate guarantee.
+    State is O(d·w) forever; at 100 TB/day each day sketches
+    independently and the dashboard merges grids."""
+    from h2outility_spark.operators import sketch
+
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    b1 = ev.filter(F.col("user_id") % 3 != 0)
+    b2 = ev.filter(F.col("user_id") % 3 == 0)
+
+    src = scratch_dir("h2ou_scms_src_")
+    ckpt = scratch_dir("h2ou_scms_ckpt_") + "/ckpt"
+    state_dir = scratch_dir("h2ou_scms_state_")
+    ctl: dict = {"grid_path": None, "n_batches": 0}
+
+    def handle(batch_df, batch_id) -> None:
+        grid = sketch.count_min_table(batch_df, "user_id", depth=_CMS_D, width=_CMS_W)
+        if ctl["grid_path"] is not None:
+            prev = spark.read.parquet(ctl["grid_path"])
+            grid = (
+                grid.unionByName(prev)
+                .groupBy("j", "bucket")
+                .agg(F.sum("c").alias("c"))
+            )
+        path = os.path.join(state_dir, f"grid_{ctl['n_batches']}")
+        grid.write.mode("overwrite").parquet(path)
+        ctl["grid_path"] = path
+        ctl["n_batches"] += 1
+
+    def drain() -> None:
+        q = (
+            spark.readStream.schema(ev.schema)
+            .format("parquet")
+            .load(src)
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+
+    b1.coalesce(1).write.mode("append").parquet(src)
+    drain()
+    b2.coalesce(1).write.mode("append").parquet(src)
+    drain()
+    assert ctl["n_batches"] == 2, ctl
+
+    from pyspark.sql import Window as W
+
+    cms = spark.read.parquet(ctl["grid_path"])
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    topk = (
+        exact.withColumn(
+            "rk", F.row_number().over(W.partitionBy().orderBy(F.desc("exact_n"), "user_id"))
+        )
+        .filter(F.col("rk") <= 10)
+        .drop("rk")
+    )
+    est = sketch.count_min_estimate(
+        cms, topk.select("user_id"), "user_id", depth=_CMS_D, width=_CMS_W
+    )
+    return topk.join(est, "user_id").select(
+        "user_id",
+        "exact_n",
+        F.col("est_n").cast("bigint").alias("est_n"),
+        (F.col("est_n") >= F.col("exact_n")).alias("over_ok"),
+    )
+
+
+# -- BM25 ranked retrieval ------------------------------------------------------------
+
+_BM25_K1, _BM25_B, _BM25_TOPK = 1.2, 0.75, 20
+
+BM25_ORACLE = (
+    "WITH "
+    + toks_cte()
+    + f""",
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM dl
+),
+freq AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+qterms AS (SELECT w FROM freq ORDER BY c DESC, w LIMIT 3),
+tf AS (
+  SELECT t.doc_id, t.w, CAST(count(*) AS BIGINT) AS tf
+  FROM toks t JOIN qterms q ON t.w = q.w
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
+scored AS (
+  SELECT tf.doc_id,
+         sum(
+           ln((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+              / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
+           * (CAST(tf.tf AS DOUBLE) * ({_BM25_K1} + 1.0))
+           / (CAST(tf.tf AS DOUBLE)
+              + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * CAST(dl.dl AS DOUBLE) / s.avgdl))
+         ) AS score
+  FROM tf
+  JOIN dfreq d ON d.w = tf.w
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, {sql_round("score", 6)} AS bm25
+FROM scored
+ORDER BY {sql_round("score", 6)} DESC, doc_id
+LIMIT {_BM25_TOPK}
+"""
+)
+
+
+def q_bm25_topk_docs(spark, sf_dir):
+    """BM25 ranked retrieval (k1=1.2, b=0.75, Lucene +1 idf) against the
+    corpus's own top-3 tokens — the query derives from the data, so the
+    pair can never go vacuous at any scale (the r9 empty-intersection
+    lesson). Ranking is on the 6-dp-ROUNDED score with doc_id tie-break
+    (the certified tf-idf discipline: ln() ULP drift becomes exact ties
+    instead of reorderings). Every table in the plan is either
+    combiner-friendly (dl, tf, df) or top-k-bounded (qterms via
+    TakeOrdered, stats a 1-row broadcast); the lexical half of a RAG
+    retriever next to ``hybrid_search_knn``'s fusion."""
+    from h2outility_spark.operators.text import shingles_expr
+
+    docs = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    toks = docs.select("doc_id", F.explode(shingles_expr("text", 1)).alias("w"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias("avgdl"),
+    )
+    freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    qterms = freq.orderBy(F.desc("c"), "w").limit(3).select("w")
+    tf = (
+        toks.join(F.broadcast(qterms), "w")
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    k1, b = F.lit(_BM25_K1), F.lit(_BM25_B)
+    idf = F.log(
+        (F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    term_score = idf * (F.col("tf").cast("double") * (k1 + F.lit(1.0))) / (
+        F.col("tf").cast("double")
+        + k1 * (F.lit(1.0) - b + b * F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "w")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(term_score).alias("score"))
+    )
+    return (
+        scored.select("doc_id", fround(F.col("score"), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(_BM25_TOPK)
+    )
+
+
+#: name -> (fn, oracle) for a future promotion pass and the parity test.
+STAGED7 = {
+    "jsonl_roundtrip": (q_jsonl_roundtrip, JSONL_ROUNDTRIP_ORACLE),
+    "stream_heavy_hitters": (q_stream_heavy_hitters, STREAM_CMS_ORACLE),
+    "bm25_topk_docs": (q_bm25_topk_docs, BM25_ORACLE),
+}

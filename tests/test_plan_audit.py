@@ -19,6 +19,7 @@ BNLJ_ALLOWED = {
     # assignment plan; the broadcast side is k<=128 centroid rows
     "embedding_knn",  # brute-force baseline by design (IVF/LSH are the scale paths)
     "tfidf_top_terms",  # 1-row corpus-count broadcast
+    "bm25_topk_docs",  # 1-row (n_docs, avgdl) stats broadcast (STAGED7)
     "neardup_embedding_pairs",  # brute-force verifier (neardup_embedding_lsh is the scale path)
     "pq_search",  # ADC scan: query-set broadcast against compressed codes by design
     "ivfpq_search",  # query x broadcast centroid table for cell probing (both tiny)
@@ -44,14 +45,17 @@ def test_no_unplanned_nested_loop_joins(spark):
 
 
 def test_bnlj_allowlist_is_tight(spark):
-    """Every allowlisted name must still exist and still plan a BNLJ —
-    stale entries would quietly widen the allowlist."""
+    """Every allowlisted name must still exist (registered or staged) and
+    still plan a BNLJ — stale entries would quietly widen the allowlist."""
+    from h2outility_spark.workload_next7 import STAGED7
+
     reg = workload.registry()
-    stale = [n for n in BNLJ_ALLOWED if n not in reg]
-    assert not stale, f"allowlisted queries no longer registered: {stale}"
+    fns = {**{n: s.fn for n, s in reg.items()}, **{n: fn for n, (fn, _o) in STAGED7.items()}}
+    stale = [n for n in BNLJ_ALLOWED if n not in fns]
+    assert not stale, f"allowlisted queries no longer registered/staged: {stale}"
     no_longer = []
     for name in sorted(BNLJ_ALLOWED):
-        plan = reg[name].fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        plan = fns[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
         if "BroadcastNestedLoopJoin" not in plan:
             no_longer.append(name)
     assert not no_longer, f"remove from allowlist (no BNLJ anymore): {no_longer}"
@@ -65,9 +69,10 @@ def test_staged_pairs_plan_clean(spark):
     from h2outility_spark.workload_next4 import STAGED4
     from h2outility_spark.workload_next5 import STAGED5
     from h2outility_spark.workload_next6 import STAGED6
+    from h2outility_spark.workload_next7 import STAGED7
 
     offenders: dict[str, list[str]] = {}
-    for name, (fn, _oracle) in {**STAGED4, **STAGED5, **STAGED6}.items():
+    for name, (fn, _oracle) in {**STAGED4, **STAGED5, **STAGED6, **STAGED7}.items():
         plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
         flags = [b for b in ("CartesianProduct", "BroadcastNestedLoopJoin") if b in plan]
         if "CartesianProduct" in flags or (
