@@ -45,19 +45,35 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
 
     reg = workload.registry()
+
+    # staged-but-unregistered pairs resolve too (tri-scale staging checks)
+    staged: dict = {}
+    for mod in ("workload_next4", "workload_next5", "workload_next6", "workload_next7"):
+        try:
+            m = __import__(f"h2outility_spark.{mod}", fromlist=[mod])
+        except ImportError:
+            continue
+        for attr in dir(m):
+            if attr.startswith("STAGED"):
+                staged.update(getattr(m, attr))
+
     rc = 0
     for name in args.names:
-        if name not in reg:
-            print(f"{name}: UNKNOWN (not registered)")
+        if name in reg:
+            spec = reg[name]
+            fn, oracle = spec.fn, spec.oracle
+        elif name in staged:
+            fn, oracle = staged[name]
+        else:
+            print(f"{name}: UNKNOWN (not registered or staged)")
             rc = 2
             continue
-        spec = reg[name]
-        if spec.oracle is None:
+        if oracle is None:
             print(f"{name}: NO ORACLE (rows-only query)")
             continue
-        sdf = spec.fn(spark, args.sf)
+        sdf = fn(spark, args.sf)
         scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
-        cur = con.execute(spec.oracle)
+        cur = con.execute(oracle)
         dcols = [d[0] for d in cur.description]
         drows = cur.fetchall()
         ok_cols = sorted(scols) == sorted(dcols)
