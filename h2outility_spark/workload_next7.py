@@ -30,6 +30,13 @@ Coverage targets:
     score with doc_id tie-break — the ranked-retrieval sibling of the
     certified tf-idf, and the lexical half of a RAG retriever next to
     ``hybrid_search_knn``.
+  * ``late_data_quarantine`` — the late-data policy append-mode
+    streaming cannot express: ``foreachBatch`` owns the watermark and
+    ROUTES stragglers to a quarantine sink instead of dropping them;
+    every row rides the hash with its route (conservation invariant).
+  * ``txtable_clone_divergence`` — two-way clone isolation: source and
+    hard-link fork BOTH diverge (the source also compacts, rewriting
+    files the fork still links), both final states on one hash.
 """
 
 from __future__ import annotations
@@ -258,9 +265,149 @@ def q_bm25_topk_docs(spark, sf_dir):
     )
 
 
+# -- late-data quarantine: route, never drop ------------------------------------------
+
+_LATE_DELAY_S = 3600
+
+LATE_QUARANTINE_ORACLE = f"""
+WITH wm AS (
+  SELECT max(ts) - INTERVAL {_LATE_DELAY_S} SECOND AS w
+  FROM events WHERE user_id % 2 = 0
+)
+SELECT event_id, user_id, ts,
+       CASE WHEN user_id % 2 = 0 THEN 'ontime'
+            WHEN ts < (SELECT w FROM wm) THEN 'late'
+            ELSE 'ontime' END AS route
+FROM events
+"""
+
+
+def q_late_data_quarantine(spark, sf_dir):
+    """The late-data policy Structured Streaming does NOT give you:
+    instead of silently dropping rows older than the watermark (append
+    mode's contract), a production ingest QUARANTINES them for audit and
+    replay. ``foreachBatch`` owns the watermark explicitly — per batch it
+    (a) routes rows below the current watermark to the quarantine sink,
+    (b) lands the rest in the main table, (c) advances the watermark to
+    max(event time) − delay, monotonically, exactly like Spark's
+    internal bookkeeping. Two deterministic batches: everything batch 1
+    saw is on time (no watermark yet); batch 2's stragglers older than
+    batch 1's frontier − 1 h go to quarantine. EVERY row rides the hash
+    with its route — the invariant is conservation (route, never drop),
+    which a silent-drop implementation cannot fake."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    b1 = ev.filter(F.col("user_id") % 2 == 0)
+    b2 = ev.filter(F.col("user_id") % 2 != 0)
+
+    src = scratch_dir("h2ou_late_src_")
+    ckpt = scratch_dir("h2ou_late_ckpt_") + "/ckpt"
+    main_dir = scratch_dir("h2ou_late_main_")
+    quar_dir = scratch_dir("h2ou_late_quar_")
+    ctl: dict = {"wm": None, "n_batches": 0}
+
+    def handle(batch_df, batch_id) -> None:
+        wm = ctl["wm"]
+        late = batch_df.filter(F.lit(wm is not None) & (F.col("ts") < F.lit(wm)))
+        ontime = batch_df.filter(F.lit(wm is None) | (F.col("ts") >= F.lit(wm)))
+        ontime.write.mode("append").parquet(main_dir)
+        late.write.mode("append").parquet(quar_dir)
+        # bounded scalar collect: the batch's event-time frontier
+        import datetime
+
+        mx = batch_df.agg(F.max("ts")).collect()[0][0]
+        if mx is not None:
+            cand = mx - datetime.timedelta(seconds=_LATE_DELAY_S)
+            ctl["wm"] = cand if wm is None else max(wm, cand)
+        ctl["n_batches"] += 1
+
+    def drain() -> None:
+        q = (
+            spark.readStream.schema(ev.schema)
+            .format("parquet")
+            .load(src)
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+
+    b1.coalesce(1).write.mode("append").parquet(src)
+    drain()
+    b2.coalesce(1).write.mode("append").parquet(src)
+    drain()
+    assert ctl["n_batches"] == 2, ctl
+
+    main = spark.read.schema(ev.schema).parquet(main_dir).withColumn(
+        "route", F.lit("ontime")
+    )
+    quar = spark.read.schema(ev.schema).parquet(quar_dir).withColumn(
+        "route", F.lit("late")
+    )
+    return main.unionByName(quar)
+
+
+# -- two-way clone divergence ----------------------------------------------------------
+
+CLONE_DIVERGENCE_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 100 < 6
+)
+SELECT 'orig' AS side, o_orderkey, o_custkey,
+       CASE WHEN o_orderkey % 3 = 0 THEN cents + 111 ELSE cents END AS cents
+FROM base
+UNION ALL
+SELECT 'clone' AS side, o_orderkey, o_custkey,
+       CASE WHEN o_orderkey % 3 = 1 THEN cents + 222 ELSE cents END AS cents
+FROM base
+"""
+
+
+def q_txtable_clone_divergence(spark, sf_dir):
+    """TWO-WAY clone isolation — the half the certified ``txtable_clone``
+    does not check: after a hard-link clone, BOTH sides diverge (the
+    source merges one update set and COMPACTS — rewriting files the
+    clone still links to; the clone merges a different set), and both
+    final states ride one hash. Writes on the fork must never leak back
+    into the source and vice versa, and the source's compaction must not
+    disturb the clone's linked files (the inode survives until both
+    sides drop it). This is the experiment-branch contract a corpus
+    team relies on: fork, try a cleaning recipe, compare, throw away."""
+    from h2outility_spark.storage_tx import TxTable
+
+    cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("bigint")
+    base = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 < 6)
+        .select("o_orderkey", "o_custkey", cents.alias("cents"))
+    )
+    upd_a = base.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+        "cents", F.col("cents") + F.lit(111)
+    )
+    upd_b = base.filter(F.col("o_orderkey") % 3 == 1).withColumn(
+        "cents", F.col("cents") + F.lit(222)
+    )
+
+    src = TxTable(spark, scratch_dir("h2ou_cdvg_src_") + "/t", key_cols=["o_orderkey"])
+    src.append(base)
+    fork = src.clone(scratch_dir("h2ou_cdvg_dst_") + "/t")
+    src.merge_upsert(upd_a)
+    src.compact_files(target_rows=10_000_000, small_rows=10_000_000)
+    fork.merge_upsert(upd_b)
+    orig = src.snapshot().withColumn("side", F.lit("orig"))
+    clone = fork.snapshot().withColumn("side", F.lit("clone"))
+    return orig.unionByName(clone).select("side", "o_orderkey", "o_custkey", "cents")
+
+
 #: name -> (fn, oracle) for a future promotion pass and the parity test.
 STAGED7 = {
     "jsonl_roundtrip": (q_jsonl_roundtrip, JSONL_ROUNDTRIP_ORACLE),
     "stream_heavy_hitters": (q_stream_heavy_hitters, STREAM_CMS_ORACLE),
     "bm25_topk_docs": (q_bm25_topk_docs, BM25_ORACLE),
+    "late_data_quarantine": (q_late_data_quarantine, LATE_QUARANTINE_ORACLE),
+    "txtable_clone_divergence": (q_txtable_clone_divergence, CLONE_DIVERGENCE_ORACLE),
 }
