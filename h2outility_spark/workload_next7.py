@@ -37,6 +37,11 @@ Coverage targets:
   * ``txtable_clone_divergence`` — two-way clone isolation: source and
     hard-link fork BOTH diverge (the source also compacts, rewriting
     files the fork still links), both final states on one hash.
+  * ``histogram_quantile_sketch`` — the third sketch family (after
+    HLL++ and Count-Min): a 128-bin histogram estimates the discrete
+    median with the PROVABLE |est − p50| ≤ bin-width bound on the hash;
+    shared-edge histograms merge cell-wise across shards like the CMS
+    grid.
 """
 
 from __future__ import annotations
@@ -403,6 +408,102 @@ def q_txtable_clone_divergence(spark, sf_dir):
     return orig.unionByName(clone).select("side", "o_orderkey", "o_custkey", "cents")
 
 
+# -- histogram quantile sketch with a provable error bound -----------------------------
+
+_HQ_BINS = 128
+
+HIST_QUANTILE_ORACLE = f"""
+WITH g AS (
+  SELECT event_type, min(value) AS mn, max(value) AS mx,
+         CAST(count(*) AS BIGINT) AS n,
+         quantile_disc(value, 0.5) AS p50d
+  FROM events GROUP BY 1
+),
+b AS (
+  SELECT e.event_type,
+         CASE WHEN g.mx > g.mn
+              THEN least({_HQ_BINS - 1},
+                         CAST(floor((e.value - g.mn) / ((g.mx - g.mn) / {_HQ_BINS}.0)) AS BIGINT))
+              ELSE 0 END AS bin
+  FROM events e JOIN g ON g.event_type = e.event_type
+),
+h AS (SELECT event_type, bin, count(*) AS c FROM b GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, bin,
+         CAST(sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS BIGINT) AS cum
+  FROM h
+),
+sel AS (
+  SELECT c.event_type, min(c.bin) AS bin50
+  FROM cum c JOIN g ON g.event_type = c.event_type
+  WHERE c.cum >= 0.5 * g.n
+  GROUP BY 1
+)
+SELECT g.event_type, g.n,
+       {sql_round("g.p50d", 4)} AS p50_exact,
+       {sql_round("g.mn + (sel.bin50 + 1) * ((g.mx - g.mn) / " + str(_HQ_BINS) + ".0)", 4)} AS p50_est,
+       {sql_round("abs((g.mn + (sel.bin50 + 1) * ((g.mx - g.mn) / " + str(_HQ_BINS) + ".0)) - g.p50d)", 6)}
+         <= {sql_round("(g.mx - g.mn) / " + str(_HQ_BINS) + ".0", 6)} + 1e-9 AS within_bin
+FROM g JOIN sel ON sel.event_type = g.event_type
+"""
+
+
+def q_histogram_quantile_sketch(spark, sf_dir):
+    """The third member of the sketch family (HLL++ distinct, Count-Min
+    frequency, now quantiles): a fixed-width {bins}-bin histogram per
+    group estimates the DISCRETE median as the upper edge of the first
+    bin whose cumulative count crosses n/2, with the PROVABLE error
+    bound |est − p50| ≤ one bin width — the smallest value whose
+    cume_dist ≥ 0.5 lives in exactly that bin, so the bound is a
+    theorem, not a tuning claim. The certificate (exact p50 via
+    percentile_disc / quantile_disc, identical lower-median semantics
+    both engines — probed: n=2 → lower, n=4 → lower) rides the hash
+    next to the estimate. Shape: two hash aggregates + a bins-bounded
+    window; histograms with shared edges MERGE cell-wise across
+    shards/days exactly like the CMS grid. Threshold compared on
+    ROUNDED values on both engines (the r9 boundary lesson)."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    g = ev.groupBy("event_type").agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("p50d"),
+    )
+    j = ev.join(F.broadcast(g), "event_type")
+    width = (F.col("mx") - F.col("mn")) / F.lit(float(_HQ_BINS))
+    bin_ = (
+        F.when(
+            F.col("mx") > F.col("mn"),
+            F.least(F.lit(_HQ_BINS - 1), F.floor((F.col("value") - F.col("mn")) / width)),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+    )
+    hist = j.groupBy("event_type", bin_.alias("bin")).agg(F.count(F.lit(1)).alias("c"))
+    cum_w = W.partitionBy("event_type").orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    cum = hist.select("event_type", "bin", F.sum("c").over(cum_w).alias("cum"))
+    sel = (
+        cum.join(F.broadcast(g.select("event_type", "n")), "event_type")
+        .filter(F.col("cum") >= F.lit(0.5) * F.col("n"))
+        .groupBy("event_type")
+        .agg(F.min("bin").alias("bin50"))
+    )
+    out = g.join(sel, "event_type")
+    w_ = (F.col("mx") - F.col("mn")) / F.lit(float(_HQ_BINS))
+    est = F.col("mn") + (F.col("bin50") + 1) * w_
+    return out.select(
+        "event_type",
+        "n",
+        fround(F.col("p50d"), 4).alias("p50_exact"),
+        fround(est, 4).alias("p50_est"),
+        (fround(F.abs(est - F.col("p50d")), 6) <= fround(w_, 6) + F.lit(1e-9)).alias(
+            "within_bin"
+        ),
+    )
+
+
 #: name -> (fn, oracle) for a future promotion pass and the parity test.
 STAGED7 = {
     "jsonl_roundtrip": (q_jsonl_roundtrip, JSONL_ROUNDTRIP_ORACLE),
@@ -410,4 +511,5 @@ STAGED7 = {
     "bm25_topk_docs": (q_bm25_topk_docs, BM25_ORACLE),
     "late_data_quarantine": (q_late_data_quarantine, LATE_QUARANTINE_ORACLE),
     "txtable_clone_divergence": (q_txtable_clone_divergence, CLONE_DIVERGENCE_ORACLE),
+    "histogram_quantile_sketch": (q_histogram_quantile_sketch, HIST_QUANTILE_ORACLE),
 }
