@@ -42,6 +42,10 @@ Coverage targets:
     median with the PROVABLE |est − p50| ≤ bin-width bound on the hash;
     shared-edge histograms merge cell-wise across shards like the CMS
     grid.
+  * ``qc_robust_mad`` — Iglewicz-Hoaglin modified z-score (median/MAD)
+    per series: the outlier flag the outlier itself cannot drag, with a
+    mirrored MAD=0 degeneracy fallback; two broadcast-back grouped
+    medians.
 """
 
 from __future__ import annotations
@@ -50,7 +54,7 @@ import os
 
 from pyspark.sql import functions as F
 
-from h2outility_spark.workload import _t, fround, sql_round
+from h2outility_spark.workload import DV_CTE, _dv, _t, fround, sql_round
 from h2outility_spark.workload_lakehouse import scratch_dir
 from h2outility_spark.workload_next6 import _CMS_D, _CMS_W, HEAVY_HITTERS_ORACLE
 from h2outility_spark.workload_text import toks_cte
@@ -504,6 +508,74 @@ def q_histogram_quantile_sketch(spark, sf_dir):
     )
 
 
+# -- MAD robust outlier detection ------------------------------------------------------
+
+_MAD_K = 1.4826  # consistency constant: MAD ~ sigma for a normal population
+_MAD_Z = 3.5     # the Iglewicz-Hoaglin recommended cut
+
+QC_ROBUST_MAD_ORACLE = (
+    DV_CTE
+    + f""",
+med AS (
+  SELECT SiteID, VariableCode, quantile_cont(DataValue, 0.5) AS med
+  FROM dv GROUP BY 1, 2
+),
+j AS (
+  SELECT dv.ValueID, dv.SiteID, dv.VariableCode, dv.DataValue, m.med
+  FROM dv JOIN med m ON m.SiteID = dv.SiteID AND m.VariableCode = dv.VariableCode
+),
+mad AS (
+  SELECT SiteID, VariableCode, quantile_cont(abs(DataValue - med), 0.5) AS mad
+  FROM j GROUP BY 1, 2
+)
+SELECT j.ValueID,
+       CASE WHEN d.mad > 0
+            THEN {sql_round(f"abs(j.DataValue - j.med) / ({_MAD_K} * d.mad)", 4)} END AS robust_z,
+       coalesce(
+         CASE WHEN d.mad > 0
+              THEN {sql_round(f"abs(j.DataValue - j.med) / ({_MAD_K} * d.mad)", 4)} END > {_MAD_Z},
+         abs(j.DataValue - j.med) > 0
+       ) AS is_outlier
+FROM j JOIN mad d ON d.SiteID = j.SiteID AND d.VariableCode = j.VariableCode
+"""
+)
+
+
+def q_qc_robust_mad(spark, sf_dir):
+    """Robust per-series outlier detection by the MAD rule (Iglewicz &
+    Hoaglin's modified z-score: |x − median| / (1.4826·MAD) > 3.5) — the
+    QC flag that survives the very spikes it hunts, unlike the certified
+    mean/stddev ``qc_rolling_zscore`` whose statistics the outlier
+    itself drags. Two exact grouped medians (series median, then MAD on
+    the residuals) each broadcast back onto the fact stream — the
+    winsorize/grouped-percentile scale shape doubled. Degenerate series
+    (MAD = 0, over half the points identical) fall back to flagging any
+    deviation from the median; the z itself is NULL there, mirrored by
+    the oracle. Flag compared on the ROUNDED z on both engines."""
+    dv = _dv(spark, sf_dir).select("ValueID", "SiteID", "VariableCode", "DataValue")
+    keys = ["SiteID", "VariableCode"]
+    med = dv.groupBy(*keys).agg(F.expr("percentile(DataValue, 0.5)").alias("med"))
+    j = dv.join(F.broadcast(med), keys)
+    mad = j.groupBy(*keys).agg(
+        F.expr("percentile(abs(DataValue - med), 0.5)").alias("mad")
+    )
+    out = j.join(F.broadcast(mad), keys)
+    rz = F.when(
+        F.col("mad") > 0,
+        fround(
+            F.abs(F.col("DataValue") - F.col("med")) / (F.lit(_MAD_K) * F.col("mad")), 4
+        ),
+    )
+    return out.select(
+        "ValueID",
+        rz.alias("robust_z"),
+        F.coalesce(
+            rz > F.lit(_MAD_Z),
+            F.abs(F.col("DataValue") - F.col("med")) > F.lit(0.0),
+        ).alias("is_outlier"),
+    )
+
+
 #: name -> (fn, oracle) for a future promotion pass and the parity test.
 STAGED7 = {
     "jsonl_roundtrip": (q_jsonl_roundtrip, JSONL_ROUNDTRIP_ORACLE),
@@ -512,4 +584,5 @@ STAGED7 = {
     "late_data_quarantine": (q_late_data_quarantine, LATE_QUARANTINE_ORACLE),
     "txtable_clone_divergence": (q_txtable_clone_divergence, CLONE_DIVERGENCE_ORACLE),
     "histogram_quantile_sketch": (q_histogram_quantile_sketch, HIST_QUANTILE_ORACLE),
+    "qc_robust_mad": (q_qc_robust_mad, QC_ROBUST_MAD_ORACLE),
 }
