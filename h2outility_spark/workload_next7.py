@@ -46,6 +46,10 @@ Coverage targets:
     per series: the outlier flag the outlier itself cannot drag, with a
     mirrored MAD=0 degeneracy fallback; two broadcast-back grouped
     medians.
+  * ``stream_jsonl_ingest`` — the drop-directory shape: tail a JSONL
+    directory as a stream (pinned schema + µs timestampFormat) into a
+    running per-type aggregate surviving a restart; composes the JSONL
+    fidelity and streaming-state certificates.
 """
 
 from __future__ import annotations
@@ -576,6 +580,89 @@ def q_qc_robust_mad(spark, sf_dir):
     )
 
 
+# -- streaming JSONL ingestion (tail a drop directory) ---------------------------------
+
+STREAM_JSONL_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(ts) AS first_ts,
+       max(ts) AS last_ts,
+       CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events
+GROUP BY event_type
+"""
+
+
+def q_stream_jsonl_ingest(spark, sf_dir):
+    """The production drop-directory shape: producers append JSON Lines
+    files, Spark TAILS the directory as a stream (``readStream.json``
+    with a pinned schema + microsecond timestampFormat) and maintains a
+    running per-type aggregate across restarts. Composes the two STAGED7
+    certificates upstream of it: the JSONL fidelity (timestamps to the
+    µs, exact integer cents — any writer/reader loss flips min/max/sum)
+    and the streaming-state recovery (two drains, one checkpoint —
+    batch 1's totals must come out of the restored state store).
+    State is O(types); at 100 TB/day the files stream through once."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    b1 = ev.filter(F.col("event_id") % 2 == 0)
+    b2 = ev.filter(F.col("event_id") % 2 != 0)
+
+    src = scratch_dir("h2ou_sjsonl_src_")
+    ckpt = scratch_dir("h2ou_sjsonl_ckpt_") + "/ckpt"
+    state_path = scratch_dir("h2ou_sjsonl_state_") + "/totals"
+
+    agg = (
+        spark.readStream.schema(ev.schema)
+        .option("timestampFormat", _JSON_TS_FMT)
+        .json(src)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.sum(F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("bigint")).alias(
+                "total_cents"
+            ),
+        )
+    )
+
+    def handle(batch_df, batch_id) -> None:
+        batch_df.write.mode("overwrite").parquet(state_path)
+
+    def drain() -> None:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .foreachBatch(handle)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+
+    (
+        b1.coalesce(1)
+        .write.mode("append")
+        .option("timestampFormat", _JSON_TS_FMT)
+        .json(src)
+    )
+    drain()
+    (
+        b2.coalesce(1)
+        .write.mode("append")
+        .option("timestampFormat", _JSON_TS_FMT)
+        .json(src)
+    )
+    drain()
+
+    return spark.read.parquet(state_path).select(
+        "event_type", "n_events", "first_ts", "last_ts", "total_cents"
+    )
+
+
 #: name -> (fn, oracle) for a future promotion pass and the parity test.
 STAGED7 = {
     "jsonl_roundtrip": (q_jsonl_roundtrip, JSONL_ROUNDTRIP_ORACLE),
@@ -585,4 +672,5 @@ STAGED7 = {
     "txtable_clone_divergence": (q_txtable_clone_divergence, CLONE_DIVERGENCE_ORACLE),
     "histogram_quantile_sketch": (q_histogram_quantile_sketch, HIST_QUANTILE_ORACLE),
     "qc_robust_mad": (q_qc_robust_mad, QC_ROBUST_MAD_ORACLE),
+    "stream_jsonl_ingest": (q_stream_jsonl_ingest, STREAM_JSONL_ORACLE),
 }
