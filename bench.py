@@ -1,8 +1,16 @@
 """Benchmark runner: executes the headline queries (QuerySpec.bench=True)
 against $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+local[$SPARK_GRAFT_CPUS].
 
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+OUTPUT CONTRACT: stdout carries TWO newline-separated JSON objects — the
+full record first (also persisted to BENCH_full_local.json), then a compact
+final line:
+
+    {"metric": "...", "value": N, "unit": "sec", "core11_cold": N,
+     "queries": {...}, "sf": ..., "n_errors": 0, "full_record": "..."}
+
+Consumers must json-parse the LAST stdout line (or the ~2 KB tail, which
+always contains it) — never the first line or the whole stdout at once.
 
 Each query is timed end-to-end (plan + execute + collect-to-count) after a
 JVM/session warmup pass so we measure steady-state execution, not JIT and
@@ -341,11 +349,16 @@ def main() -> None:
     if errors:
         out["errors"] = errors
 
-    # The driver keeps only a ~2 KB TAIL of stdout: the full record (with
-    # per-query samples and both scaling blocks) outgrew that in rounds 8-9
-    # and the official bench artifact recorded "parsed": null twice. So:
-    # persist the full record to a local file, print it (for humans and any
-    # head-capture), then print a final COMPACT line — headline numbers
+    # OUTPUT CONTRACT (two JSON lines — ADVICE r10): stdout carries TWO
+    # newline-separated JSON objects, the FULL record first and a COMPACT
+    # record last. Consumers must parse the LAST line (or the ~2 KB stdout
+    # tail, which always contains it intact) — NOT the first line and NOT
+    # the whole stdout as one JSON document. Rationale: the driver keeps
+    # only a ~2 KB TAIL of stdout; the full record (with per-query samples
+    # and both scaling blocks) outgrew that in rounds 8-9 and the official
+    # bench artifact recorded "parsed": null twice. So: persist the full
+    # record to BENCH_full_local.json, print it (for humans and any
+    # head-capture), then print the final COMPACT line — headline numbers
     # only, a few hundred bytes — which the tail capture always keeps
     # intact and the driver can parse.
     try:

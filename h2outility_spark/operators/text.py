@@ -276,16 +276,27 @@ def hash_sample(docs, percent: int, id_col: str = "doc_id"):
 def hash_split(docs, train: int = 8, val: int = 1, test: int = 1, id_col: str = "doc_id"):
     """Deterministic train/val/test assignment — ``hash_sample``'s sibling
     for the other standard training-data split shape. The id is md5-hashed
-    into ``train+val+test`` equal-probability cells (default 8/1/1) and
-    each doc gets a ``split`` label; no RNG state, so the assignment is
-    stable across runs, engines and repartitionings, and a doc can never
-    migrate between splits when the corpus grows (the property that
-    prevents silent train/test contamination across dataset versions).
-    Narrow map, zero shuffles.
+    into a 16-bit domain (4 hex chars = 65536 values, like ``hash_sample``)
+    and bucketed into ``train+val+test`` cells (default 8/1/1) modulo that
+    domain, so the ratios are APPROXIMATE: 65536 % n_cells cells receive
+    one extra hash value — a bias of at most 1/65536 per cell, negligible
+    for the single-digit cell counts this is meant for. Each doc gets a
+    ``split`` label; no RNG state, so the assignment is stable across runs,
+    engines and repartitionings, and a doc can never migrate between splits
+    when the corpus grows (the property that prevents silent train/test
+    contamination across dataset versions). Narrow map, zero shuffles.
     """
     from pyspark.sql import functions as F
 
+    for label, v in (("train", train), ("val", val), ("test", test)):
+        if not isinstance(v, int) or isinstance(v, bool) or v <= 0:
+            raise ValueError(f"hash_split: {label} must be a positive int, got {v!r}")
     n_cells = train + val + test
+    if n_cells > 65536:
+        raise ValueError(
+            f"hash_split: train+val+test = {n_cells} exceeds the 16-bit hash "
+            "domain (65536); cells beyond it would have zero probability"
+        )
     cell = F.expr(
         f"CAST(conv(substr(md5(CAST({id_col} AS STRING)), 1, 4), 16, 10) AS BIGINT) % {n_cells}"
     )

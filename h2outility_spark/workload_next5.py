@@ -663,6 +663,32 @@ def q_txtable_reader_isolation(spark, sf_dir):
 
 # -- bucketed co-located join ------------------------------------------------------
 
+#: (session, table_name) pairs pending a best-effort DROP at interpreter
+#: exit. ONE atexit handler drains the whole list — per-invocation
+#: registration accumulated a handler per call for the life of the
+#: session (ADVICE r10).
+_BUCKETED_TABLES: list = []
+_BUCKETED_ATEXIT_ARMED = False
+
+
+def _register_bucketed_tables(spark, *names) -> None:
+    global _BUCKETED_ATEXIT_ARMED
+    _BUCKETED_TABLES.extend((spark, n) for n in names)
+    if not _BUCKETED_ATEXIT_ARMED:
+        import atexit
+
+        def _drain():
+            for session, n in _BUCKETED_TABLES:
+                try:
+                    session.sql(f"DROP TABLE IF EXISTS {n}")
+                except Exception:  # noqa: BLE001 — session may already be stopped
+                    pass
+            _BUCKETED_TABLES.clear()
+
+        atexit.register(_drain)
+        _BUCKETED_ATEXIT_ARMED = True
+
+
 BUCKETED_JOIN_ORACLE = """
 SELECT c.c_mktsegment,
        CAST(count(*) AS BIGINT) AS n_orders,
@@ -695,22 +721,14 @@ def q_bucketed_join_orders(spark, sf_dir):
     # invocations — the sf0.001 parity run, the sf0.01 driver run, and the
     # plan-audit all call this fn in one session, and the returned frame
     # resolves its table names LAZILY (ADVICE r9). Unique names make each
-    # invocation self-contained; a best-effort atexit DROP tidies the
-    # session catalog without breaking the late driver collect.
-    import atexit
-
+    # invocation self-contained; a single module-level atexit hook drains
+    # the accumulated name list at interpreter exit (ADVICE r10: one
+    # registered handler, not one per invocation) without breaking the
+    # late driver collect.
     base = scratch_dir("h2ou_bkt_")
     tag = os.path.basename(base).replace("h2ou_bkt_", "").replace("-", "_")
     t_orders, t_cust = f"bkt_orders_{tag}", f"bkt_customer_{tag}"
-
-    def _drop(names=(t_orders, t_cust), session=spark):
-        for n in names:
-            try:
-                session.sql(f"DROP TABLE IF EXISTS {n}")
-            except Exception:  # noqa: BLE001 — session may already be stopped
-                pass
-
-    atexit.register(_drop)
+    _register_bucketed_tables(spark, t_orders, t_cust)
     (
         orders.write.format("parquet")
         .bucketBy(8, "o_custkey")

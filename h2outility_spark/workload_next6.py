@@ -405,7 +405,7 @@ SECONDARY_SORT_ORACLE = """
 WITH e AS (
   SELECT event_type, event_id, ts,
          CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
-  FROM events
+  FROM events WHERE value IS NOT NULL
 )
 SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
        md5(string_agg(CAST(event_id AS VARCHAR) || ':' || CAST(cents AS VARCHAR),
@@ -426,12 +426,20 @@ def q_secondary_sort_export(spark, sf_dir):
     order-SENSITIVE, so the hash certifies that the sort actually held
     end-to-end — the contract every ordered export (S5's per-chunk CSV
     bodies, reference ``DatasetUtilities.py:247-288``) relies on. ONE
-    shuffle; state is one digest per open key."""
-    ev = _t(spark, sf_dir, "events").select(
-        "event_type",
-        "event_id",
-        "ts",
-        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("bigint").alias("cents"),
+    shuffle; state is one digest per open key. NULL values are filtered
+    on BOTH sides before the fingerprint: a nullable cents column would
+    reach pandas as float64 (Arrow has no int-with-null without masked
+    arrays), stringifying as '123.0'/'nan' where DuckDB CAST emits
+    '123'/skip — engine-identical input requires non-null int64."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "event_id",
+            "ts",
+            F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("bigint").alias("cents"),
+        )
     )
     parted = ev.repartition("event_type").sortWithinPartitions(
         "event_type", "ts", "event_id"
@@ -572,7 +580,9 @@ err AS (
   GROUP BY e.vec_id
 )
 SELECT m.vec_id, m.n_dims,
-       floor((m.maxabs / 127.0) * 1000000.0 + 0.5) / 1000000.0 AS scale,
+       CASE WHEN m.maxabs > 0
+            THEN floor((m.maxabs / 127.0) * 1000000.0 + 0.5) / 1000000.0
+       END AS scale,
        coalesce(err.max_err <= (m.maxabs / 127.0) * 0.5 + 1e-9, TRUE) AS quantizes_ok
 FROM m LEFT JOIN err ON err.vec_id = m.vec_id
 """
@@ -586,8 +596,10 @@ def q_embedding_quantize_error(spark, sf_dir):
     dimension must stay within half a quantization step. Both engines
     evaluate the identical elementwise IEEE expression shapes, so values
     (not just booleans) agree bit-for-bit; a zero vector has no scale and
-    passes vacuously (NULL-folded, mirrored by the oracle's LEFT JOIN).
-    Narrow map over the vectors, zero shuffles."""
+    passes vacuously — BOTH engines emit NULL scale for maxabs = 0 (Spark
+    via the ungated F.when, the oracle via CASE WHEN m.maxabs > 0), so the
+    degenerate all-zero padding vector agrees on every column, not just
+    quantizes_ok. Narrow map over the vectors, zero shuffles."""
     from h2outility_spark.operators.similarity import as_double
 
     e = _t(spark, sf_dir, "embeddings").select(
