@@ -462,6 +462,7 @@ from h2outility_spark import workload_next3  # noqa: E402,F401
 from h2outility_spark import workload_sinks  # noqa: E402,F401
 from h2outility_spark import workload_next4  # noqa: E402,F401
 from h2outility_spark import workload_next5  # noqa: E402,F401
+from h2outility_spark import workload_next6  # noqa: E402,F401
 
 
 # The driver's correctness gate hashes only the FIRST 50 registered queries.
@@ -480,77 +481,79 @@ from h2outility_spark import workload_next5  # noqa: E402,F401
 # (coverage map in README). Everything outside the window is still
 # oracle-checked every run by tests/test_oracle_parity.py + driver_sim.
 CHECKED_WINDOW = [
-    # -- ROUND-10 ROTATION --------------------------------------------------
-    # CORRECTNESS_r09 went 50/50 green (fourth all-green round), so the
-    # window turns over completely again: 15 slots to FIRST-TIMERS — the
-    # promoted workload_next5 STAGED5 pairs, every one tri-scale
-    # parity-green (sf0.001/0.01/0.1) and plan-audited in round 9. These
-    # certify the last uncovered reference surfaces: §2.12 record/replay
-    # (oplist_replay), the full §3.3 interactive QC session
-    # (edit_session_roundtrip), S1 multi-source federation
-    # (federated_union), the production streaming-IVM loops
-    # (stream_ivm_agg / stream_minmax_ivm), snapshot-isolation and
-    # vacuum-retention races, the bucketed exchange-free join, and the
-    # sketch-accuracy contracts. The other 35 slots follow the staleness
-    # rotation: first the 13 queries whose newest driver row dates from
-    # round 6 (the deferred cohort in NOTES_NEXT_ROUND §1), then 22 of the
-    # r7-latest cohort picked for family spread (joins, dedup, ANN,
-    # k-means, text, QC, lakehouse, streaming). Everything outside the
-    # window stays oracle-checked every run by tests/test_oracle_parity +
-    # driver_sim.
-    # -- first-timers: the 15 promoted round-10 staging pairs ---------------
-    "oplist_replay",            # §2.12 record/replay: JSON plan save/load/compile/replay
-    "edit_session_roundtrip",   # §3.3 QC session: select→edit→flag→transactional save
-    "federated_union",          # S1: CSV + Derby JDBC + parquet three-way union
-    "stream_ohlc",              # streaming hourly OHLC w/ ordered-aggregate state
-    "stream_ivm_agg",           # foreachBatch TxTable view maintenance (count,sum)
-    "stream_minmax_ivm",        # stream → merge_upsert → CDF → bounded MIN/MAX IVM
-    "stream_chunk_flow",        # streaming twin of the RAG chunker
-    "pagerank_nation_trade",    # weighted PageRank, damping 0.85, dangling mass
-    "series_trend_fit",         # per-series OLS slope/intercept, NaN→NULL fold
-    "approx_percentile_bounds", # sketch inside exact [p49.5,p50.5] band (boolean)
-    "approx_distinct_bounds",   # HLL++ 5-sigma accuracy certificate (boolean)
-    "rp_lsh_autosig",           # auto-sized RP-LSH, width re-derived in SQL
-    "txtable_reader_isolation", # pinned v1 reader vs concurrent merge+compact
-    "txtable_vacuum_retention", # vacuum refuses reclaim inside retention window
-    "bucketed_join_orders",     # 8-bucket co-located join, no Exchange
-    # -- sentinels: the 13 last-certified-in-ROUND-6 queries ----------------
-    "audio_window_features",
-    "image_features_jpeg",
-    "image_neardup",
-    "neardup_winnow_pairs",
-    "neardup_simhash_pairs",
-    "txtable_compact_snapshot",
-    "txtable_evolve_schema",
-    "txtable_snapshot_as_of",
-    "bigram_condprob",
-    "doc_lm_score",
-    "prefix_dup_rate",
-    "approx_distinct_parts",
-    "hybrid_search_knn",
-    # -- sentinels: 22 of the r7-latest cohort, one-per-family spread -------
-    "anti_join_customers",
-    "left_join_qualifiers",
-    "self_alias_join",
-    "dedup_incremental",
-    "dedup_keep_first",
-    "minhash_signatures",
-    "ngram_jaccard_blocked",
-    "neardup_clusters",
-    "ivf_search_adaptive",
-    "ivfpq_search",
-    "pq_search",
-    "embedding_centroids",
-    "kmeans_centroids",
-    "text_langid",
-    "text_stats",
-    "pii_redact_docs",
-    "doc_fingerprint",
-    "qc_islands",
-    "qc_value_change",
-    "txtable_zorder",
-    "txtable_stream_tail",
-    "stream_dedup_ingest",
+    # -- ROUND-11 ROTATION --------------------------------------------------
+    # CORRECTNESS_r10 went 50/50 green (fifth all-green round), so the
+    # window turns over completely again: 12 slots to FIRST-TIMERS — the
+    # promoted workload_next6 STAGED6 pairs, every one tri-scale
+    # parity-green (sf0.001/0.01/0.1) and plan-audited in round 10. These
+    # certify the incremental-ingest LSH shape (the 100 TB daily-dedup
+    # pattern), the cross-modal ensemble dedup policy, the Count-Min
+    # sketch module, the interpolating as-of join (completing
+    # backward/forward/nearest/interp), the deterministic hash split, the
+    # int8 quantization certificate, the OOV-rate vocabulary coverage,
+    # the secondary-sort ordered export, the chunker-feeds-packer RAG
+    # composition, the zorder-rewrite isolation race, the weekly drift
+    # monitor, and the restart-surviving streaming mixture plan. The
+    # other 38 slots follow the staleness rotation pinned in
+    # NOTES_NEXT_ROUND r10 §1: the full 28-query cohort whose newest
+    # driver row dates from round 7, then 10 of the r8-latest cohort
+    # picked for family spread (sinks, as-of, CDC, mixture, PQ, QC
+    # resample, streaming watermark, TPC-H star, lakehouse race, text).
+    # Everything outside the window stays oracle-checked every run by
+    # tests/test_oracle_parity + driver_sim.
+    # -- first-timers: the 12 promoted round-11 staging pairs ---------------
+    "dedup_incremental_lsh",     # new-batch MinHash probe vs corpus band index
+    "neardup_ensemble_agree",    # text near-dup pairs re-scored by embedding cosine
+    "quality_drift_weekly",      # weekly median + week-over-week drift delta
+    "txtable_zorder_race",       # pinned reader vs merge + OPTIMIZE ZORDER rewrite
+    "stream_mixture_plan",       # complete-mode per-source totals across a restart
+    "secondary_sort_export",     # ordered export w/ rolling per-key md5 fingerprint
+    "rag_prep_pipeline",         # sliding chunker feeding the 512-token packer
+    "stratified_split",          # md5-cell 8/1/1 train/val/test assignment
+    "embedding_quantize_error",  # int8 quantization + half-step error certificate
+    "vocab_oov_rate",            # per-doc OOV rate vs corpus top-1000 vocab
+    "heavy_hitters_cms",         # Count-Min grid: exact top-10 + CMS estimates
+    "asof_interp_join",          # as-of join w/ linear interpolation at the ts
+    # -- sentinels: the 28 queries last certified in ROUND 7 -----------------
+    "bpe_token_hist",
+    "decontaminate_spans",
+    "distinct_series",
+    "event_time_windows",
+    "frame_sample",
+    "funnel_conversion",
+    "grouping_sets_revenue",
+    "image_resize_features",
+    "last_per_series",
+    "mixture_sample",
+    "neardup_embedding_pairs",
+    "ngram_counts",
+    "qc_change_value",
+    "qc_flag",
+    "qc_rolling_zscore",
+    "retention_cohorts",
+    "rollup_revenue",
+    "rp_lsh_signatures",
+    "season_rollup",
+    "semi_join_suppliers",
+    "simhash_signatures",
+    "tpch_q18_large_orders",
+    "tpch_q6",
+    "tpch_q7_nation_volume",
+    "txtable_clone",
+    "txtable_vacuum",
+    "variable_census",
+    "winnow_fingerprints",
+    # -- sentinels: 10 of the r8-latest cohort, one-per-family spread --------
+    "annotated_export_roundtrip",
+    "asof_join_forward",
+    "cdc_segment_dedup",
+    "mixture_plan_tokens",
+    "pq_codes_kmeans",
+    "qc_resample_ffill",
+    "stream_watermark_windows",
+    "tpch_q8_market_share",
+    "txtable_concurrent_merge",
+    "repetition_signals",
 ]
 
 

@@ -1,11 +1,11 @@
-"""Round-11 registry staging area (same lifecycle as ``workload_next`` →
-``workload_next5``): fully-formed (PySpark fn, DuckDB oracle) pairs that
-cannot enter the registry yet — the round-10 rotation will consume the
-``workload_next5`` pairs first. Deliberately NOT decorated with
-``@query``; a future rotation wraps them.
+"""Round-11 promotion of the round-10 staging area (same lifecycle as
+``workload_next`` → ``workload_next5``): all 12 pairs were staged
+tri-scale parity-green in round 10 and wrapped with ``@query`` in round
+11 (VERDICT r10 directive 1), entering the registry and the checked
+window together.
 
-Each pair is parity-tested in ``tests/test_workload_next.py`` (STAGED6)
-under the driver's comparison discipline at sf0.001 AND sf0.01.
+Each pair remains parity-tested in ``tests/test_workload_next.py``
+(STAGED6) under the driver's comparison discipline at sf0.001 AND sf0.01.
 
 Coverage targets:
   * ``dedup_incremental_lsh`` — the near-dup ingest shape at 100 TB: a
@@ -62,7 +62,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from h2outility_spark.operators import dedup, similarity
-from h2outility_spark.workload import _t, fround
+from h2outility_spark.workload import _t, fround, query
 from h2outility_spark.workload_text import JACCARD_TAIL, MINHASH_K, mh_cte
 
 # -- incremental near-dup: new batch vs existing corpus ------------------------
@@ -86,6 +86,11 @@ DEDUP_INCR_LSH_ORACLE = (
 )
 
 
+@query(
+    "dedup_incremental_lsh",
+    oracle=DEDUP_INCR_LSH_ORACLE,
+    description="incremental near-dup ingest: new batch MinHash-signed, probed against the corpus band index",
+)
 def q_dedup_incremental_lsh(spark, sf_dir):
     """Near-dup dedup for a daily ingest batch: sign ONLY the new slice,
     probe the existing corpus's banded MinHash index, verify candidates
@@ -155,6 +160,11 @@ ENSEMBLE_AGREE_ORACLE = (
 )
 
 
+@query(
+    "neardup_ensemble_agree",
+    oracle=ENSEMBLE_AGREE_ORACLE,
+    description="cross-modal dedup policy: text near-dup pairs re-scored by embedding cosine, agreement flagged",
+)
 def q_neardup_ensemble_agree(spark, sf_dir):
     """Two-modality dedup scoring — the confirm-before-delete policy for
     destructive dedup: every TEXT-leg near-dup pair (MinHash bands →
@@ -212,6 +222,11 @@ FROM w
 """
 
 
+@query(
+    "quality_drift_weekly",
+    oracle=QUALITY_DRIFT_ORACLE,
+    description="per-series weekly median with week-over-week drift delta (lag window)",
+)
 def q_quality_drift_weekly(spark, sf_dir):
     """Per-series weekly median and its week-over-week delta — the drift
     alarm a production corpus pipeline watches per source/series. One
@@ -246,6 +261,11 @@ FROM orders WHERE o_orderkey % 10 < 8
 """
 
 
+@query(
+    "txtable_zorder_race",
+    oracle=ZORDER_RACE_ORACLE,
+    description="snapshot isolation through a physical rewrite: pinned v2 reader vs merge + OPTIMIZE ZORDER",
+)
 def q_txtable_zorder_race(spark, sf_dir):
     """The maintenance race the certified pair set still lacked: a reader
     pins a snapshot and materializes it WHILE a writer thread merges new
@@ -329,6 +349,11 @@ FROM planned
 """
 
 
+@query(
+    "stream_mixture_plan",
+    oracle=STREAM_MIXTURE_ORACLE,
+    description="streaming twin of mixture_plan_tokens: complete-mode per-source totals surviving a restart",
+)
 def q_stream_mixture_plan(spark, sf_dir):
     """Streaming twin of the certified ``mixture_plan_tokens``: the
     per-source (doc count, token sum) totals are maintained by a
@@ -414,6 +439,11 @@ FROM e GROUP BY event_type
 """
 
 
+@query(
+    "secondary_sort_export",
+    oracle=SECONDARY_SORT_ORACLE,
+    description="secondary-sort export: repartition + sortWithinPartitions + rolling per-key md5 across Arrow batches",
+)
 def q_secondary_sort_export(spark, sf_dir):
     """The classic secondary-sort consumer (NOTES r9 §6): all rows of a
     key delivered to ONE consumer IN event-time order, without a driver
@@ -501,6 +531,11 @@ FROM pre GROUP BY 1
 """
 
 
+@query(
+    "rag_prep_pipeline",
+    oracle=RAG_PREP_ORACLE,
+    description="RAG prep: sliding 64/48 chunker feeding the 512-token packer in one lineage",
+)
 def q_rag_prep_pipeline(spark, sf_dir):
     """The actual RAG-prep pipeline on one hash: the certified sliding
     chunker (64-token windows every 48) FEEDS the certified packing rule
@@ -547,6 +582,11 @@ FROM b GROUP BY 1, 2
 """
 
 
+@query(
+    "stratified_split",
+    oracle=STRATIFIED_SPLIT_ORACLE,
+    description="deterministic 8/1/1 train/val/test split via md5-cell arithmetic (text.hash_split)",
+)
 def q_stratified_split(spark, sf_dir):
     """Deterministic 8/1/1 train/val/test assignment per source
     (``text.hash_split``): md5(id) mod 10 cells, no RNG state, so a doc
@@ -588,6 +628,11 @@ FROM m LEFT JOIN err ON err.vec_id = m.vec_id
 """
 
 
+@query(
+    "embedding_quantize_error",
+    oracle=EMB_QUANTIZE_ORACLE,
+    description="per-vector int8 quantization with half-step reconstruction-error certificate on the hash",
+)
 def q_embedding_quantize_error(spark, sf_dir):
     """Symmetric per-vector int8 quantization with its accuracy
     certificate on the hash — the 4x embedding-storage compression every
@@ -648,6 +693,11 @@ FROM per
 )
 
 
+@query(
+    "vocab_oov_rate",
+    oracle=VOCAB_OOV_ORACLE,
+    description="per-doc OOV rate against the corpus top-1000 vocabulary (TakeOrdered + broadcast membership join)",
+)
 def q_vocab_oov_rate(spark, sf_dir):
     """Tokenizer-vocabulary coverage per document: the corpus's top-1000
     tokens (count desc, token tie-break — ``vocab_topk``'s rule) become
@@ -720,6 +770,11 @@ FROM topk t JOIN est e ON e.user_id = t.user_id
 """
 
 
+@query(
+    "heavy_hitters_cms",
+    oracle=HEAVY_HITTERS_ORACLE,
+    description="Count-Min sketch heavy hitters: top-10 exact counts beside CMS estimates + over-estimate guarantee",
+)
 def q_heavy_hitters_cms(spark, sf_dir):
     """Count-Min heavy hitters (``operators/sketch.py``): the d×w grid is
     ONE explode + ONE combiner-friendly hash aggregate whose output is
@@ -785,6 +840,11 @@ LEFT JOIN LATERAL (
 """
 
 
+@query(
+    "asof_interp_join",
+    oracle=ASOF_INTERP_ORACLE,
+    description="interpolating as-of join: linear interpolation between bracketing rows, constant extrapolation at edges",
+)
 def q_asof_interp_join(spark, sf_dir):
     """The interpolating as-of join (``asof.asof_join_interp``): each
     purchase gets the click value LINEARLY INTERPOLATED at its timestamp
