@@ -104,6 +104,47 @@ def q_jsonl_roundtrip(spark, sf_dir):
 STREAM_CMS_ORACLE = HEAVY_HITTERS_ORACLE
 
 
+def make_cms_handler(spark, state_dir, ctl, key_col="user_id"):
+    """foreachBatch handler advancing a Count-Min grid by cell-wise merge,
+    REPLAY-SAFE (foreachBatch is at-least-once): state is keyed by
+    batch_id, committed by a marker file written AFTER the grid parquet
+    completes. A replayed batch_id returns without touching the grid —
+    merging the same rows twice would double-count every cell. A crash
+    between the grid write and the marker replays into a deterministic
+    ``mode("overwrite")`` of the same path. Module-level so the replay
+    unit test can re-invoke it with a repeated batch_id directly."""
+    from h2outility_spark.operators import sketch
+
+    def _applied_ids() -> list:
+        return sorted(
+            int(n.rsplit("_", 1)[1])
+            for n in os.listdir(state_dir)
+            if n.startswith("applied_")
+        )
+
+    def handle(batch_df, batch_id) -> None:
+        marker = os.path.join(state_dir, f"applied_{batch_id}")
+        if os.path.exists(marker):
+            return
+        grid = sketch.count_min_table(batch_df, key_col, depth=_CMS_D, width=_CMS_W)
+        prev_ids = _applied_ids()
+        if prev_ids:
+            prev = spark.read.parquet(os.path.join(state_dir, f"grid_{prev_ids[-1]}"))
+            grid = (
+                grid.unionByName(prev)
+                .groupBy("j", "bucket")
+                .agg(F.sum("c").alias("c"))
+            )
+        path = os.path.join(state_dir, f"grid_{batch_id}")
+        grid.write.mode("overwrite").parquet(path)
+        with open(marker, "w"):
+            pass
+        ctl["grid_path"] = path
+        ctl["n_batches"] += 1
+
+    return handle
+
+
 def q_stream_heavy_hitters(spark, sf_dir):
     """The Count-Min sketch in its production seat: each micro-batch
     sketches ITSELF (one explode + one bounded hash agg) and the running
@@ -125,20 +166,7 @@ def q_stream_heavy_hitters(spark, sf_dir):
     ckpt = scratch_dir("h2ou_scms_ckpt_") + "/ckpt"
     state_dir = scratch_dir("h2ou_scms_state_")
     ctl: dict = {"grid_path": None, "n_batches": 0}
-
-    def handle(batch_df, batch_id) -> None:
-        grid = sketch.count_min_table(batch_df, "user_id", depth=_CMS_D, width=_CMS_W)
-        if ctl["grid_path"] is not None:
-            prev = spark.read.parquet(ctl["grid_path"])
-            grid = (
-                grid.unionByName(prev)
-                .groupBy("j", "bucket")
-                .agg(F.sum("c").alias("c"))
-            )
-        path = os.path.join(state_dir, f"grid_{ctl['n_batches']}")
-        grid.write.mode("overwrite").parquet(path)
-        ctl["grid_path"] = path
-        ctl["n_batches"] += 1
+    handle = make_cms_handler(spark, state_dir, ctl, key_col="user_id")
 
     def drain() -> None:
         q = (
@@ -295,6 +323,39 @@ FROM events
 """
 
 
+def make_quarantine_handler(main_dir, quar_dir, meta_dir, ctl):
+    """foreachBatch handler routing below-watermark rows to quarantine,
+    REPLAY-SAFE (foreachBatch is at-least-once): each batch routes into
+    batch_id-keyed subdirectories with ``mode("overwrite")`` and commits
+    via a marker file written last. A replayed batch_id returns
+    immediately — re-routing against the ALREADY-ADVANCED watermark would
+    reroute the batch's own rows as late, and a plain append would land
+    every row twice. Module-level so the replay unit test can re-invoke
+    it with a repeated batch_id directly."""
+
+    def handle(batch_df, batch_id) -> None:
+        marker = os.path.join(meta_dir, f"applied_{batch_id}")
+        if os.path.exists(marker):
+            return
+        wm = ctl["wm"]
+        late = batch_df.filter(F.lit(wm is not None) & (F.col("ts") < F.lit(wm)))
+        ontime = batch_df.filter(F.lit(wm is None) | (F.col("ts") >= F.lit(wm)))
+        ontime.write.mode("overwrite").parquet(os.path.join(main_dir, f"batch_{batch_id}"))
+        late.write.mode("overwrite").parquet(os.path.join(quar_dir, f"batch_{batch_id}"))
+        # bounded scalar collect: the batch's event-time frontier
+        import datetime
+
+        mx = batch_df.agg(F.max("ts")).collect()[0][0]
+        if mx is not None:
+            cand = mx - datetime.timedelta(seconds=_LATE_DELAY_S)
+            ctl["wm"] = cand if wm is None else max(wm, cand)
+        with open(marker, "w"):
+            pass
+        ctl["n_batches"] += 1
+
+    return handle
+
+
 def q_late_data_quarantine(spark, sf_dir):
     """The late-data policy Structured Streaming does NOT give you:
     instead of silently dropping rows older than the watermark (append
@@ -316,22 +377,9 @@ def q_late_data_quarantine(spark, sf_dir):
     ckpt = scratch_dir("h2ou_late_ckpt_") + "/ckpt"
     main_dir = scratch_dir("h2ou_late_main_")
     quar_dir = scratch_dir("h2ou_late_quar_")
+    meta_dir = scratch_dir("h2ou_late_meta_")
     ctl: dict = {"wm": None, "n_batches": 0}
-
-    def handle(batch_df, batch_id) -> None:
-        wm = ctl["wm"]
-        late = batch_df.filter(F.lit(wm is not None) & (F.col("ts") < F.lit(wm)))
-        ontime = batch_df.filter(F.lit(wm is None) | (F.col("ts") >= F.lit(wm)))
-        ontime.write.mode("append").parquet(main_dir)
-        late.write.mode("append").parquet(quar_dir)
-        # bounded scalar collect: the batch's event-time frontier
-        import datetime
-
-        mx = batch_df.agg(F.max("ts")).collect()[0][0]
-        if mx is not None:
-            cand = mx - datetime.timedelta(seconds=_LATE_DELAY_S)
-            ctl["wm"] = cand if wm is None else max(wm, cand)
-        ctl["n_batches"] += 1
+    handle = make_quarantine_handler(main_dir, quar_dir, meta_dir, ctl)
 
     def drain() -> None:
         q = (
@@ -353,12 +401,12 @@ def q_late_data_quarantine(spark, sf_dir):
     drain()
     assert ctl["n_batches"] == 2, ctl
 
-    main = spark.read.schema(ev.schema).parquet(main_dir).withColumn(
-        "route", F.lit("ontime")
-    )
-    quar = spark.read.schema(ev.schema).parquet(quar_dir).withColumn(
-        "route", F.lit("late")
-    )
+    main = spark.read.schema(ev.schema).parquet(
+        os.path.join(main_dir, "batch_*")
+    ).withColumn("route", F.lit("ontime"))
+    quar = spark.read.schema(ev.schema).parquet(
+        os.path.join(quar_dir, "batch_*")
+    ).withColumn("route", F.lit("late"))
     return main.unionByName(quar)
 
 
