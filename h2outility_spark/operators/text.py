@@ -308,7 +308,13 @@ def hash_split(docs, train: int = 8, val: int = 1, test: int = 1, id_col: str = 
     return docs.withColumn("split", split)
 
 
-def pack_sequences(docs, budget_tokens: int, id_col: str = "doc_id", text_col: str = "text"):
+def pack_sequences(
+    docs,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int | None = None,
+):
     """Training-sequence packing plan: assign docs (in deterministic id
     order) to context-window bins of ``budget_tokens`` via the exclusive
     prefix sum of token counts — the standard streaming approximation of
@@ -320,21 +326,43 @@ def pack_sequences(docs, budget_tokens: int, id_col: str = "doc_id", text_col: s
     primitives — a regex-split count is NOT (``\\s`` and empty-split
     semantics vary by engine).
 
-    Scale note: the prefix sum is a single global-order window — for a
-    real 100 TB packing job you shard first (e.g. by hash(doc) into k
-    independent streams) and pack per shard; the per-shard operator is
-    exactly this one.
+    Scale note: with ``n_shards=None`` the prefix sum is a single
+    global-order window — fine up to one executor's sort capacity, and
+    the right contract when the GLOBAL packing order is the deliverable.
+    For a real 100 TB packing job pass ``n_shards=k``: docs are hashed
+    into k independent shards (md5-cell arithmetic, the same
+    deterministic ``hash_split`` primitive, so shard assignment is
+    stable across runs and engines) and the window runs PER SHARD
+    (``partitionBy(shard)``) — k parallel sorts of n/k rows instead of
+    one sort of n, which is how the planner keeps the window off the
+    single-partition cliff. Output then carries ``shard`` and bins are
+    numbered within each shard.
     """
     from pyspark.sql import Window as W, functions as F
 
-    w = W.orderBy(id_col).rowsBetween(W.unboundedPreceding, -1)
     toks = docs.select(
         F.col(id_col), space_token_count(F.col(text_col)).cast("bigint").alias("n_tokens")
     )
-    binned = toks.withColumn(
-        "prefix", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-    ).withColumn("bin_id", F.expr(f"prefix div {budget_tokens}"))
-    return binned.groupBy("bin_id").agg(
+    if n_shards is None:
+        w = W.orderBy(id_col).rowsBetween(W.unboundedPreceding, -1)
+        binned = toks.withColumn(
+            "prefix", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        ).withColumn("bin_id", F.expr(f"prefix div {budget_tokens}"))
+        return binned.groupBy("bin_id").agg(
+            F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("total_tokens")
+        )
+    if not isinstance(n_shards, int) or isinstance(n_shards, bool) or n_shards <= 0:
+        raise ValueError(f"pack_sequences: n_shards must be a positive int, got {n_shards!r}")
+    shard = F.expr(
+        f"CAST(conv(substr(md5(CAST({id_col} AS STRING)), 1, 8), 16, 10) AS BIGINT) % {n_shards}"
+    )
+    w = W.partitionBy("shard").orderBy(id_col).rowsBetween(W.unboundedPreceding, -1)
+    binned = (
+        toks.withColumn("shard", shard)
+        .withColumn("prefix", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .withColumn("bin_id", F.expr(f"prefix div {budget_tokens}"))
+    )
+    return binned.groupBy("shard", "bin_id").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("total_tokens")
     )
 

@@ -544,8 +544,11 @@ def q_rag_prep_pipeline(spark, sf_dir):
     stage, so composing the two operators adds no pass over the corpus.
     A drift in either operator OR in the composition contract (bin
     charging by first token, chunk order (doc_id, chunk_idx)) flips the
-    hash. The same shard-first caveat as ``pack_sequences`` applies at
-    100 TB: the global-order window runs per hash-shard."""
+    hash. This is the SMALL-CORPUS form: the global-order window is the
+    contract being certified (one packing order for the whole corpus).
+    The 100 TB form exists as code, not prose — the staged
+    ``rag_prep_sharded`` twin and ``pack_sequences(n_shards=k)`` scope
+    the same window per md5 hash-shard (k parallel sorts of n/k)."""
     from pyspark.sql import Window as W
 
     from h2outility_spark.operators import text as T

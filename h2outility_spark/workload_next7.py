@@ -711,8 +711,81 @@ def q_stream_jsonl_ingest(spark, sf_dir):
     )
 
 
+# -- shard-local RAG prep: the 100 TB form of the packer -----------------------------
+
+from h2outility_spark.workload_next4 import CHUNK_SLIDING_ORACLE  # noqa: E402
+
+_RAG_SHARDS, _RAG_SHARD_BIN_TOKENS = 4, 512
+
+RAG_SHARDED_ORACLE = f"""
+WITH chunks AS ({CHUNK_SLIDING_ORACLE}),
+sh AS (
+  SELECT doc_id, chunk_idx, n_tokens,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % {_RAG_SHARDS}
+           AS shard
+  FROM chunks
+),
+pre AS (
+  SELECT shard, doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard
+           ORDER BY doc_id, chunk_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prefix
+  FROM sh
+)
+SELECT shard, CAST(prefix // {_RAG_SHARD_BIN_TOKENS} AS BIGINT) AS bin_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM pre GROUP BY 1, 2
+"""
+
+
+def q_rag_prep_sharded(spark, sf_dir):
+    """The shard-local form of the RAG-prep pipeline (VERDICT r10 #2) —
+    the shape that actually runs at 100 TB: the certified sliding chunker
+    feeds the packer exactly as in the promoted ``rag_prep_pipeline``,
+    but the packing window is SCOPED PER HASH-SHARD
+    (``partitionBy(shard)`` over an md5-cell shard key, the same
+    deterministic arithmetic as ``text.hash_split``), so the prefix sum
+    runs as k parallel sorts of n/k chunks instead of one global
+    single-partition sort. The shard key rides the hash: the oracle
+    recomputes the md5-cell assignment in SQL, so a drift in sharding,
+    chunking, packing, or their composition flips the certificate.
+    Docs never straddle shards (sharded by doc_id), so per-shard packing
+    is self-contained — the property that makes the k streams
+    independently resumable in a real pipeline."""
+    from pyspark.sql import Window as W
+
+    from h2outility_spark.operators import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = T.chunk_sliding(docs, size=64, stride=48).withColumn(
+        "shard",
+        F.expr(
+            f"CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+            f" % {_RAG_SHARDS}"
+        ),
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id", "chunk_idx")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    pre = chunks.withColumn("prefix", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return (
+        pre.withColumn("bin_id", F.expr(f"prefix div {_RAG_SHARD_BIN_TOKENS}"))
+        .groupBy("shard", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+
+
 #: name -> (fn, oracle) for a future promotion pass and the parity test.
 STAGED7 = {
+    "rag_prep_sharded": (q_rag_prep_sharded, RAG_SHARDED_ORACLE),
     "jsonl_roundtrip": (q_jsonl_roundtrip, JSONL_ROUNDTRIP_ORACLE),
     "stream_heavy_hitters": (q_stream_heavy_hitters, STREAM_CMS_ORACLE),
     "bm25_topk_docs": (q_bm25_topk_docs, BM25_ORACLE),

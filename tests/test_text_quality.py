@@ -291,3 +291,51 @@ def test_hash_split_total_disjoint_and_growth_stable(spark):
     assert all(b[i] == s[i] for i in range(100))
     # the 8/1/1 cells actually split (loose sanity, not a ratio assert)
     assert len(set(b.values())) == 3
+
+
+def test_pack_sequences_sharded_equals_global_per_shard(spark):
+    """pack_sequences(n_shards=k)'s law: each shard's packing equals the
+    GLOBAL packer run on that shard's docs alone (the k streams are
+    independent), and the union of shards conserves docs and tokens.
+    Also pins the validation on degenerate n_shards."""
+    import pytest
+    from pyspark.sql import Row, functions as F
+
+    from h2outility_spark.operators.text import pack_sequences
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=("tok " * (5 + i % 17)).strip()) for i in range(60)]
+    )
+    k = 4
+    sharded = pack_sequences(docs, budget_tokens=40, n_shards=k)
+    rows = sharded.collect()
+    assert {r["shard"] for r in rows} <= set(range(k))
+
+    # conservation across the union of shards
+    totals = sharded.agg(
+        F.sum("n_docs").alias("d"), F.sum("total_tokens").alias("t")
+    ).collect()[0]
+    exp = docs.select(
+        F.size(F.split(F.col("text"), " ")).alias("n")
+    ).agg(F.count("*").alias("d"), F.sum("n").alias("t")).collect()[0]
+    assert totals["d"] == exp["d"] and totals["t"] == exp["t"]
+
+    # per-shard equivalence with the global packer on the shard's slice
+    shard_expr = F.expr(
+        f"CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % {k}"
+    )
+    for s in range(k):
+        slice_docs = docs.filter(shard_expr == s)
+        got = sorted(
+            (r["bin_id"], r["n_docs"], r["total_tokens"])
+            for r in sharded.filter(F.col("shard") == s).collect()
+        )
+        want = sorted(
+            (r["bin_id"], r["n_docs"], r["total_tokens"])
+            for r in pack_sequences(slice_docs, budget_tokens=40).collect()
+        )
+        assert got == want, f"shard {s} diverges from the global packer on its slice"
+
+    for bad in (0, -1, True, 2.5):
+        with pytest.raises(ValueError):
+            pack_sequences(docs, budget_tokens=40, n_shards=bad)
