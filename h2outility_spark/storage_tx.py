@@ -697,6 +697,65 @@ class TxTable:
         dest._commit(segs, m["schema"], "clone", None)
         return dest
 
+    # -- named branches ------------------------------------------------------
+    #
+    # Sugar over clone(): a branch is a clone living in the table's own
+    # _branches/<name> namespace, so it is discoverable (branches()) and
+    # mergeable back (merge_from_branch) — the Delta/Iceberg named-branch
+    # workflow (branch, experiment, merge or discard) on the same
+    # hard-link clone primitive. Branch data files are hard links, so the
+    # source's vacuum/compaction cannot invalidate a branch (the inode
+    # survives until both sides drop it); vacuum only scans the table's
+    # own _DATA_DIR, never _branches/.
+
+    _BRANCH_DIR = "_branches"
+
+    @staticmethod
+    def _check_branch_name(name: str) -> None:
+        import re
+
+        if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]*", name):
+            raise ValueError(f"invalid branch name {name!r}")
+
+    def branch(self, name: str, version: int | None = None) -> "TxTable":
+        """Create named branch ``name`` from ``version`` (default latest).
+        The branch starts at its own version 0 (op 'clone'); its post-fork
+        edits are exactly ``branch_table(name).changes(0)``."""
+        self._check_branch_name(name)
+        return self.clone(os.path.join(self.table_dir, self._BRANCH_DIR, name), version)
+
+    def branches(self) -> list[str]:
+        d = os.path.join(self.table_dir, self._BRANCH_DIR)
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            n for n in os.listdir(d) if os.path.isdir(os.path.join(d, n, _MANIFEST_DIR))
+        )
+
+    def branch_table(self, name: str) -> "TxTable":
+        self._check_branch_name(name)
+        d = os.path.join(self.table_dir, self._BRANCH_DIR, name)
+        if not os.path.isdir(os.path.join(d, _MANIFEST_DIR)):
+            raise FileNotFoundError(f"no branch {name!r} in {self.table_dir}")
+        return TxTable(self.spark, d, key_cols=self.key_cols)
+
+    def merge_from_branch(self, other: "TxTable", since_version: int = 0) -> int:
+        """Merge a branch's post-fork UPSERT-shaped work back into this
+        table: the branch's CDF since ``since_version`` (its fork point —
+        version 0 for a fresh branch) is reduced to its net inserted rows
+        (an update's delete+insert pair nets to the insert, which carries
+        the key's final value) and merge_upserted here in one commit.
+        Deletes performed on the branch are out of scope by contract —
+        they net to bare delete rows, which this merge ignores; a
+        delete-propagating merge needs an explicit tombstone policy the
+        caller must opt into."""
+        from pyspark.sql import functions as F
+
+        net = other.changes(since_version).filter(
+            F.col("_change_type") == "insert"
+        ).drop("_change_type")
+        return self.merge_upsert(net)
+
     # -- maintenance -------------------------------------------------------
 
     def compact_files(

@@ -50,6 +50,23 @@ Coverage targets:
     directory as a stream (pinned schema + µs timestampFormat) into a
     running per-type aggregate surviving a restart; composes the JSONL
     fidelity and streaming-state certificates.
+  * ``rag_prep_sharded`` — the 100 TB form of the RAG-prep pipeline:
+    the packing window scoped per md5 hash-shard (k parallel sorts of
+    n/k instead of one global sort), shard key recomputed in SQL on
+    the hash.
+  * ``txtable_branch_merge_back`` — the full named-branch workflow
+    (NEW TxTable API branch/branches/branch_table/merge_from_branch):
+    branch, experiment, merge the branch's net CDF delta back into an
+    independently-advanced main in one commit.
+  * ``stream_stratified_ingest`` — the stratified split at ingest:
+    drop-directory stream hash-assigned per batch into a running
+    per-(source, split) census surviving a restart; shares the
+    certified ``stratified_split`` oracle because content-hash
+    assignment is arrival-order invariant.
+  * ``weekly_pctl_rollup`` — the sketch-ROLLUP pattern: per-day
+    histograms with SHARED global bin edges merged cell-wise into
+    weekly grids (never rescanning rows), per-week exact-vs-estimate
+    median certificate with the |est − p50| ≤ bin-width bound.
 """
 
 from __future__ import annotations
@@ -783,9 +800,241 @@ def q_rag_prep_sharded(spark, sf_dir):
     )
 
 
+# -- named branch + merge-back: the lakehouse experiment loop ------------------------
+
+TXBRANCH_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 100 < 6
+),
+newrows AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 100 = 6
+)
+SELECT o_orderkey, o_custkey,
+       CASE WHEN o_orderkey % 3 = 0 THEN cents + 333 ELSE cents END AS cents
+FROM base
+UNION ALL
+SELECT o_orderkey, o_custkey, cents FROM newrows
+"""
+
+
+def q_txtable_branch_merge_back(spark, sf_dir):
+    """The full named-branch workflow the Delta/Iceberg branch feature
+    exists for — branch, experiment, merge BACK — on TxTable's hard-link
+    clone primitive (NEW API: ``branch`` / ``branches`` /
+    ``branch_table`` / ``merge_from_branch``). Main is appended while
+    the branch diverges (a cleaning recipe applied as merge_upsert), and
+    the merge-back reduces the branch's CDF-since-fork to its net
+    inserted rows and upserts them into main in ONE commit. The final
+    main snapshot rides the hash: branch edits present, main's
+    independent appends preserved, nothing duplicated — which a
+    merge-back that replayed the whole branch (not just its delta)
+    or leaked the fork's shared files could not produce."""
+    from h2outility_spark.storage_tx import TxTable
+
+    cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("bigint")
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 100 < 6).select(
+        "o_orderkey", "o_custkey", cents.alias("cents")
+    )
+    newrows = orders.filter(F.col("o_orderkey") % 100 == 6).select(
+        "o_orderkey", "o_custkey", cents.alias("cents")
+    )
+    upd = base.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+        "cents", F.col("cents") + F.lit(333)
+    )
+
+    main = TxTable(spark, scratch_dir("h2ou_brnch_") + "/t", key_cols=["o_orderkey"])
+    main.append(base)
+    br = main.branch("fix")
+    br.merge_upsert(upd)        # the experiment, on the branch
+    main.merge_upsert(newrows)  # main advances independently meanwhile
+    assert main.branches() == ["fix"], main.branches()
+    main.merge_from_branch(main.branch_table("fix"))
+    return main.snapshot().select("o_orderkey", "o_custkey", "cents")
+
+
+# -- streaming stratified-split ingest -------------------------------------------------
+
+from h2outility_spark.workload_next6 import STRATIFIED_SPLIT_ORACLE  # noqa: E402
+
+STREAM_STRAT_ORACLE = STRATIFIED_SPLIT_ORACLE
+
+
+def q_stream_stratified_ingest(spark, sf_dir):
+    """The stratified split in its production seat: documents arrive as a
+    drop-directory stream and every batch is hash-assigned to
+    train/val/test ON INGEST (``text.hash_split`` — md5-cell arithmetic,
+    no RNG state), feeding a running per-(source, split) census that
+    survives a restart (two drains, one checkpoint; complete-mode state
+    overwrite is replay-idempotent). Because the assignment is
+    content-hash determined, streaming arrival order CANNOT change any
+    doc's split — the certified growth-stability law in its streaming
+    form — so the final census equals the certified one-shot
+    ``stratified_split`` bit-for-bit, which sharing its oracle
+    enforces."""
+    from h2outility_spark.operators.text import hash_split, token_count
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 != 0)
+
+    src = scratch_dir("h2ou_strat_src_")
+    ckpt = scratch_dir("h2ou_strat_ckpt_") + "/ckpt"
+    state_path = scratch_dir("h2ou_strat_state_") + "/census"
+
+    stream = spark.readStream.schema(docs.schema).format("parquet").load(src)
+    agg = (
+        hash_split(stream, train=8, val=1, test=1)
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count(F.col("text")).cast("bigint")).alias("total_tokens"),
+        )
+    )
+
+    def handle(batch_df, batch_id) -> None:
+        batch_df.write.mode("overwrite").parquet(state_path)
+
+    def drain() -> None:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .foreachBatch(handle)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+
+    b1.coalesce(1).write.mode("append").parquet(src)
+    drain()
+    b2.coalesce(1).write.mode("append").parquet(src)
+    drain()
+
+    return spark.read.parquet(state_path).select(
+        "source", "split", "n_docs", "total_tokens"
+    )
+
+
+# -- weekly percentile rollup: daily sketches merged, never rescanned ------------------
+
+_WPR_BINS = 128
+
+WEEKLY_PCTL_ORACLE = f"""
+WITH g AS (
+  SELECT min(value) AS mn, max(value) AS mx FROM events
+),
+wk AS (
+  SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+         CAST(date_trunc('day', ts) AS DATE) AS day,
+         value
+  FROM events
+),
+b AS (
+  SELECT wk.week, wk.day,
+         CASE WHEN g.mx > g.mn
+              THEN least({_WPR_BINS - 1},
+                         CAST(floor((wk.value - g.mn) / ((g.mx - g.mn) / {_WPR_BINS}.0)) AS BIGINT))
+              ELSE 0 END AS bin
+  FROM wk, g
+),
+daily AS (SELECT week, day, bin, count(*) AS c FROM b GROUP BY 1, 2, 3),
+weekly AS (SELECT week, bin, CAST(sum(c) AS BIGINT) AS c FROM daily GROUP BY 1, 2),
+stats AS (
+  SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+         CAST(count(*) AS BIGINT) AS n,
+         quantile_disc(value, 0.5) AS p50d
+  FROM events GROUP BY 1
+),
+cum AS (
+  SELECT week, bin,
+         CAST(sum(c) OVER (PARTITION BY week ORDER BY bin) AS BIGINT) AS cum
+  FROM weekly
+),
+sel AS (
+  SELECT c.week, min(c.bin) AS bin50
+  FROM cum c JOIN stats s ON s.week = c.week
+  WHERE c.cum >= 0.5 * s.n
+  GROUP BY 1
+)
+SELECT s.week, s.n,
+       {sql_round("s.p50d", 4)} AS p50_exact,
+       {sql_round("g.mn + (sel.bin50 + 1) * ((g.mx - g.mn) / " + str(_WPR_BINS) + ".0)", 4)} AS p50_est,
+       {sql_round("abs((g.mn + (sel.bin50 + 1) * ((g.mx - g.mn) / " + str(_WPR_BINS) + ".0)) - s.p50d)", 6)}
+         <= {sql_round("(g.mx - g.mn) / " + str(_WPR_BINS) + ".0", 6)} + 1e-9 AS within_bin
+FROM stats s JOIN sel ON sel.week = s.week, g
+"""
+
+
+def q_weekly_pctl_rollup(spark, sf_dir):
+    """The sketch-ROLLUP pattern the per-group histogram certificate
+    (``histogram_quantile_sketch``) stops short of: per-DAY histograms
+    are built once and the WEEKLY estimate comes from merging the daily
+    grids CELL-WISE (group day→week, sum counts) — never rescanning the
+    raw rows, which is how a 100 TB pipeline serves any rollup grain
+    from daily pre-aggregates. Mergeability requires SHARED bin edges,
+    so the edges come from a one-row global min/max broadcast (the BNLJ
+    is 1 row by construction, allowlisted). The certificate per week:
+    exact p50 (percentile_disc, lower-median semantics probed identical
+    in both engines) vs the merged-grid estimate, with the provable
+    |est − p50| ≤ bin-width bound on the hash. The oracle rebuilds the
+    daily→weekly merge itself, so a rollup that rescanned rows but got
+    different cells, or merged wrong, flips the hash."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events").select("ts", "value")
+    g = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    j = ev.join(F.broadcast(g))  # 1-row global-edges broadcast
+    width = (F.col("mx") - F.col("mn")) / F.lit(float(_WPR_BINS))
+    bin_ = (
+        F.when(
+            F.col("mx") > F.col("mn"),
+            F.least(F.lit(_WPR_BINS - 1), F.floor((F.col("value") - F.col("mn")) / width)),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+    )
+    week = F.to_date(F.date_trunc("week", F.col("ts"))).alias("week")
+    day = F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    daily = j.groupBy(week, day, bin_.alias("bin")).agg(F.count(F.lit(1)).alias("c"))
+    weekly = daily.groupBy("week", "bin").agg(F.sum("c").alias("c"))
+    stats = ev.groupBy(week).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("p50d"),
+    )
+    cum_w = W.partitionBy("week").orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    cum = weekly.select("week", "bin", F.sum("c").over(cum_w).alias("cum"))
+    sel = (
+        cum.join(F.broadcast(stats.select("week", "n")), "week")
+        .filter(F.col("cum") >= F.lit(0.5) * F.col("n"))
+        .groupBy("week")
+        .agg(F.min("bin").alias("bin50"))
+    )
+    out = stats.join(sel, "week").join(F.broadcast(g))
+    w_ = (F.col("mx") - F.col("mn")) / F.lit(float(_WPR_BINS))
+    est = F.col("mn") + (F.col("bin50") + 1) * w_
+    return out.select(
+        "week",
+        "n",
+        fround(F.col("p50d"), 4).alias("p50_exact"),
+        fround(est, 4).alias("p50_est"),
+        (fround(F.abs(est - F.col("p50d")), 6) <= fround(w_, 6) + F.lit(1e-9)).alias(
+            "within_bin"
+        ),
+    )
+
+
 #: name -> (fn, oracle) for a future promotion pass and the parity test.
 STAGED7 = {
     "rag_prep_sharded": (q_rag_prep_sharded, RAG_SHARDED_ORACLE),
+    "txtable_branch_merge_back": (q_txtable_branch_merge_back, TXBRANCH_ORACLE),
+    "stream_stratified_ingest": (q_stream_stratified_ingest, STREAM_STRAT_ORACLE),
+    "weekly_pctl_rollup": (q_weekly_pctl_rollup, WEEKLY_PCTL_ORACLE),
     "jsonl_roundtrip": (q_jsonl_roundtrip, JSONL_ROUNDTRIP_ORACLE),
     "stream_heavy_hitters": (q_stream_heavy_hitters, STREAM_CMS_ORACLE),
     "bm25_topk_docs": (q_bm25_topk_docs, BM25_ORACLE),

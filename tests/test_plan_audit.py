@@ -20,6 +20,7 @@ BNLJ_ALLOWED = {
     "embedding_knn",  # brute-force baseline by design (IVF/LSH are the scale paths)
     "tfidf_top_terms",  # 1-row corpus-count broadcast
     "bm25_topk_docs",  # 1-row (n_docs, avgdl) stats broadcast (STAGED7)
+    "weekly_pctl_rollup",  # 1-row global min/max bin-edge broadcast (STAGED7)
     "neardup_embedding_pairs",  # brute-force verifier (neardup_embedding_lsh is the scale path)
     "pq_search",  # ADC scan: query-set broadcast against compressed codes by design
     "ivfpq_search",  # query x broadcast centroid table for cell probing (both tiny)

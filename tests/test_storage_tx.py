@@ -887,3 +887,51 @@ def test_ivm_minmax_key_count_hint_skips_the_eager_job(spark):
         for r in maintained.collect()
     }
     assert got == expected
+
+
+def test_branch_create_list_merge_back(spark, table):
+    """Named-branch workflow: branch() clones into the table's own
+    _branches/ namespace (discoverable via branches()), the branch's
+    post-fork upserts merge back as its net CDF inserts in one commit,
+    and main's independent advances survive untouched."""
+    table.append(kv(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    br = table.branch("fix")
+    assert table.branches() == ["fix"]
+    assert [h["op"] for h in br.history()] == ["clone"]
+
+    # branch experiments; main advances independently
+    br.merge_upsert(kv(spark, [(2, "B-fixed"), (4, "branch-new")]))
+    table.merge_upsert(kv(spark, [(5, "main-new")]))
+    assert (2, "B-fixed") not in rows_of(table.snapshot())
+
+    v = table.merge_from_branch(table.branch_table("fix"))
+    assert v == table.latest_version()
+    assert rows_of(table.snapshot()) == [
+        (1, "a"), (2, "B-fixed"), (3, "c"), (4, "branch-new"), (5, "main-new"),
+    ]
+    # merge-back is the branch's DELTA, not a replay: unchanged key 1/3
+    # came from main's own files (one merge commit on top of main's two)
+    assert [h["op"] for h in table.history()][-1] == "merge"
+
+
+def test_branch_name_validation_and_missing_branch(spark, table):
+    table.append(kv(spark, [(1, "a")]))
+    for bad in ("", "../escape", "a/b", ".hidden", "x y"):
+        with pytest.raises(ValueError):
+            table.branch(bad)
+    with pytest.raises(FileNotFoundError):
+        table.branch_table("nope")
+    assert table.branches() == []
+
+
+def test_branch_survives_source_compaction_and_vacuum(spark, table):
+    """The hard-link property extends to branches: main compacting and
+    vacuuming away the files the branch still links must not break the
+    branch's snapshot (inode survives), and the branch dir is invisible
+    to main's vacuum scan."""
+    table.append(kv(spark, [(1, "a"), (2, "b")]))
+    br = table.branch("keep")
+    table.overwrite(kv(spark, [(9, "z")]))
+    table.vacuum(keep_versions=1, retention_seconds=0)
+    assert rows_of(br.snapshot()) == [(1, "a"), (2, "b")]
+    assert table.branches() == ["keep"]
