@@ -486,11 +486,12 @@ def q_txtable_clone_divergence(spark, sf_dir):
 _HQ_BINS = 128
 
 HIST_QUANTILE_ORACLE = f"""
-WITH g AS (
+WITH src AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+g AS (
   SELECT event_type, min(value) AS mn, max(value) AS mx,
          CAST(count(*) AS BIGINT) AS n,
          quantile_disc(value, 0.5) AS p50d
-  FROM events GROUP BY 1
+  FROM src GROUP BY 1
 ),
 b AS (
   SELECT e.event_type,
@@ -498,7 +499,7 @@ b AS (
               THEN least({_HQ_BINS - 1},
                          CAST(floor((e.value - g.mn) / ((g.mx - g.mn) / {_HQ_BINS}.0)) AS BIGINT))
               ELSE 0 END AS bin
-  FROM events e JOIN g ON g.event_type = e.event_type
+  FROM src e JOIN g ON g.event_type = e.event_type
 ),
 h AS (SELECT event_type, bin, count(*) AS c FROM b GROUP BY 1, 2),
 cum AS (
@@ -537,7 +538,13 @@ def q_histogram_quantile_sketch(spark, sf_dir):
     ROUNDED values on both engines (the r9 boundary lesson)."""
     from pyspark.sql import Window as W
 
-    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    # NULL values filtered on both sides (same bin-NULL window-ordering
+    # hazard as weekly_pctl_rollup — Spark NULLs-first vs DuckDB NULLs-last)
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
     g = ev.groupBy("event_type").agg(
         F.min("value").alias("mn"),
         F.max("value").alias("mx"),
@@ -926,14 +933,15 @@ def q_stream_stratified_ingest(spark, sf_dir):
 _WPR_BINS = 128
 
 WEEKLY_PCTL_ORACLE = f"""
-WITH g AS (
-  SELECT min(value) AS mn, max(value) AS mx FROM events
+WITH src AS (SELECT ts, value FROM events WHERE value IS NOT NULL),
+g AS (
+  SELECT min(value) AS mn, max(value) AS mx FROM src
 ),
 wk AS (
   SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
          CAST(date_trunc('day', ts) AS DATE) AS day,
          value
-  FROM events
+  FROM src
 ),
 b AS (
   SELECT wk.week, wk.day,
@@ -949,7 +957,7 @@ stats AS (
   SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
          CAST(count(*) AS BIGINT) AS n,
          quantile_disc(value, 0.5) AS p50d
-  FROM events GROUP BY 1
+  FROM src GROUP BY 1
 ),
 cum AS (
   SELECT week, bin,
@@ -987,7 +995,15 @@ def q_weekly_pctl_rollup(spark, sf_dir):
     different cells, or merged wrong, flips the hash."""
     from pyspark.sql import Window as W
 
-    ev = _t(spark, sf_dir, "events").select("ts", "value")
+    # NULL values are filtered on BOTH sides: a NULL lands in a NULL bin,
+    # and the engines disagree on NULL placement in the cumulative window
+    # ORDER BY (Spark sorts NULLs first, DuckDB last) — a latent hash flip
+    # on nullable data even though exact percentiles ignore NULLs anyway.
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select("ts", "value")
+    )
     g = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
     j = ev.join(F.broadcast(g))  # 1-row global-edges broadcast
     width = (F.col("mx") - F.col("mn")) / F.lit(float(_WPR_BINS))

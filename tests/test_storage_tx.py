@@ -935,3 +935,13 @@ def test_branch_survives_source_compaction_and_vacuum(spark, table):
     table.vacuum(keep_versions=1, retention_seconds=0)
     assert rows_of(br.snapshot()) == [(1, "a"), (2, "b")]
     assert table.branches() == ["keep"]
+
+
+def test_merge_from_unchanged_branch_is_a_noop(spark, table):
+    """Merging back a branch with zero post-fork edits commits nothing:
+    the net CDF is empty and the table's version/history are untouched."""
+    table.append(kv(spark, [(1, "a")]))
+    br = table.branch("noop")
+    v = table.merge_from_branch(br)
+    assert v == table.latest_version() == 0
+    assert [h["op"] for h in table.history()] == ["append"]
