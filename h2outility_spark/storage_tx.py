@@ -476,6 +476,43 @@ class TxTable:
             except CommitConflict:
                 continue  # overwrite replaces whatever won; just take the next version
 
+    def _prune_split(self, m: dict, bounds: dict) -> tuple[list, list, list]:
+        """Split the parent's file inventory by per-key [min, max] bounds:
+        (untouched segments carried by NAME — never read, carried file
+        entries, overlapping file entries that must be read and rewritten).
+        A file/segment is prunable when ANY key axis is provably disjoint
+        from the bounds; an all-null bound set prunes everything (null
+        keys never match any recorded range)."""
+        all_null = all(lo is None for lo, _ in bounds.values())
+
+        def _misses(stat_min: dict, stat_max: dict) -> bool:
+            if all_null:
+                return True
+            for k, (lo, hi) in bounds.items():
+                if lo is None:
+                    continue  # all-null keys on this axis: can't prune by it
+                smin, smax = stat_min.get(k), stat_max.get(k)
+                if smin is not None and (smax < lo or smin > hi):
+                    return True
+            return False
+
+        untouched_segs, carried_entries, overlapping = [], [], []
+        for entry in m["_inline_files"]:  # old-format parent: per-entry prune
+            if _misses(entry["min"], entry["max"]):
+                carried_entries.append(entry)
+            else:
+                overlapping.append(entry)
+        for d in m["segments"]:
+            if _misses(d["min"], d["max"]):
+                untouched_segs.append(d)  # carried by name — segment never read
+                continue
+            for entry in self._read_segment(d["name"]):
+                if _misses(entry["min"], entry["max"]):
+                    carried_entries.append(entry)
+                else:
+                    overlapping.append(entry)
+        return untouched_segs, carried_entries, overlapping
+
     def merge_upsert(self, updates: DataFrame, _retries: int = 3, evolve_schema: bool = False) -> int:
         """MERGE (upsert on ``key_cols``): rows matching an update's key are
         replaced; others are kept; unmatched updates are inserted.
@@ -558,34 +595,7 @@ class TxTable:
         bounds = {
             k: (_norm_stat(row[f"lo_{k}"]), _norm_stat(row[f"hi_{k}"])) for k in self.key_cols
         }
-        empty_updates = all(lo is None for lo, _ in bounds.values())
-
-        def _misses(stat_min: dict, stat_max: dict) -> bool:
-            if empty_updates:
-                return True
-            for k, (lo, hi) in bounds.items():
-                if lo is None:
-                    continue  # all-null update keys on this axis: can't prune by it
-                smin, smax = stat_min.get(k), stat_max.get(k)
-                if smin is not None and (smax < lo or smin > hi):
-                    return True
-            return False
-
-        untouched_segs, carried_entries, overlapping = [], [], []
-        for entry in m["_inline_files"]:  # old-format parent: per-entry prune
-            if _misses(entry["min"], entry["max"]):
-                carried_entries.append(entry)
-            else:
-                overlapping.append(entry)
-        for d in m["segments"]:
-            if _misses(d["min"], d["max"]):
-                untouched_segs.append(d)  # carried by name — segment never read
-                continue
-            for entry in self._read_segment(d["name"]):
-                if _misses(entry["min"], entry["max"]):
-                    carried_entries.append(entry)
-                else:
-                    overlapping.append(entry)
+        untouched_segs, carried_entries, overlapping = self._prune_split(m, bounds)
 
         if overlapping:
             paths = [os.path.join(self.table_dir, e["path"]) for e in overlapping]
@@ -610,6 +620,54 @@ class TxTable:
                 # re-merging against a moved snapshot.
                 raise
         raise AssertionError("unreachable")
+
+    def delete_keys(self, keys: DataFrame, _retries: int = 3) -> int:
+        """DELETE by key (copy-on-write): rows whose ``key_cols`` match any
+        row of ``keys`` are removed; everything else is kept. The missing
+        third verb next to append and merge_upsert — retention erasure,
+        right-to-be-forgotten, and the tombstone half of a branch merge
+        all need it.
+
+        Same TWO-level pruning as merge_upsert: whole segments whose key
+        range misses the delete keys carry over by NAME; inside
+        overlapping segments, files are split by recorded key range into
+        carried-by-reference and overlapping (read, matching keys
+        anti-joined out, survivors rewritten). A file fully emptied by the
+        delete is simply dropped (zero-row staged files are never
+        published). Deleted rows surface as 'delete' rows in ``changes()``
+        — the CDF feed ``merge_from_branch(propagate_deletes=True)`` and
+        downstream replicas consume."""
+        m = self.manifest()
+        if m is None:
+            raise FileNotFoundError(f"no committed version in {self.table_dir}")
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        # Conform key types to the TABLE schema (an int-literal key frame
+        # against a bigint key column must cast, not miss every row).
+        target = {f.name: f.dataType for f in StructType.fromDDL(m["schema"]).fields}
+        keys = keys.select(
+            [F.col(k).cast(target[k]).alias(k) for k in self.key_cols]
+        ).distinct()
+        row = keys.select(
+            F.count(F.lit(1)).alias("n_keys"),
+            *[F.min(k).alias(f"lo_{k}") for k in self.key_cols],
+            *[F.max(k).alias(f"hi_{k}") for k in self.key_cols],
+        ).collect()[0]
+        if row["n_keys"] == 0:
+            return m["version"]  # no-op: don't churn history
+        bounds = {
+            k: (_norm_stat(row[f"lo_{k}"]), _norm_stat(row[f"hi_{k}"])) for k in self.key_cols
+        }
+        untouched_segs, carried_entries, overlapping = self._prune_split(m, bounds)
+        rewritten: list[dict] = []
+        if overlapping:
+            paths = [os.path.join(self.table_dir, e["path"]) for e in overlapping]
+            current = self.spark.read.schema(m["schema"]).parquet(*paths)
+            survivors = current.join(keys, self.key_cols, "left_anti")
+            rewritten = self._stage_files(survivors)
+        new = self._write_segments(carried_entries + rewritten)
+        return self._commit(untouched_segs + new, m["schema"], "delete", m["version"])
 
     def restore(self, version: int) -> int:
         """Roll back BY MOVING FORWARD: commit a new version with the file
@@ -739,22 +797,37 @@ class TxTable:
             raise FileNotFoundError(f"no branch {name!r} in {self.table_dir}")
         return TxTable(self.spark, d, key_cols=self.key_cols)
 
-    def merge_from_branch(self, other: "TxTable", since_version: int = 0) -> int:
-        """Merge a branch's post-fork UPSERT-shaped work back into this
-        table: the branch's CDF since ``since_version`` (its fork point —
-        version 0 for a fresh branch) is reduced to its net inserted rows
-        (an update's delete+insert pair nets to the insert, which carries
-        the key's final value) and merge_upserted here in one commit.
-        Deletes performed on the branch are out of scope by contract —
-        they net to bare delete rows, which this merge ignores; a
-        delete-propagating merge needs an explicit tombstone policy the
-        caller must opt into."""
+    def merge_from_branch(
+        self, other: "TxTable", since_version: int = 0, propagate_deletes: bool = False
+    ) -> int:
+        """Merge a branch's post-fork work back into this table: the
+        branch's CDF since ``since_version`` (its fork point — version 0
+        for a fresh branch) is reduced to its net inserted rows (an
+        update's delete+insert pair nets to the insert, which carries the
+        key's final value) and merge_upserted here in one commit.
+
+        Deletes performed on the branch net to bare delete rows. By
+        default they are ignored (merging an experiment must not silently
+        destroy main's rows); ``propagate_deletes=True`` opts into the
+        tombstone policy: keys the branch deleted WITHOUT re-inserting
+        (the delete rows anti-joined against the insert keys — an updated
+        key is never a tombstone) are ``delete_keys``'d here first, then
+        the inserts merge. The tombstone path is TWO commits (delete,
+        then merge) — each individually atomic; readers between them see
+        the post-delete pre-merge state, never a torn file set."""
         from pyspark.sql import functions as F
 
-        net = other.changes(since_version).filter(
-            F.col("_change_type") == "insert"
-        ).drop("_change_type")
-        return self.merge_upsert(net)
+        net = other.changes(since_version)
+        inserts = net.filter(F.col("_change_type") == "insert").drop("_change_type")
+        if propagate_deletes:
+            tombstones = (
+                net.filter(F.col("_change_type") == "delete")
+                .select(*self.key_cols)
+                .join(inserts.select(*self.key_cols).distinct(), self.key_cols, "left_anti")
+                .distinct()
+            )
+            self.delete_keys(tombstones)
+        return self.merge_upsert(inserts)
 
     # -- maintenance -------------------------------------------------------
 

@@ -945,3 +945,77 @@ def test_merge_from_unchanged_branch_is_a_noop(spark, table):
     v = table.merge_from_branch(br)
     assert v == table.latest_version() == 0
     assert [h["op"] for h in table.history()] == ["append"]
+
+
+def test_delete_keys_removes_and_feeds_cdf(spark, table):
+    """delete_keys: matching rows removed, survivors kept, op recorded as
+    'delete', and the removed rows surface as 'delete' rows in changes()
+    — the tombstone feed replicas consume."""
+    v0 = table.append(kv(spark, [(1, "a"), (2, "b"), (3, "c"), (4, "d")]))
+    v1 = table.delete_keys(spark.createDataFrame([(2,), (4,), (99,)], "k int"))
+    assert rows_of(table.snapshot()) == [(1, "a"), (3, "c")]
+    assert [h["op"] for h in table.history()] == ["append", "delete"]
+    cdf = table.changes(v0, v1)
+    dels = sorted(
+        (r["k"], r["v"]) for r in cdf.filter(F.col("_change_type") == "delete").collect()
+    )
+    assert dels == [(2, "b"), (4, "d")]
+    assert cdf.filter(F.col("_change_type") == "insert").count() == 0
+
+
+def test_delete_keys_prunes_disjoint_files(spark, table):
+    """Files whose key range misses the delete keys carry over BY
+    REFERENCE; a file fully emptied by the delete disappears."""
+    table.append(kv(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    table.append(kv(spark, [(100, "x"), (200, "y")]).coalesce(1))
+    before = {e["path"] for e in table.files()}
+    file_b = next(
+        e["path"] for e in table.files() if e["min"]["k"] == 100
+    )
+    table.delete_keys(spark.createDataFrame([(1,), (2,)], "k int"))
+    after = {e["path"] for e in table.files()}
+    assert file_b in after, "disjoint file must carry over by reference"
+    assert rows_of(table.snapshot()) == [(100, "x"), (200, "y")]
+    assert len(after) < len(before) + 1, "the emptied file must not be replaced"
+
+
+def test_delete_keys_noop_and_type_conform(spark, table):
+    """Zero matching keys -> no version churn; int-literal keys against a
+    table key column cast instead of silently missing."""
+    table.append(kv(spark, [(1, "a")]))
+    v = table.delete_keys(spark.createDataFrame([], "k int"))
+    assert v == table.latest_version() == 0
+    # bigint literals against the int key column: conform-cast, then hit
+    table.delete_keys(spark.createDataFrame([(1,)], "k bigint"))
+    assert rows_of(table.snapshot()) == []
+
+
+def test_branch_merge_back_propagates_tombstones_only_on_opt_in(spark, table):
+    """propagate_deletes: keys the branch deleted WITHOUT re-inserting are
+    deleted from main; an updated key (delete+insert pair in the CDF) is
+    never treated as a tombstone. Default merge still ignores deletes."""
+    table.append(kv(spark, [(1, "a"), (2, "b"), (3, "c"), (4, "d")]))
+    br = table.branch("cleanup")
+    br.delete_keys(spark.createDataFrame([(2,), (3,)], "k int"))
+    br.merge_upsert(kv(spark, [(3, "c-new"), (5, "e")]))  # 3 is an update, not a tombstone
+
+    # default: deletes ignored, inserts merged
+    t2 = TxTable(spark, table.table_dir, key_cols=["k"])
+    v_default = t2.merge_from_branch(t2.branch_table("cleanup"))
+    assert rows_of(t2.snapshot()) == [
+        (1, "a"), (2, "b"), (3, "c-new"), (4, "d"), (5, "e"),
+    ]
+    assert v_default == t2.latest_version()
+
+    # opt-in: key 2 (deleted, never re-inserted) is tombstoned away
+    table2 = TxTable(spark, str(table.table_dir) + "_tomb", key_cols=["k"])
+    table2.append(kv(spark, [(1, "a"), (2, "b"), (3, "c"), (4, "d")]))
+    br2 = table2.branch("cleanup")
+    br2.delete_keys(spark.createDataFrame([(2,), (3,)], "k int"))
+    br2.merge_upsert(kv(spark, [(3, "c-new"), (5, "e")]))
+    table2.merge_from_branch(table2.branch_table("cleanup"), propagate_deletes=True)
+    assert rows_of(table2.snapshot()) == [
+        (1, "a"), (3, "c-new"), (4, "d"), (5, "e"),
+    ]
+    ops = [h["op"] for h in table2.history()]
+    assert ops == ["append", "delete", "merge"], ops
