@@ -65,3 +65,136 @@ def count_min_estimate(
     ).withColumn("bucket", F.expr(_bucket_expr(item_col, "j", width)))
     joined = probes.join(F.broadcast(cms), ["j", "bucket"], "left").fillna({"c": 0})
     return joined.groupBy(item_col).agg(F.min("c").alias("est_n"))
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog registers (manual, engine-portable, mergeable)
+# ---------------------------------------------------------------------------
+#
+# Spark's approx_count_distinct carries an opaque binary sketch a SQL
+# oracle cannot rebuild; these registers are the TRANSPARENT form of the
+# same idea (Flajolet et al. 2007): bucket = first 2 md5 hex chars (m =
+# 256, no modulo bias), rho = leading-zero count of the NEXT 8 hex chars
+# (a 32-bit value) + 1, register M_j = max(rho) per bucket. Everything is
+# string/CASE arithmetic — no log2/floats — so Spark and DuckDB produce
+# the IDENTICAL grid, and grids from different days/shards MERGE by
+# cell-wise MAX (union + re-groupBy), the property that lets a daily
+# pipeline serve any rollup grain (weekly, monthly) from stored daily
+# registers without rescanning rows.
+
+HLL_M = 256  # 2 hex chars exactly — no modulo, no bias
+
+#: alpha_m * m^2 for m = 256 as ONE pinned double literal: both engines
+#: must use this exact value (re-deriving it with a different operation
+#: order can differ in the last ulp and flip a rounded certificate).
+HLL_ALPHA_M2 = 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
+
+#: rho (leading-zero-count + 1) of the 32-bit value in md5 hex chars 3..10,
+#: via string ops only: strip leading '0' hex digits, then CASE on the
+#: first surviving digit's high bits. Portable Spark/DuckDB verbatim.
+_HLL_RHO_SQL_TMPL = (
+    "(CASE WHEN {stripped} = '' THEN 33 "
+    "ELSE 4 * (8 - length({stripped})) + "
+    "(CASE WHEN substr({stripped}, 1, 1) = '1' THEN 3 "
+    " WHEN substr({stripped}, 1, 1) IN ('2', '3') THEN 2 "
+    " WHEN substr({stripped}, 1, 1) IN ('4', '5', '6', '7') THEN 1 "
+    " ELSE 0 END) + 1 END)"
+)
+
+
+def hll_bucket_sql(item_sql: str) -> str:
+    """Bucket 0..255 from the first two md5 hex chars (portable SQL)."""
+    return f"CAST(conv(substr(md5(CAST({item_sql} AS STRING)), 1, 2), 16, 10) AS BIGINT)"
+
+
+def hll_rho_sql(item_sql: str) -> str:
+    """rho = leading-zero bits of the 32-bit hash + 1 (portable SQL)."""
+    stripped = f"regexp_replace(substr(md5(CAST({item_sql} AS STRING)), 3, 8), '^0+', '')"
+    return _HLL_RHO_SQL_TMPL.format(stripped=stripped)
+
+
+def hll_registers(items: DataFrame, item_col: str, *group_cols: str) -> DataFrame:
+    """Per-group HLL register grid: (group_cols..., bucket, reg) rows, one
+    per non-empty bucket — at most ``HLL_M`` rows per group regardless of
+    input size. One combiner-friendly hash aggregate (max is algebraic);
+    grids merge across groups/days by cell-wise MAX."""
+    keyed = items.select(
+        *[F.col(c) for c in group_cols],
+        F.expr(hll_bucket_sql(item_col)).alias("bucket"),
+        F.expr(hll_rho_sql(item_col)).alias("rho"),
+    )
+    return keyed.groupBy(*group_cols, "bucket").agg(F.max("rho").alias("reg"))
+
+
+def hll_merge(grids: DataFrame, *group_cols: str) -> DataFrame:
+    """Merge register grids to a coarser grain (e.g. daily → weekly):
+    cell-wise MAX per (group, bucket). Exact — merging then estimating
+    equals estimating over the union, the HLL mergeability law."""
+    return grids.groupBy(*group_cols, "bucket").agg(F.max("reg").alias("reg"))
+
+
+def hll_estimate(grids: DataFrame, *group_cols: str) -> DataFrame:
+    """Raw HLL estimate per group from a register grid: alpha_m * m^2 /
+    (sum over ALL m buckets of 2^-M_j), empty buckets contributing 2^0.
+    With m = 256 the harmonic sum is a sum of dyadic rationals spanning
+    2^8..2^-33 — under 53 bits of span, so the double sum is EXACT in any
+    order and the estimate is bit-deterministic across engines. The
+    standard small-range correction (E <= 2.5m with empty buckets →
+    linear counting m*ln(m/V)) applies; ln() is the one non-exact step,
+    so certificates should compare ROUNDED estimates."""
+    m = float(HLL_M)
+    agg = grids.groupBy(*group_cols).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("reg"))).alias("s_nonempty"),
+        F.count(F.lit(1)).alias("n_nonempty"),
+    )
+    zeros = F.lit(m) - F.col("n_nonempty")
+    harm = F.col("s_nonempty") + zeros  # empty buckets: 2^0 each
+    raw = F.lit(HLL_ALPHA_M2) / harm
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0), F.lit(m) * F.log(F.lit(m) / zeros)
+    ).otherwise(raw)
+    return agg.select(*group_cols, est.alias("est_distinct"))
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (bit positions as rows — the join-prefilter form)
+# ---------------------------------------------------------------------------
+#
+# The filter is represented RELATIONALLY: a tiny DataFrame of the set bit
+# positions (at most m_bits rows), not a packed bitset — which is exactly
+# what a broadcast hash join wants, and what a SQL oracle can rebuild
+# verbatim. k md5-derived positions per key; a probe survives iff ALL k
+# of its positions are set (no false negatives ever; false positives at
+# the standard (1 - e^{-kn/m})^k rate). This is the semi-join prefilter
+# pattern (Spark's own runtime row-group bloom pushdown, Bloom 1970):
+# ship the small side's filter to the big side and drop most non-matching
+# rows BEFORE the shuffle/join.
+
+
+def _bloom_pos_sql(item_sql: str, i: int, m_bits: int) -> str:
+    return (
+        f"CAST(conv(substr(md5(concat(CAST({item_sql} AS STRING), '#', "
+        f"CAST({i} AS STRING))), 1, 8), 16, 10) AS BIGINT) % {m_bits}"
+    )
+
+
+def bloom_bits(keys: DataFrame, key_col: str, m_bits: int = 1024, k: int = 3) -> DataFrame:
+    """Build the filter from the (small) key side: distinct set bit
+    positions, one row each — at most ``m_bits`` rows however many keys."""
+    pos = F.array(*[F.expr(_bloom_pos_sql(key_col, i, m_bits)) for i in range(k)])
+    return keys.select(F.explode(pos).alias("pos")).distinct()
+
+
+def bloom_probe(df: DataFrame, probe_col: str, bits: DataFrame, m_bits: int = 1024, k: int = 3) -> DataFrame:
+    """Keep only rows of ``df`` whose ``probe_col`` the filter MIGHT
+    contain: all k bit positions set. The bits frame is broadcast (≤
+    m_bits rows); the probe adds one narrow projection + one broadcast
+    semi-join per position batch — no shuffle of ``df``. Survivors still
+    need the exact join (false positives pass by design)."""
+    pos_cols = [F.expr(_bloom_pos_sql(probe_col, i, m_bits)).alias(f"__p{i}") for i in range(k)]
+    probed = df.select("*", *pos_cols)
+    for i in range(k):
+        # fresh projection per position: k independent broadcast semi-joins
+        marked = F.broadcast(bits.select(F.col("pos").alias(f"__p{i}")))
+        probed = probed.join(marked, f"__p{i}", "semi")
+    return probed.drop(*[f"__p{i}" for i in range(k)])

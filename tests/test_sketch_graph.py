@@ -1,0 +1,126 @@
+"""Unit laws for the round-12 additions: manual HLL registers (portable,
+mergeable), the relational Bloom filter (no false negatives ever), and
+semi-supervised label propagation (synchronous majority vote, clamped
+seeds, deterministic tie-break)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from h2outility_spark.operators import graph, sketch
+
+
+# -- HLL registers -----------------------------------------------------------
+
+
+def _ids(spark, lo, hi):
+    return spark.range(lo, hi).select(F.col("id").alias("k"))
+
+
+def test_hll_registers_bounded_and_deterministic(spark):
+    grid = sketch.hll_registers(_ids(spark, 0, 5000), "k")
+    rows = {(r["bucket"], r["reg"]) for r in grid.collect()}
+    assert len(rows) <= sketch.HLL_M
+    assert all(0 <= b < sketch.HLL_M and 1 <= g <= 33 for b, g in rows)
+    again = {(r["bucket"], r["reg"]) for r in sketch.hll_registers(_ids(spark, 0, 5000), "k").collect()}
+    assert rows == again  # md5-derived: no RNG state anywhere
+
+
+def test_hll_merge_equals_union_build(spark):
+    # the mergeability law: build per shard, max-merge, equals one-shot build
+    a = sketch.hll_registers(_ids(spark, 0, 3000).withColumn("g", F.lit(1)), "k", "g")
+    b = sketch.hll_registers(_ids(spark, 2000, 6000).withColumn("g", F.lit(1)), "k", "g")
+    merged = sketch.hll_merge(a.unionByName(b), "g")
+    oneshot = sketch.hll_registers(_ids(spark, 0, 6000).withColumn("g", F.lit(1)), "k", "g")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, oneshot.collect()))
+
+
+def test_hll_estimate_within_expected_error(spark):
+    # m=256 -> standard error ~6.5%; assert a generous 3-sigma 20% band
+    n = 10_000
+    grid = sketch.hll_registers(_ids(spark, 0, n).withColumn("g", F.lit(1)), "k", "g")
+    est = sketch.hll_estimate(grid, "g").collect()[0]["est_distinct"]
+    assert abs(est / n - 1.0) < 0.20, est
+
+
+def test_hll_small_range_correction_is_tight(spark):
+    # tiny cardinalities fall into linear counting, which is near-exact
+    n = 40
+    grid = sketch.hll_registers(_ids(spark, 0, n).withColumn("g", F.lit(1)), "k", "g")
+    est = sketch.hll_estimate(grid, "g").collect()[0]["est_distinct"]
+    assert abs(est - n) < 8, est
+
+
+# -- Bloom filter ------------------------------------------------------------
+
+
+def test_bloom_never_false_negative(spark):
+    keys = _ids(spark, 0, 500)
+    bits = sketch.bloom_bits(keys, "k", m_bits=4096, k=3)
+    probes = _ids(spark, 0, 2000)
+    kept = {r["k"] for r in sketch.bloom_probe(probes, "k", bits, m_bits=4096, k=3).collect()}
+    assert set(range(500)) <= kept, "a Bloom filter must never drop a member"
+
+
+def test_bloom_filters_most_nonmembers(spark):
+    # 500 keys in 4096 bits, k=3: fp rate ~ (1-e^{-3*500/4096})^3 ~ 2.9%
+    keys = _ids(spark, 0, 500)
+    bits = sketch.bloom_bits(keys, "k", m_bits=4096, k=3)
+    probes = _ids(spark, 500, 10_500)  # 10k non-members
+    n_fp = sketch.bloom_probe(probes, "k", bits, m_bits=4096, k=3).count()
+    assert n_fp < 1000, f"false-positive rate implausibly high: {n_fp}/10000"
+
+
+def test_bloom_bits_bounded(spark):
+    bits = sketch.bloom_bits(_ids(spark, 0, 100_000), "k", m_bits=256, k=3)
+    n = bits.count()
+    assert n <= 256, "the filter is at most m_bits rows regardless of key count"
+
+
+# -- label propagation -------------------------------------------------------
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "id_a long, id_b long")
+
+
+def _seeds(spark, rows):
+    return spark.createDataFrame(rows, "node long, label string")
+
+
+def test_labels_spread_along_chain(spark):
+    # seed at one end of a 3-hop path: 3 rounds reach the far end
+    out = graph.label_propagation(
+        _edges(spark, [(1, 2), (2, 3), (3, 4)]), _seeds(spark, [(1, "x")]), n_iter=3
+    )
+    got = {r["node"]: r["label"] for r in out.collect()}
+    assert got == {1: "x", 2: "x", 3: "x", 4: "x"}
+
+
+def test_seeds_are_clamped_and_majority_wins(spark):
+    # node 3 neighbors two 'a' seeds and one 'b' seed: majority 'a';
+    # the 'b' seed itself must NOT flip to 'a' (clamped)
+    edges = _edges(spark, [(1, 3), (2, 3), (4, 3), (1, 4)])
+    seeds = _seeds(spark, [(1, "a"), (2, "a"), (4, "b")])
+    out = graph.label_propagation(edges, seeds, n_iter=2)
+    got = {r["node"]: r["label"] for r in out.collect()}
+    assert got[3] == "a"
+    assert got[4] == "b", "seeded nodes keep their label permanently"
+
+
+def test_tie_breaks_to_min_label(spark):
+    # one 'a' neighbor, one 'b' neighbor: tie -> lexicographically smaller
+    out = graph.label_propagation(
+        _edges(spark, [(1, 3), (2, 3)]), _seeds(spark, [(1, "b"), (2, "a")]), n_iter=1
+    )
+    got = {r["node"]: r["label"] for r in out.collect()}
+    assert got[3] == "a"
+
+
+def test_unreached_nodes_stay_null(spark):
+    out = graph.label_propagation(
+        _edges(spark, [(1, 2), (10, 11)]), _seeds(spark, [(1, "x")]), n_iter=3
+    )
+    got = {r["node"]: r["label"] for r in out.collect()}
+    assert got[10] is None and got[11] is None
+    assert got[2] == "x"
