@@ -21,6 +21,8 @@ BNLJ_ALLOWED = {
     "tfidf_top_terms",  # 1-row corpus-count broadcast
     "bm25_topk_docs",  # 1-row (n_docs, avgdl) stats broadcast (STAGED7)
     "weekly_pctl_rollup",  # 1-row global min/max bin-edge broadcast (STAGED7)
+    "mixture_temperature_plan",  # two 1-row broadcasts: total tokens + normalizer (STAGED8)
+    "pack_conservation_cert",  # 1-row corpus-stats broadcast x 1-row bin-stats (STAGED8)
     "neardup_embedding_pairs",  # brute-force verifier (neardup_embedding_lsh is the scale path)
     "pq_search",  # ADC scan: query-set broadcast against compressed codes by design
     "ivfpq_search",  # query x broadcast centroid table for cell probing (both tiny)
@@ -49,9 +51,14 @@ def test_bnlj_allowlist_is_tight(spark):
     """Every allowlisted name must still exist (registered or staged) and
     still plan a BNLJ — stale entries would quietly widen the allowlist."""
     from h2outility_spark.workload_next7 import STAGED7
+    from h2outility_spark.workload_next8 import STAGED8
 
     reg = workload.registry()
-    fns = {**{n: s.fn for n, s in reg.items()}, **{n: fn for n, (fn, _o) in STAGED7.items()}}
+    fns = {
+        **{n: s.fn for n, s in reg.items()},
+        **{n: fn for n, (fn, _o) in STAGED7.items()},
+        **{n: fn for n, (fn, _o) in STAGED8.items()},
+    }
     stale = [n for n in BNLJ_ALLOWED if n not in fns]
     assert not stale, f"allowlisted queries no longer registered/staged: {stale}"
     no_longer = []
@@ -71,9 +78,10 @@ def test_staged_pairs_plan_clean(spark):
     from h2outility_spark.workload_next5 import STAGED5
     from h2outility_spark.workload_next6 import STAGED6
     from h2outility_spark.workload_next7 import STAGED7
+    from h2outility_spark.workload_next8 import STAGED8
 
     offenders: dict[str, list[str]] = {}
-    for name, (fn, _oracle) in {**STAGED4, **STAGED5, **STAGED6, **STAGED7}.items():
+    for name, (fn, _oracle) in {**STAGED4, **STAGED5, **STAGED6, **STAGED7, **STAGED8}.items():
         plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
         flags = [b for b in ("CartesianProduct", "BroadcastNestedLoopJoin") if b in plan]
         if "CartesianProduct" in flags or (
