@@ -347,8 +347,27 @@ def make_quarantine_handler(main_dir, quar_dir, meta_dir, ctl):
     via a marker file written last. A replayed batch_id returns
     immediately — re-routing against the ALREADY-ADVANCED watermark would
     reroute the batch's own rows as late, and a plain append would land
-    every row twice. Module-level so the replay unit test can re-invoke
-    it with a repeated batch_id directly."""
+    every row twice. The watermark itself is RESTART-SAFE: each marker
+    records the post-batch watermark, and a fresh handler (new process,
+    empty ``ctl``) rehydrates the max over committed markers — without
+    this, a restart would route genuinely-late stragglers as on-time
+    against a NULL watermark. Module-level so the replay/restart unit
+    tests can re-invoke it with a repeated batch_id directly."""
+    import datetime
+
+    def _load_wm():
+        wms = []
+        for n in os.listdir(meta_dir):
+            if not n.startswith("applied_"):
+                continue
+            with open(os.path.join(meta_dir, n)) as f:
+                text = f.read().strip()
+            if text:
+                wms.append(datetime.datetime.fromisoformat(text))
+        return max(wms) if wms else None
+
+    if ctl.get("wm") is None:
+        ctl["wm"] = _load_wm()
 
     def handle(batch_df, batch_id) -> None:
         marker = os.path.join(meta_dir, f"applied_{batch_id}")
@@ -360,14 +379,13 @@ def make_quarantine_handler(main_dir, quar_dir, meta_dir, ctl):
         ontime.write.mode("overwrite").parquet(os.path.join(main_dir, f"batch_{batch_id}"))
         late.write.mode("overwrite").parquet(os.path.join(quar_dir, f"batch_{batch_id}"))
         # bounded scalar collect: the batch's event-time frontier
-        import datetime
-
         mx = batch_df.agg(F.max("ts")).collect()[0][0]
         if mx is not None:
             cand = mx - datetime.timedelta(seconds=_LATE_DELAY_S)
             ctl["wm"] = cand if wm is None else max(wm, cand)
-        with open(marker, "w"):
-            pass
+        with open(marker, "w") as f:
+            if ctl["wm"] is not None:
+                f.write(ctl["wm"].isoformat())
         ctl["n_batches"] += 1
 
     return handle

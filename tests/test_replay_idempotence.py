@@ -102,3 +102,39 @@ def test_quarantine_routes_unchanged_by_replayed_batch(spark, tmp_path):
     handle(b0, 0)
     assert _routes(spark, main_dir, quar_dir, b0.schema) == (main_rows, quar_rows)
     assert ctl["wm"] == max(wm_after_b0, ctl["wm"]), "watermark stays monotonic"
+
+
+def test_quarantine_watermark_survives_restart(spark, tmp_path):
+    """A FRESH handler (new process: empty ctl) over the same meta dir
+    must rehydrate the committed watermark from the markers — otherwise a
+    restart routes genuinely-late stragglers as on-time against a NULL
+    watermark."""
+    from h2outility_spark.sources.parquet import load_table
+
+    main_dir = str(tmp_path / "main")
+    quar_dir = str(tmp_path / "quar")
+    meta_dir = str(tmp_path / "meta")
+    for d in (main_dir, quar_dir, meta_dir):
+        os.makedirs(d)
+    ctl = {"wm": None, "n_batches": 0}
+    handle = make_quarantine_handler(main_dir, quar_dir, meta_dir, ctl)
+
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "user_id", "ts")
+    handle(ev.filter(F.col("user_id") % 2 == 0), 0)
+    wm_before = ctl["wm"]
+    assert wm_before is not None
+
+    # "restart": a brand-new handler with an empty ctl over the same dirs
+    ctl2 = {"wm": None, "n_batches": 0}
+    handle2 = make_quarantine_handler(main_dir, quar_dir, meta_dir, ctl2)
+    assert ctl2["wm"] == wm_before, "watermark must rehydrate from the markers"
+
+    # a batch of below-watermark stragglers routes ENTIRELY to quarantine
+    old = ev.orderBy("ts").limit(5)
+    assert old.agg(F.max("ts")).collect()[0][0] < wm_before  # genuinely late
+    handle2(old, 1)
+    quar = spark.read.schema(old.schema).parquet(os.path.join(quar_dir, "batch_1"))
+    assert quar.count() == 5, "restart must not forget the watermark"
+    # replay of the pre-restart batch is still a no-op
+    handle2(ev.filter(F.col("user_id") % 2 == 0), 0)
+    assert ctl2["n_batches"] == 1
