@@ -37,9 +37,13 @@ def label_propagation(
 ) -> DataFrame:
     """Synchronous majority-label propagation over an undirected graph.
 
-    ``edges``: (id_a, id_b) pairs, treated as undirected (symmetrized
-    here; self-loops are harmless but contribute a vote). ``seeds``:
-    (node, label) rows — these nodes keep their label PERMANENTLY.
+    ``edges``: (id_a, id_b) pairs, treated as undirected and DEDUPLICATED
+    (the symmetrized edge set is made distinct here, so a pair listed as
+    both (a,b) and (b,a), or repeated, still casts exactly one vote per
+    direction — simple-graph semantics, matching an oracle built on
+    distinct pairs; self-loops are harmless but contribute a vote).
+    ``seeds``: (node, label) rows — these nodes keep their label
+    PERMANENTLY.
 
     Each round, every node's next label is::
 
@@ -50,8 +54,10 @@ def label_propagation(
     Returns (node, label) for every node appearing in the edge list or
     the seed set; nodes never reached by any label carry NULL.
     """
-    sym = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).unionByName(
-        edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    sym = (
+        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
     )
     seed = seeds.select(
         F.col(node_col).alias("node"), F.col(label_col).alias("seed_label")

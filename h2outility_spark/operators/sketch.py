@@ -117,7 +117,12 @@ def hll_registers(items: DataFrame, item_col: str, *group_cols: str) -> DataFram
     """Per-group HLL register grid: (group_cols..., bucket, reg) rows, one
     per non-empty bucket — at most ``HLL_M`` rows per group regardless of
     input size. One combiner-friendly hash aggregate (max is algebraic);
-    grids merge across groups/days by cell-wise MAX."""
+    grids merge across groups/days by cell-wise MAX. NULL items are
+    filtered here (count-distinct semantics ignore NULLs): md5(NULL) is
+    NULL, and a (NULL, NULL) grid row would inflate ``hll_estimate``'s
+    non-empty-bucket count while contributing nothing to the harmonic
+    sum — a silent estimate shift."""
+    items = items.filter(F.col(item_col).isNotNull())
     keyed = items.select(
         *[F.col(c) for c in group_cols],
         F.expr(hll_bucket_sql(item_col)).alias("bucket"),

@@ -308,6 +308,18 @@ def hash_split(docs, train: int = 8, val: int = 1, test: int = 1, id_col: str = 
     return docs.withColumn("split", split)
 
 
+def shard_expr_sql(id_col: str, n_shards: int) -> str:
+    """Portable SQL for the deterministic md5-cell shard of an id: the
+    first 8 md5 hex chars (a 32-bit value) modulo ``n_shards``. THE single
+    definition of the shard derivation — ``pack_sequences(n_shards=k)``,
+    the sharded RAG-prep pairs, and their oracles must all agree on it,
+    so a change here is a change everywhere at once (never fork it)."""
+    return (
+        f"CAST(conv(substr(md5(CAST({id_col} AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+        f" % {n_shards}"
+    )
+
+
 def pack_sequences(
     docs,
     budget_tokens: int,
@@ -353,9 +365,7 @@ def pack_sequences(
         )
     if not isinstance(n_shards, int) or isinstance(n_shards, bool) or n_shards <= 0:
         raise ValueError(f"pack_sequences: n_shards must be a positive int, got {n_shards!r}")
-    shard = F.expr(
-        f"CAST(conv(substr(md5(CAST({id_col} AS STRING)), 1, 8), 16, 10) AS BIGINT) % {n_shards}"
-    )
+    shard = F.expr(shard_expr_sql(id_col, n_shards))
     w = W.partitionBy("shard").orderBy(id_col).rowsBetween(W.unboundedPreceding, -1)
     binned = (
         toks.withColumn("shard", shard)

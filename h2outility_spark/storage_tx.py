@@ -621,7 +621,7 @@ class TxTable:
                 raise
         raise AssertionError("unreachable")
 
-    def delete_keys(self, keys: DataFrame, _retries: int = 3) -> int:
+    def delete_keys(self, keys: DataFrame) -> int:
         """DELETE by key (copy-on-write): rows whose ``key_cols`` match any
         row of ``keys`` are removed; everything else is kept. The missing
         third verb next to append and merge_upsert — retention erasure,
@@ -660,13 +660,16 @@ class TxTable:
             k: (_norm_stat(row[f"lo_{k}"]), _norm_stat(row[f"hi_{k}"])) for k in self.key_cols
         }
         untouched_segs, carried_entries, overlapping = self._prune_split(m, bounds)
-        rewritten: list[dict] = []
-        if overlapping:
-            paths = [os.path.join(self.table_dir, e["path"]) for e in overlapping]
-            current = self.spark.read.schema(m["schema"]).parquet(*paths)
-            survivors = current.join(keys, self.key_cols, "left_anti")
-            rewritten = self._stage_files(survivors)
-        new = self._write_segments(carried_entries + rewritten)
+        if not overlapping:
+            # Every file's key range provably misses the delete keys: the
+            # delete cannot remove a row, so committing would publish a
+            # byte-identical version — the same history churn the empty-
+            # keys early return avoids.
+            return m["version"]
+        paths = [os.path.join(self.table_dir, e["path"]) for e in overlapping]
+        current = self.spark.read.schema(m["schema"]).parquet(*paths)
+        survivors = current.join(keys, self.key_cols, "left_anti")
+        new = self._write_segments(carried_entries + self._stage_files(survivors))
         return self._commit(untouched_segs + new, m["schema"], "delete", m["version"])
 
     def restore(self, version: int) -> int:
@@ -786,14 +789,21 @@ class TxTable:
         d = os.path.join(self.table_dir, self._BRANCH_DIR)
         if not os.path.isdir(d):
             return []
+        # A branch exists only once its clone COMMITTED a manifest: an
+        # interrupted branch() leaves the bare directory skeleton
+        # (TxTable.__init__ creates it before any file links), and listing
+        # that phantom would hand callers a table that raises on first
+        # read.
         return sorted(
-            n for n in os.listdir(d) if os.path.isdir(os.path.join(d, n, _MANIFEST_DIR))
+            n
+            for n in os.listdir(d)
+            if glob.glob(os.path.join(d, n, _MANIFEST_DIR, "v*.json"))
         )
 
     def branch_table(self, name: str) -> "TxTable":
         self._check_branch_name(name)
         d = os.path.join(self.table_dir, self._BRANCH_DIR, name)
-        if not os.path.isdir(os.path.join(d, _MANIFEST_DIR)):
+        if not glob.glob(os.path.join(d, _MANIFEST_DIR, "v*.json")):
             raise FileNotFoundError(f"no branch {name!r} in {self.table_dir}")
         return TxTable(self.spark, d, key_cols=self.key_cols)
 
@@ -817,17 +827,29 @@ class TxTable:
         the post-delete pre-merge state, never a torn file set."""
         from pyspark.sql import functions as F
 
-        net = other.changes(since_version)
-        inserts = net.filter(F.col("_change_type") == "insert").drop("_change_type")
-        if propagate_deletes:
-            tombstones = (
-                net.filter(F.col("_change_type") == "delete")
-                .select(*self.key_cols)
-                .join(inserts.select(*self.key_cols).distinct(), self.key_cols, "left_anti")
-                .distinct()
-            )
-            self.delete_keys(tombstones)
-        return self.merge_upsert(inserts)
+        # The CDF plan holds two exceptAll shuffles over the changed files;
+        # downstream it is consumed up to four times (the bounds collects
+        # and the staged writes of delete_keys + merge_upsert). Persist it
+        # so the expensive diff runs once, keeping the advertised
+        # O(changes)-per-merge cost.
+        net = other.changes(since_version).persist()
+        try:
+            inserts = net.filter(F.col("_change_type") == "insert").drop("_change_type")
+            if propagate_deletes:
+                tombstones = (
+                    net.filter(F.col("_change_type") == "delete")
+                    .select(*self.key_cols)
+                    .join(
+                        inserts.select(*self.key_cols).distinct(),
+                        self.key_cols,
+                        "left_anti",
+                    )
+                    .distinct()
+                )
+                self.delete_keys(tombstones)
+            return self.merge_upsert(inserts)
+        finally:
+            net.unpersist()
 
     # -- maintenance -------------------------------------------------------
 

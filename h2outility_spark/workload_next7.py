@@ -380,12 +380,25 @@ def make_quarantine_handler(main_dir, quar_dir, meta_dir, ctl):
         late.write.mode("overwrite").parquet(os.path.join(quar_dir, f"batch_{batch_id}"))
         # bounded scalar collect: the batch's event-time frontier
         mx = batch_df.agg(F.max("ts")).collect()[0][0]
+        new_wm = wm
         if mx is not None:
             cand = mx - datetime.timedelta(seconds=_LATE_DELAY_S)
-            ctl["wm"] = cand if wm is None else max(wm, cand)
-        with open(marker, "w") as f:
-            if ctl["wm"] is not None:
-                f.write(ctl["wm"].isoformat())
+            new_wm = cand if wm is None else max(wm, cand)
+        # Commit ORDER matters: the marker (carrying the post-batch
+        # watermark) lands atomically via tmp+rename BEFORE any in-memory
+        # state mutates. A marker-write failure therefore leaves ctl
+        # untouched, so an in-process retry of the same batch re-routes
+        # against the ORIGINAL watermark — not the advanced one — and a
+        # crash mid-write can never leave a truncated timestamp for
+        # _load_wm to choke on at restart.
+        # dot-prefixed so an orphaned temp never matches _load_wm's
+        # "applied_" scan
+        tmp = os.path.join(meta_dir, f".tmp_applied_{batch_id}")
+        with open(tmp, "w") as f:
+            if new_wm is not None:
+                f.write(new_wm.isoformat())
+        os.replace(tmp, marker)
+        ctl["wm"] = new_wm
         ctl["n_batches"] += 1
 
     return handle
@@ -802,11 +815,7 @@ def q_rag_prep_sharded(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     chunks = T.chunk_sliding(docs, size=64, stride=48).withColumn(
-        "shard",
-        F.expr(
-            f"CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
-            f" % {_RAG_SHARDS}"
-        ),
+        "shard", F.expr(T.shard_expr_sql("doc_id", _RAG_SHARDS))
     )
     w = (
         W.partitionBy("shard")

@@ -67,8 +67,6 @@ Coverage targets:
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import Window as W, functions as F
 
 from h2outility_spark.operators import graph, sketch

@@ -124,3 +124,18 @@ def test_unreached_nodes_stay_null(spark):
     got = {r["node"]: r["label"] for r in out.collect()}
     assert got[10] is None and got[11] is None
     assert got[2] == "x"
+
+
+def test_hll_ignores_null_items(spark):
+    # count-distinct semantics: NULLs contribute nothing — no NULL-bucket
+    # row, identical grid and estimate with or without NULL rows
+    clean = _ids(spark, 0, 100).withColumn("g", F.lit(1))
+    dirty = clean.unionByName(
+        spark.sql("SELECT CAST(NULL AS BIGINT) AS k, 1 AS g FROM range(50)")
+    )
+    g_clean = sorted(map(tuple, sketch.hll_registers(clean, "k", "g").collect()))
+    g_dirty = sorted(map(tuple, sketch.hll_registers(dirty, "k", "g").collect()))
+    assert g_clean == g_dirty
+    e_clean = sketch.hll_estimate(sketch.hll_registers(clean, "k", "g"), "g").collect()
+    e_dirty = sketch.hll_estimate(sketch.hll_registers(dirty, "k", "g"), "g").collect()
+    assert e_clean == e_dirty

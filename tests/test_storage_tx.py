@@ -1019,3 +1019,32 @@ def test_branch_merge_back_propagates_tombstones_only_on_opt_in(spark, table):
     ]
     ops = [h["op"] for h in table2.history()]
     assert ops == ["append", "delete", "merge"], ops
+
+
+def test_delete_keys_disjoint_bounds_is_a_noop(spark, table):
+    """Delete keys provably outside every file's range must not publish a
+    new (byte-identical) version — same no-churn contract as empty keys."""
+    table.append(kv(spark, [(1, "a"), (2, "b")]))
+    v = table.delete_keys(spark.createDataFrame([(500,), (600,)], "k int"))
+    assert v == table.latest_version() == 0
+    assert [h["op"] for h in table.history()] == ["append"]
+
+
+def test_interrupted_branch_is_not_listed(spark, table):
+    """A branch directory skeleton without a committed manifest (an
+    interrupted branch()) must be invisible: branches() skips it and
+    branch_table() raises instead of returning a table that errors on
+    first read."""
+    import os
+
+    import pytest as _pytest
+
+    table.append(kv(spark, [(1, "a")]))
+    table.branch("good")
+    os.makedirs(
+        os.path.join(table.table_dir, "_branches", "phantom", "_manifests"),
+        exist_ok=True,
+    )
+    assert table.branches() == ["good"]
+    with _pytest.raises(FileNotFoundError):
+        table.branch_table("phantom")
