@@ -34,6 +34,7 @@ def label_propagation(
     id_b: str = "id_b",
     node_col: str = "node",
     label_col: str = "label",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Synchronous majority-label propagation over an undirected graph.
 
@@ -53,10 +54,20 @@ def label_propagation(
 
     Returns (node, label) for every node appearing in the edge list or
     the seed set; nodes never reached by any label carry NULL.
+
+    ``weight_col``: optional edge-weight column — the vote becomes
+    sum(weight) instead of count (count DESC → weight-sum DESC, same
+    tie-break). Weighted edges are expected PRE-AGGREGATED (one row per
+    undirected pair; byte-identical duplicate rows still collapse in the
+    distinct). Integer weights keep the vote fully deterministic; float
+    weights inherit float-sum ordering caveats.
     """
+    wcols = [F.col(weight_col).alias("w")] if weight_col else []
     sym = (
-        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"), *wcols)
+        .unionByName(
+            edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"), *wcols)
+        )
         .distinct()
     )
     seed = seeds.select(
@@ -79,7 +90,9 @@ def label_propagation(
                 "src",
             )
             .groupBy(F.col("dst").alias("node"), "label")
-            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(
+                F.sum("w").alias("c") if weight_col else F.count(F.lit(1)).alias("c")
+            )
         )
         best = (
             votes.withColumn("rk", F.row_number().over(rk_w))

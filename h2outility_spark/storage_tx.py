@@ -851,6 +851,21 @@ class TxTable:
         finally:
             net.unpersist()
 
+    def branch_conflicts(
+        self, a: "TxTable", b: "TxTable", since_a: int = 0, since_b: int = 0
+    ) -> DataFrame:
+        """Keys TOUCHED (net-inserted or net-deleted) on BOTH branches
+        since their fork points — the divergence report a three-way merge
+        needs before choosing a resolution policy. One row per conflicted
+        key. Cost: each branch's CDF is O(its changed files); the
+        intersection is one join of two key sets."""
+        from pyspark.sql import functions as F
+
+        def _touched(t: "TxTable", since: int) -> DataFrame:
+            return t.changes(since).select(*self.key_cols).distinct()
+
+        return _touched(a, since_a).join(_touched(b, since_b), self.key_cols, "semi")
+
     # -- maintenance -------------------------------------------------------
 
     def compact_files(

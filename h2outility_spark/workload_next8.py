@@ -63,6 +63,19 @@ Coverage targets:
     512-token packer on one row: token conservation (Σ bin totals =
     corpus total) and the straddle bound (max bin ≤ budget − 1 +
     largest doc) — the two invariants a packing bug breaks first.
+  * ``txtable_branch_conflicts`` — the divergence report a three-way
+    merge needs (NEW TxTable API ``branch_conflicts``): keys touched on
+    BOTH branches since the fork, with both branches' values (NULL for
+    a branch delete) and a deterministic resolution beside them.
+  * ``label_prop_weighted`` — ``label_propagation(weight_col=...)``:
+    the vote becomes sum(edge weight) instead of neighbor count —
+    integer trade volumes keep it exact; two rounds unrolled in the
+    oracle like the unweighted pair.
+  * ``hll_week_overlap`` — sketch SET ALGEBRA: week-over-week user
+    retention estimated from stored registers alone via
+    inclusion-exclusion (est_A + est_B − est_union, union = cell-wise
+    MAX merge) beside the exact intersection — the "how many users came
+    back" question answered without rescanning either week.
 """
 
 from __future__ import annotations
@@ -863,6 +876,331 @@ def q_pack_conservation_cert(spark, sf_dir):
     )
 
 
+# -- three-way branch divergence report --------------------------------------------------
+
+TXCONFLICTS_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 100 < 6
+),
+conf AS (
+  SELECT o_orderkey FROM base
+  WHERE o_orderkey % 3 = 0 AND (o_orderkey % 4 = 0 OR o_orderkey % 5 = 0)
+)
+SELECT b.o_orderkey,
+       b.cents AS cents_main,
+       b.cents + 111 AS cents_br1,
+       CASE WHEN b.o_orderkey % 5 = 0 THEN NULL
+            WHEN b.o_orderkey % 4 = 0 THEN b.cents + 222 END AS cents_br2,
+       CASE WHEN b.o_orderkey % 5 = 0 THEN b.cents + 111
+            ELSE greatest(b.cents + 111, b.cents + 222) END AS resolved_cents
+FROM base b JOIN conf USING (o_orderkey)
+"""
+
+
+def q_txtable_branch_conflicts(spark, sf_dir):
+    """The divergence report a three-way merge needs BEFORE choosing a
+    resolution policy (NEW TxTable API ``branch_conflicts``): two
+    branches fork from the same main — one updates every third key
+    (+111), the other updates every fourth (+222) and DELETES every
+    fifth — and the report lists exactly the keys touched on BOTH
+    (%3 ∩ (%4 ∪ %5)), each with main's value, both branches' values
+    (NULL where a branch deleted the key — a delete IS a conflicting
+    touch), and a deterministic keep-the-greater resolution beside
+    them. A key updated then deleted on the second branch (%60) nets to
+    a delete in its CDF and still conflicts. Keys touched on only ONE
+    branch never appear — the asymmetry the report exists to expose."""
+    from h2outility_spark.storage_tx import TxTable
+
+    cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("bigint")
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 100 < 6).select(
+        "o_orderkey", "o_custkey", cents.alias("cents")
+    )
+    main = TxTable(spark, scratch_dir("h2ou_conf_") + "/t", key_cols=["o_orderkey"])
+    main.append(base)
+    br1 = main.branch("fix1")
+    br2 = main.branch("fix2")
+    br1.merge_upsert(
+        base.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+            "cents", F.col("cents") + F.lit(111)
+        )
+    )
+    br2.merge_upsert(
+        base.filter(F.col("o_orderkey") % 4 == 0).withColumn(
+            "cents", F.col("cents") + F.lit(222)
+        )
+    )
+    br2.delete_keys(base.filter(F.col("o_orderkey") % 5 == 0).select("o_orderkey"))
+
+    conf = main.branch_conflicts(main.branch_table("fix1"), main.branch_table("fix2"))
+    cmain = main.snapshot().select("o_orderkey", F.col("cents").alias("cents_main"))
+    c1 = br1.snapshot().select("o_orderkey", F.col("cents").alias("cents_br1"))
+    c2 = br2.snapshot().select("o_orderkey", F.col("cents").alias("cents_br2"))
+    rep = (
+        conf.join(cmain, "o_orderkey")
+        .join(c1, "o_orderkey", "left")
+        .join(c2, "o_orderkey", "left")
+    )
+    resolved = F.when(F.col("cents_br2").isNull(), F.col("cents_br1")).otherwise(
+        F.greatest("cents_br1", "cents_br2")
+    )
+    return rep.select(
+        "o_orderkey",
+        "cents_main",
+        "cents_br1",
+        "cents_br2",
+        resolved.alias("resolved_cents"),
+    )
+
+
+# -- weighted label propagation ----------------------------------------------------------
+
+_LPW_EDGES_CTE = """
+tr AS (
+  SELECT least(c.c_nationkey, s.s_nationkey) AS id_a,
+         greatest(c.c_nationkey, s.s_nationkey) AS id_b,
+         CAST(count(*) AS BIGINT) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+  GROUP BY 1, 2
+),
+sym AS (
+  SELECT id_a AS src, id_b AS dst, w FROM tr
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst, w FROM tr
+),
+seeds AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS node, CAST(n_regionkey AS BIGINT) AS label
+  FROM nation WHERE n_nationkey % 5 = 0
+),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM sym
+    UNION ALL SELECT dst FROM sym
+    UNION ALL SELECT node FROM seeds
+  )
+)
+"""
+
+
+def _label_prop_weighted_oracle(iters: int = _LP_ITERS) -> str:
+    parts = [
+        "WITH " + _LPW_EDGES_CTE.strip(),
+        "l0 AS (SELECT n.node, s.label FROM nodes n LEFT JOIN seeds s USING (node))",
+    ]
+    prev = "l0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f"v{i} AS (SELECT e.dst AS node, p.label, sum(e.w) AS c "
+            f"FROM sym e JOIN {prev} p ON e.src = p.node "
+            f"WHERE p.label IS NOT NULL GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"b{i} AS (SELECT node, label FROM ("
+            f"SELECT node, label, row_number() OVER (PARTITION BY node "
+            f"ORDER BY c DESC, label) AS rk FROM v{i}) WHERE rk = 1)"
+        )
+        parts.append(
+            f"l{i} AS (SELECT p.node, coalesce(s.label, b.label, p.label) AS label "
+            f"FROM {prev} p LEFT JOIN seeds s ON s.node = p.node "
+            f"LEFT JOIN b{i} b ON b.node = p.node)"
+        )
+        prev = f"l{i}"
+    return ",\n".join(parts) + f"\nSELECT node, label FROM {prev}"
+
+
+LABEL_PROP_WEIGHTED_ORACLE = _label_prop_weighted_oracle()
+
+
+def q_label_prop_weighted(spark, sf_dir):
+    """Weighted label propagation (``label_propagation(weight_col=...)``)
+    — the vote is the SUM of edge weights, not the neighbor count, so a
+    heavily-trading neighbor dominates a dozen one-off partners: the
+    form real similarity graphs need (near-dup edges carry Jaccard
+    scores, trade edges carry volumes). Weights here are integer
+    lineitem counts per unordered nation pair, keeping the vote fully
+    deterministic; same clamped seeds, same (weight DESC, label ASC)
+    tie-break, same two unrolled oracle rounds — only the vote aggregate
+    differs from the unweighted pair, which is exactly the drift the
+    shared-structure oracle would catch."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.least("c_nationkey", "s_nationkey").cast("bigint").alias("id_a"),
+            F.greatest("c_nationkey", "s_nationkey").cast("bigint").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    seeds = nation.filter(F.col("n_nationkey") % 5 == 0).select(
+        F.col("n_nationkey").cast("bigint").alias("node"),
+        F.col("n_regionkey").cast("bigint").alias("label"),
+    )
+    return graph.label_propagation(edges, seeds, n_iter=_LP_ITERS, weight_col="w")
+
+
+# -- HLL set algebra: week-over-week retention from registers alone ----------------------
+
+
+def _hll_est_sql(reg_cte: str, key: str) -> str:
+    """Estimate CTE body over a (key, bucket, reg) register CTE — the
+    same pinned-literal formula as HLL_ROLLUP_ORACLE."""
+    return (
+        f"SELECT {key}, CASE WHEN {_HLL_ALPHA_M2!r} / (s + (256.0 - n)) <= 640.0 "
+        f"AND n < 256.0 THEN 256.0 * ln(256.0 / (256.0 - n)) "
+        f"ELSE {_HLL_ALPHA_M2!r} / (s + (256.0 - n)) END AS e FROM ("
+        f"SELECT {key}, sum(power(2.0, -reg)) AS s, CAST(count(*) AS DOUBLE) AS n "
+        f"FROM {reg_cte} GROUP BY 1)"
+    )
+
+
+HLL_OVERLAP_ORACLE = f"""
+WITH e AS (
+  SELECT CAST(date_trunc('week', ts) AS DATE) AS week, user_id
+  FROM events WHERE user_id IS NOT NULL
+),
+h AS (
+  SELECT week,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))::BIGINT AS bucket,
+         regexp_replace(substr(md5(CAST(user_id AS VARCHAR)), 3, 8), '^0+', '') AS stripped
+  FROM e
+),
+wk AS (
+  SELECT week, bucket, max({_HLL_RHO_ORACLE}) AS reg
+  FROM h GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.week AS week, b.week AS week_next
+  FROM (SELECT DISTINCT week FROM wk) a
+  JOIN (SELECT DISTINCT week FROM wk) b ON b.week = a.week + 7
+),
+uni AS (
+  SELECT p.week, r.bucket, max(r.reg) AS reg
+  FROM pairs p JOIN wk r ON r.week = p.week OR r.week = p.week_next
+  GROUP BY 1, 2
+),
+est_w AS ({_hll_est_sql("wk", "week")}),
+est_u AS ({_hll_est_sql("uni", "week")}),
+wu AS (SELECT DISTINCT week, user_id FROM e),
+ex AS (
+  SELECT p.week,
+         (SELECT count(*) FROM wu x
+          JOIN wu y ON y.user_id = x.user_id AND y.week = p.week_next
+          WHERE x.week = p.week) AS n_inter,
+         (SELECT count(*) FROM wu WHERE week = p.week) AS n_a,
+         (SELECT count(*) FROM wu WHERE week = p.week_next) AS n_b
+  FROM pairs p
+)
+SELECT p.week, p.week_next,
+       CAST(ex.n_inter AS BIGINT) AS n_exact_inter,
+       {sql_round("ea.e + eb.e - eu.e", 4)} AS est_inter,
+       abs({sql_round("ea.e + eb.e - eu.e", 4)} - CAST(ex.n_inter AS DOUBLE))
+         <= 0.3 * CAST(ex.n_a + ex.n_b - ex.n_inter AS DOUBLE) + 1.0 AS within_band
+FROM pairs p
+JOIN ex ON ex.week = p.week
+JOIN est_w ea ON ea.week = p.week
+JOIN est_w eb ON eb.week = p.week_next
+JOIN est_u eu ON eu.week = p.week
+"""
+
+
+def q_hll_week_overlap(spark, sf_dir):
+    """Sketch SET ALGEBRA — the question stored registers answer that a
+    single count cannot: how many of week W's users RETURNED in week
+    W+1, estimated WITHOUT rescanning either week's rows. Union
+    registers are the cell-wise MAX merge of the two weekly grids (the
+    same mergeability law the rollup pair certifies), and the
+    intersection falls out by inclusion-exclusion: est_A + est_B −
+    est_union. The exact intersection and a 0.3·|union|+1 accuracy band
+    sit beside the estimate on the hash — the band is wide because
+    inclusion-exclusion compounds three ~6.5%-error estimates, and both
+    engines compute the SAME rounded values so the boolean is
+    parity-stable by construction. The retention/decontamination-overlap
+    pattern at 100 TB: keep daily or weekly registers, answer any
+    overlap question from sketch algebra alone."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select(
+            F.to_date(F.date_trunc("week", F.col("ts"))).alias("week"), "user_id"
+        )
+    )
+    wk = sketch.hll_registers(ev, "user_id", "week")
+    weeks = wk.select("week").distinct()
+    pairs = (
+        weeks.alias("a")
+        .join(
+            weeks.alias("b"),
+            F.col("b.week") == F.date_add(F.col("a.week"), 7),
+        )
+        .select(F.col("a.week").alias("week"), F.col("b.week").alias("week_next"))
+    )
+    ra = wk.join(F.broadcast(pairs.select("week")), "week")
+    rb = (
+        wk.withColumnRenamed("week", "week_next")
+        .join(F.broadcast(pairs), "week_next")
+        .select("week", "bucket", "reg")
+    )
+    uni = sketch.hll_merge(ra.unionByName(rb), "week")
+    est_w = sketch.hll_estimate(wk, "week")
+    est_u = sketch.hll_estimate(uni, "week").withColumnRenamed("est_distinct", "e_u")
+
+    wu = ev.distinct()
+    n_w = wu.groupBy("week").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        wu.alias("x")
+        .join(
+            wu.alias("y"),
+            (F.col("y.user_id") == F.col("x.user_id"))
+            & (F.col("y.week") == F.date_add(F.col("x.week"), 7)),
+        )
+        .groupBy(F.col("x.week").alias("week"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+
+    out = (
+        pairs.join(inter, "week", "left")
+        .join(n_w.withColumnRenamed("n", "n_a"), "week")
+        .join(
+            n_w.withColumnRenamed("n", "n_b").withColumnRenamed("week", "week_next"),
+            "week_next",
+        )
+        .join(est_w.withColumnRenamed("est_distinct", "e_a"), "week")
+        .join(
+            est_w.withColumnRenamed("est_distinct", "e_b").withColumnRenamed(
+                "week", "week_next"
+            ),
+            "week_next",
+        )
+        .join(est_u, "week")
+        .withColumn("n_inter", F.coalesce("n_inter", F.lit(0)))
+    )
+    est_i = fround(F.col("e_a") + F.col("e_b") - F.col("e_u"), 4)
+    n_union = (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+    return out.select(
+        "week",
+        "week_next",
+        F.col("n_inter").alias("n_exact_inter"),
+        est_i.alias("est_inter"),
+        (F.abs(est_i - F.col("n_inter").cast("double")) <= F.lit(0.3) * n_union + F.lit(1.0)).alias(
+            "within_band"
+        ),
+    )
+
+
 #: name -> (fn, oracle) for a future promotion pass and the parity test.
 STAGED8 = {
     "hll_register_rollup": (q_hll_register_rollup, HLL_ROLLUP_ORACLE),
@@ -877,4 +1215,7 @@ STAGED8 = {
     "stratified_topk_sample": (q_stratified_topk_sample, STRAT_TOPK_ORACLE),
     "mixture_temperature_plan": (q_mixture_temperature_plan, MIX_TEMP_ORACLE),
     "pack_conservation_cert": (q_pack_conservation_cert, PACK_CERT_ORACLE),
+    "txtable_branch_conflicts": (q_txtable_branch_conflicts, TXCONFLICTS_ORACLE),
+    "label_prop_weighted": (q_label_prop_weighted, LABEL_PROP_WEIGHTED_ORACLE),
+    "hll_week_overlap": (q_hll_week_overlap, HLL_OVERLAP_ORACLE),
 }

@@ -139,3 +139,25 @@ def test_hll_ignores_null_items(spark):
     e_clean = sketch.hll_estimate(sketch.hll_registers(clean, "k", "g"), "g").collect()
     e_dirty = sketch.hll_estimate(sketch.hll_registers(dirty, "k", "g"), "g").collect()
     assert e_clean == e_dirty
+
+
+def test_weighted_vote_beats_counts(spark):
+    # node 5: two weight-1 'a' neighbors vs one weight-10 'b' neighbor —
+    # unweighted majority says 'a', weighted says 'b'
+    edges = spark.createDataFrame(
+        [(1, 5, 1), (2, 5, 1), (3, 5, 10)], "id_a long, id_b long, w long"
+    )
+    seeds = _seeds(spark, [(1, "a"), (2, "a"), (3, "b")])
+    unweighted = graph.label_propagation(edges, seeds, n_iter=1)
+    weighted = graph.label_propagation(edges, seeds, n_iter=1, weight_col="w")
+    assert {r["node"]: r["label"] for r in unweighted.collect()}[5] == "a"
+    assert {r["node"]: r["label"] for r in weighted.collect()}[5] == "b"
+
+
+def test_weighted_tie_breaks_to_min_label(spark):
+    edges = spark.createDataFrame(
+        [(1, 5, 3), (2, 5, 3)], "id_a long, id_b long, w long"
+    )
+    seeds = _seeds(spark, [(1, "b"), (2, "a")])
+    out = graph.label_propagation(edges, seeds, n_iter=1, weight_col="w")
+    assert {r["node"]: r["label"] for r in out.collect()}[5] == "a"

@@ -1048,3 +1048,27 @@ def test_interrupted_branch_is_not_listed(spark, table):
     assert table.branches() == ["good"]
     with _pytest.raises(FileNotFoundError):
         table.branch_table("phantom")
+
+
+def test_branch_conflicts_reports_only_both_touched(spark, table):
+    """branch_conflicts: keys net-changed on BOTH branches since the fork
+    — an update counts, a delete counts, a key touched on one branch
+    only never appears, and an update-then-revert nets out entirely."""
+    table.append(kv(spark, [(1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e")]))
+    b1 = table.branch("one")
+    b2 = table.branch("two")
+    b1.merge_upsert(kv(spark, [(1, "x"), (2, "x"), (5, "same-key-new-val")]))
+    b2.merge_upsert(kv(spark, [(2, "y"), (3, "y")]))
+    b2.delete_keys(spark.createDataFrame([(1,)], "k int"))
+    # branch two also touches-and-reverts key 4: nets to nothing
+    b2.merge_upsert(kv(spark, [(4, "tmp")]))
+    b2.merge_upsert(kv(spark, [(4, "d")]))
+    got = sorted(
+        r["k"]
+        for r in table.branch_conflicts(
+            table.branch_table("one"), table.branch_table("two")
+        ).collect()
+    )
+    # 1: updated on one, deleted on two; 2: updated on both. 3/5 one side
+    # only; 4 reverted on two.
+    assert got == [1, 2]
