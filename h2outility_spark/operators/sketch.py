@@ -144,20 +144,42 @@ def hll_estimate(grids: DataFrame, *group_cols: str) -> DataFrame:
     With m = 256 the harmonic sum is a sum of dyadic rationals spanning
     2^8..2^-33 — under 53 bits of span, so the double sum is EXACT in any
     order and the estimate is bit-deterministic across engines. The
-    standard small-range correction (E <= 2.5m with empty buckets →
-    linear counting m*ln(m/V)) applies; ln() is the one non-exact step,
-    so certificates should compare ROUNDED estimates."""
+    standard range corrections apply (Flajolet et al. 2007 §4):
+
+    * small range (raw <= 2.5m with empty buckets): linear counting
+      m*ln(m/V);
+    * large range (raw > 2^32/30): the 32-bit hash starts saturating
+      (distinct items collide on the full 32-bit value), corrected by
+      -2^32 * ln(1 - raw/2^32);
+    * saturation ceiling: once raw >= 2^32 the registers carry no
+      recoverable signal (every bucket near max rho) — the estimate is
+      NULL, the out-of-contract marker. Practical contract: estimates
+      are trustworthy up to ~10^8 distinct per group raw and ~4·10^9
+      with the large-range correction; beyond that, use a wider hash.
+
+    ln() is the one non-exact step, so certificates should compare
+    ROUNDED estimates. A fully empty grid (only possible ungrouped:
+    groupBy() over zero rows yields one row with NULL sum) estimates 0
+    via the coalesce + linear-counting path (V = m)."""
     m = float(HLL_M)
+    two32 = 4294967296.0  # 2^32: the hash domain size
     agg = grids.groupBy(*group_cols).agg(
-        F.sum(F.pow(F.lit(2.0), -F.col("reg"))).alias("s_nonempty"),
+        F.coalesce(F.sum(F.pow(F.lit(2.0), -F.col("reg"))), F.lit(0.0)).alias(
+            "s_nonempty"
+        ),
         F.count(F.lit(1)).alias("n_nonempty"),
     )
     zeros = F.lit(m) - F.col("n_nonempty")
     harm = F.col("s_nonempty") + zeros  # empty buckets: 2^0 each
     raw = F.lit(HLL_ALPHA_M2) / harm
-    est = F.when(
-        (raw <= F.lit(2.5 * m)) & (zeros > 0), F.lit(m) * F.log(F.lit(m) / zeros)
-    ).otherwise(raw)
+    est = (
+        F.when(
+            (raw <= F.lit(2.5 * m)) & (zeros > 0), F.lit(m) * F.log(F.lit(m) / zeros)
+        )
+        .when(raw <= F.lit(two32 / 30.0), raw)
+        .when(raw < F.lit(two32), -F.lit(two32) * F.log(F.lit(1.0) - raw / F.lit(two32)))
+        .otherwise(F.lit(None).cast("double"))  # saturated: out of contract
+    )
     return agg.select(*group_cols, est.alias("est_distinct"))
 
 
@@ -196,10 +218,17 @@ def bloom_probe(df: DataFrame, probe_col: str, bits: DataFrame, m_bits: int = 10
     m_bits rows); the probe adds one narrow projection + one broadcast
     semi-join per position batch — no shuffle of ``df``. Survivors still
     need the exact join (false positives pass by design)."""
-    pos_cols = [F.expr(_bloom_pos_sql(probe_col, i, m_bits)).alias(f"__p{i}") for i in range(k)]
+    # Helper-column prefix must not collide with an existing column of
+    # ``df`` (a duplicate name would make the semi-join key ambiguous):
+    # extend deterministically until the whole __p0..__p{k-1} family is free.
+    base = "__p"
+    existing = set(df.columns)
+    while any(f"{base}{i}" in existing for i in range(k)):
+        base = "_" + base
+    pos_cols = [F.expr(_bloom_pos_sql(probe_col, i, m_bits)).alias(f"{base}{i}") for i in range(k)]
     probed = df.select("*", *pos_cols)
     for i in range(k):
         # fresh projection per position: k independent broadcast semi-joins
-        marked = F.broadcast(bits.select(F.col("pos").alias(f"__p{i}")))
-        probed = probed.join(marked, f"__p{i}", "semi")
-    return probed.drop(*[f"__p{i}" for i in range(k)])
+        marked = F.broadcast(bits.select(F.col("pos").alias(f"{base}{i}")))
+        probed = probed.join(marked, f"{base}{i}", "semi")
+    return probed.drop(*[f"{base}{i}" for i in range(k)])

@@ -103,6 +103,24 @@ _HLL_RHO_ORACLE = (
     " ELSE 0 END) + 1 END)"
 )
 
+
+def _hll_case_sql(s: str, n: str) -> str:
+    """The full ``sketch.hll_estimate`` range-correction CASE over a
+    harmonic-sum column ``s`` and non-empty-bucket count ``n`` — kept in
+    exact branch-for-branch sync with the Spark operator (small-range
+    linear counting, raw, 32-bit large-range correction, NULL past
+    saturation). The large-range branches are untaken at any test SF
+    but pinned here so both engines state the same estimator."""
+    raw = f"{_HLL_ALPHA_M2!r} / ({s} + (256.0 - {n}))"
+    return (
+        f"CASE WHEN {raw} <= 640.0 AND {n} < 256.0 "
+        f"THEN 256.0 * ln(256.0 / (256.0 - {n})) "
+        f"WHEN {raw} <= 4294967296.0 / 30.0 THEN {raw} "
+        f"WHEN {raw} < 4294967296.0 "
+        f"THEN -4294967296.0 * ln(1.0 - {raw} / 4294967296.0) "
+        f"ELSE NULL END"
+    )
+
 HLL_ROLLUP_ORACLE = f"""
 WITH e AS (
   SELECT CAST(date_trunc('week', ts) AS DATE) AS week, user_id
@@ -124,11 +142,7 @@ agg AS (
   FROM r GROUP BY 1
 ),
 est AS (
-  SELECT week,
-         CASE WHEN {_HLL_ALPHA_M2!r} / (s_nonempty + (256.0 - n_nonempty)) <= 640.0
-                   AND n_nonempty < 256.0
-              THEN 256.0 * ln(256.0 / (256.0 - n_nonempty))
-              ELSE {_HLL_ALPHA_M2!r} / (s_nonempty + (256.0 - n_nonempty)) END AS e
+  SELECT week, {_hll_case_sql("s_nonempty", "n_nonempty")} AS e
   FROM agg
 ),
 ex AS (
@@ -774,7 +788,7 @@ z AS (SELECT sum(pw) AS z FROM w)
 SELECT w.source,
        CAST(w.n_tokens AS BIGINT) AS n_tokens,
        {sql_round("w.pw / z.z", 4)} AS weight,
-       CAST(floor((w.pw / z.z) * {_MIX_BUDGET}.0 + 0.5) AS BIGINT) AS planned_tokens
+       CAST(floor(({sql_round("w.pw / z.z", 4)}) * {_MIX_BUDGET}.0 + 0.5) AS BIGINT) AS planned_tokens
 FROM w, z
 """
 
@@ -787,8 +801,11 @@ def q_mixture_temperature_plan(spark, sf_dir):
     share → reweighted share → planned token budget out of 1M. Two
     bounded aggregates (per-source sums, then the normalizer over a
     handful of rows); the weights are rounded at 4 dp on both engines
-    and the planned budget uses the shared half-up integer rule. The
-    batch twin of ``mixture_plan_tokens``'s fixed-quota plan."""
+    and the planned budget applies the shared half-up integer rule to
+    the ALREADY-ROUNDED weight — deriving the integer from the raw
+    pow() value would let a last-ulp Java-vs-DuckDB power() difference
+    at a half-up boundary flip it (the r9 boundary lesson). The batch
+    twin of ``mixture_plan_tokens``'s fixed-quota plan."""
     from h2outility_spark.operators.text import token_count
 
     docs = _t(spark, sf_dir, "documents")
@@ -807,7 +824,7 @@ def q_mixture_temperature_plan(spark, sf_dir):
         "source",
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
         fround(weight, 4).alias("weight"),
-        F.floor(weight * F.lit(float(_MIX_BUDGET)) + F.lit(0.5))
+        F.floor(fround(weight, 4) * F.lit(float(_MIX_BUDGET)) + F.lit(0.5))
         .cast("bigint")
         .alias("planned_tokens"),
     )
@@ -1059,9 +1076,7 @@ def _hll_est_sql(reg_cte: str, key: str) -> str:
     """Estimate CTE body over a (key, bucket, reg) register CTE — the
     same pinned-literal formula as HLL_ROLLUP_ORACLE."""
     return (
-        f"SELECT {key}, CASE WHEN {_HLL_ALPHA_M2!r} / (s + (256.0 - n)) <= 640.0 "
-        f"AND n < 256.0 THEN 256.0 * ln(256.0 / (256.0 - n)) "
-        f"ELSE {_HLL_ALPHA_M2!r} / (s + (256.0 - n)) END AS e FROM ("
+        f"SELECT {key}, {_hll_case_sql('s', 'n')} AS e FROM ("
         f"SELECT {key}, sum(power(2.0, -reg)) AS s, CAST(count(*) AS DOUBLE) AS n "
         f"FROM {reg_cte} GROUP BY 1)"
     )

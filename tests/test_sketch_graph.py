@@ -51,6 +51,43 @@ def test_hll_small_range_correction_is_tight(spark):
     assert abs(est - n) < 8, est
 
 
+def _register_grid(spark, reg: int):
+    """All 256 buckets at a fixed register value — the simulated
+    high-cardinality grid the test-SF data can never produce."""
+    return spark.range(sketch.HLL_M).select(
+        F.lit(1).alias("g"), F.col("id").alias("bucket"), F.lit(reg).alias("reg")
+    )
+
+
+def test_hll_large_range_correction(spark):
+    # all-23 registers: raw = alpha*m^2 / (256 * 2^-23) ~ 1.5e9, past the
+    # 2^32/30 threshold -> the 32-bit saturation correction applies
+    import math
+
+    est = sketch.hll_estimate(_register_grid(spark, 23), "g").collect()[0]["est_distinct"]
+    raw = sketch.HLL_ALPHA_M2 / (sketch.HLL_M * 2.0**-23)
+    assert raw > 2.0**32 / 30.0  # the branch under test is really taken
+    expected = -(2.0**32) * math.log(1.0 - raw / 2.0**32)
+    assert abs(est / expected - 1.0) < 1e-12, (est, expected)
+    assert est > raw  # correction always inflates: collisions hide distincts
+
+
+def test_hll_saturated_grid_is_null(spark):
+    # all-33 registers: raw >= 2^32 — beyond the 32-bit hash domain, no
+    # recoverable signal; the estimate is NULL (out of contract), never a
+    # NaN/negative from ln() of a non-positive argument
+    row = sketch.hll_estimate(_register_grid(spark, 33), "g").collect()[0]
+    assert row["est_distinct"] is None
+
+
+def test_hll_empty_grid_estimates_zero(spark):
+    # ungrouped aggregate over an empty grid: sum() is NULL -> coalesced to
+    # 0.0, all 256 buckets empty -> linear counting gives m*ln(m/m) = 0
+    empty = spark.range(0).select(F.col("id").alias("bucket"), F.col("id").alias("reg"))
+    est = sketch.hll_estimate(empty).collect()[0]["est_distinct"]
+    assert est == 0.0
+
+
 # -- Bloom filter ------------------------------------------------------------
 
 
@@ -69,6 +106,20 @@ def test_bloom_filters_most_nonmembers(spark):
     probes = _ids(spark, 500, 10_500)  # 10k non-members
     n_fp = sketch.bloom_probe(probes, "k", bits, m_bits=4096, k=3).count()
     assert n_fp < 1000, f"false-positive rate implausibly high: {n_fp}/10000"
+
+
+def test_bloom_probe_survives_colliding_column_names(spark):
+    # a probe frame that already owns __p0/__p1 must not break the
+    # semi-join (helper names uniquify deterministically)
+    keys = _ids(spark, 0, 100)
+    bits = sketch.bloom_bits(keys, "k", m_bits=2048, k=2)
+    probes = _ids(spark, 0, 300).select(
+        "k", F.lit("taken").alias("__p0"), F.lit(7).alias("__p1")
+    )
+    out = sketch.bloom_probe(probes, "k", bits, m_bits=2048, k=2)
+    assert set(out.columns) == {"k", "__p0", "__p1"}  # caller columns intact
+    kept = {r["k"] for r in out.collect()}
+    assert set(range(100)) <= kept
 
 
 def test_bloom_bits_bounded(spark):
