@@ -463,6 +463,7 @@ from h2outility_spark import workload_sinks  # noqa: E402,F401
 from h2outility_spark import workload_next4  # noqa: E402,F401
 from h2outility_spark import workload_next5  # noqa: E402,F401
 from h2outility_spark import workload_next6  # noqa: E402,F401
+from h2outility_spark import workload_next7  # noqa: E402,F401
 
 
 # The driver's correctness gate hashes only the FIRST 50 registered queries.
@@ -481,79 +482,79 @@ from h2outility_spark import workload_next6  # noqa: E402,F401
 # (coverage map in README). Everything outside the window is still
 # oracle-checked every run by tests/test_oracle_parity.py + driver_sim.
 CHECKED_WINDOW = [
-    # -- ROUND-11 ROTATION --------------------------------------------------
-    # CORRECTNESS_r10 went 50/50 green (fifth all-green round), so the
-    # window turns over completely again: 12 slots to FIRST-TIMERS — the
-    # promoted workload_next6 STAGED6 pairs, every one tri-scale
-    # parity-green (sf0.001/0.01/0.1) and plan-audited in round 10. These
-    # certify the incremental-ingest LSH shape (the 100 TB daily-dedup
-    # pattern), the cross-modal ensemble dedup policy, the Count-Min
-    # sketch module, the interpolating as-of join (completing
-    # backward/forward/nearest/interp), the deterministic hash split, the
-    # int8 quantization certificate, the OOV-rate vocabulary coverage,
-    # the secondary-sort ordered export, the chunker-feeds-packer RAG
-    # composition, the zorder-rewrite isolation race, the weekly drift
-    # monitor, and the restart-surviving streaming mixture plan. The
-    # other 38 slots follow the staleness rotation pinned in
-    # NOTES_NEXT_ROUND r10 §1: the full 28-query cohort whose newest
-    # driver row dates from round 7, then 10 of the r8-latest cohort
-    # picked for family spread (sinks, as-of, CDC, mixture, PQ, QC
-    # resample, streaming watermark, TPC-H star, lakehouse race, text).
-    # Everything outside the window stays oracle-checked every run by
-    # tests/test_oracle_parity + driver_sim.
-    # -- first-timers: the 12 promoted round-11 staging pairs ---------------
-    "dedup_incremental_lsh",     # new-batch MinHash probe vs corpus band index
-    "neardup_ensemble_agree",    # text near-dup pairs re-scored by embedding cosine
-    "quality_drift_weekly",      # weekly median + week-over-week drift delta
-    "txtable_zorder_race",       # pinned reader vs merge + OPTIMIZE ZORDER rewrite
-    "stream_mixture_plan",       # complete-mode per-source totals across a restart
-    "secondary_sort_export",     # ordered export w/ rolling per-key md5 fingerprint
-    "rag_prep_pipeline",         # sliding chunker feeding the 512-token packer
-    "stratified_split",          # md5-cell 8/1/1 train/val/test assignment
-    "embedding_quantize_error",  # int8 quantization + half-step error certificate
-    "vocab_oov_rate",            # per-doc OOV rate vs corpus top-1000 vocab
-    "heavy_hitters_cms",         # Count-Min grid: exact top-10 + CMS estimates
-    "asof_interp_join",          # as-of join w/ linear interpolation at the ts
-    # -- sentinels: the 28 queries last certified in ROUND 7 -----------------
-    "bpe_token_hist",
-    "decontaminate_spans",
-    "distinct_series",
-    "event_time_windows",
-    "frame_sample",
-    "funnel_conversion",
-    "grouping_sets_revenue",
-    "image_resize_features",
-    "last_per_series",
-    "mixture_sample",
-    "neardup_embedding_pairs",
-    "ngram_counts",
-    "qc_change_value",
-    "qc_flag",
-    "qc_rolling_zscore",
-    "retention_cohorts",
-    "rollup_revenue",
-    "rp_lsh_signatures",
-    "season_rollup",
-    "semi_join_suppliers",
-    "simhash_signatures",
-    "tpch_q18_large_orders",
-    "tpch_q6",
-    "tpch_q7_nation_volume",
-    "txtable_clone",
-    "txtable_vacuum",
-    "variable_census",
-    "winnow_fingerprints",
-    # -- sentinels: 10 of the r8-latest cohort, one-per-family spread --------
-    "annotated_export_roundtrip",
-    "asof_join_forward",
-    "cdc_segment_dedup",
-    "mixture_plan_tokens",
-    "pq_codes_kmeans",
-    "qc_resample_ffill",
-    "stream_watermark_windows",
-    "tpch_q8_market_share",
-    "txtable_concurrent_merge",
-    "repetition_signals",
+    # -- ROUND-12 ROTATION --------------------------------------------------
+    # CORRECTNESS_r11 went 50/50 green (sixth all-green round), so the
+    # window turns over completely again, exactly as pinned in
+    # NOTES_NEXT_ROUND r11: 12 slots to FIRST-TIMERS — the promoted
+    # workload_next7 STAGED7 pairs, every one tri-scale parity-green
+    # (sf0.001/0.01/0.1) and plan-audited in round 11. These certify the
+    # JSONL interchange roundtrip (µs timestamps + escaped strings), the
+    # streamed Count-Min merge across checkpointed drains, BM25 ranked
+    # retrieval, the late-data quarantine router, two-way clone
+    # divergence, the mergeable histogram quantile sketch with its
+    # error certificate, MAD robust outliers, the JSONL drop-directory
+    # stream, the shard-local RAG packer (the 100 TB form), the named
+    # TxTable branch merge-back, in-flight stratified ingest, and the
+    # weekly percentile rollup. The other 38 slots follow the staleness
+    # rotation pinned in NOTES_NEXT_ROUND r11: the full r8-latest cohort
+    # minus two redundant TPC-H picks deferred to r13
+    # (tpch_q12_priority_buckets, tpch_q14_promo_share — the TPC-H
+    # family had 13 entries in that cohort). After r12, no registered
+    # query's newest driver row predates round 9. Everything outside the
+    # window stays oracle-checked every run by tests/test_oracle_parity
+    # + driver_sim.
+    # -- first-timers: the 12 promoted round-12 staging pairs ---------------
+    "jsonl_roundtrip",           # JSONL write->read fidelity (µs ts, doubles, escapes)
+    "stream_heavy_hitters",      # CMS grid merged per micro-batch, two drains
+    "bm25_topk_docs",            # BM25 top-20 vs the corpus's own top-3 tokens
+    "late_data_quarantine",      # foreachBatch watermark routes, never drops
+    "txtable_clone_divergence",  # source and hard-link fork both diverge
+    "histogram_quantile_sketch", # 128-bin median + |est-p50| <= binwidth law
+    "qc_robust_mad",             # Iglewicz-Hoaglin modified z-score outliers
+    "stream_jsonl_ingest",       # JSONL drop-dir stream, restart-surviving agg
+    "rag_prep_sharded",          # packer windows scoped per md5 hash-shard
+    "txtable_branch_merge_back", # named branch -> net CDF delta -> main
+    "stream_stratified_ingest",  # per-batch split assignment == batch rule
+    "weekly_pctl_rollup",        # exact p50 vs histogram estimate weekly
+    # -- sentinels: 38 of the r8-latest cohort (full cohort minus 2 TPC-H) --
+    "audio_chunks",
+    "contamination_overlap",
+    "corpus_clean_embedding",
+    "cube_orders",
+    "dedup_keep_best",
+    "duplicated_spans",
+    "embedding_stats",
+    "hash_sample_docs",
+    "ivfpq_search_adaptive",
+    "json_props_stats",
+    "minhash_containment_pairs",
+    "pq_codes",
+    "qc_median_despike",
+    "quality_calibrate_per_source",
+    "quality_filter_fusion",
+    "regexp_extract_props",
+    "remove_duplicated_spans",
+    "rolling_avg",
+    "segment_dedup_docs",
+    "shard_assignment",
+    "stream_session_paths",
+    "stream_session_windows",
+    "stream_static_enrich",
+    "tfidf_top_terms",
+    "tpch_q10_returned",
+    "tpch_q11_value_share",
+    "tpch_q13_order_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_or_of_ands",
+    "tpch_q20_excess_suppliers",
+    "tpch_q22_idle_rich_customers",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_late_orders",
+    "txtable_concurrent_appends",
+    "txtable_history_rows",
+    "txtable_prune_scan",
 ]
 
 

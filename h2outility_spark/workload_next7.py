@@ -1,11 +1,11 @@
-"""Round-12 registry staging area (same lifecycle as ``workload_next`` →
-``workload_next6``): fully-formed (PySpark fn, DuckDB oracle) pairs that
-cannot enter the registry yet — the round-11 rotation will consume the
-``workload_next6`` pairs first. Deliberately NOT decorated with
-``@query``; a future rotation wraps them.
+"""Round-12 promotion of the round-11 staging area (same lifecycle as
+``workload_next`` → ``workload_next6``): all 12 pairs were staged
+tri-scale parity-green in round 11 and wrapped with ``@query`` in round
+12 (VERDICT r11 directive 1), entering the registry and the checked
+window together.
 
-Each pair is parity-tested in ``tests/test_workload_next.py`` (STAGED7)
-under the driver's comparison discipline at sf0.001 AND sf0.01.
+Each pair remains parity-tested in ``tests/test_workload_next.py``
+(STAGED7) under the driver's comparison discipline at sf0.001 AND sf0.01.
 
 Coverage targets:
   * ``jsonl_roundtrip`` — JSON Lines, THE training-data interchange
@@ -75,7 +75,7 @@ import os
 
 from pyspark.sql import functions as F
 
-from h2outility_spark.workload import DV_CTE, _dv, _t, fround, sql_round
+from h2outility_spark.workload import DV_CTE, _dv, _t, fround, query, sql_round
 from h2outility_spark.workload_lakehouse import scratch_dir
 from h2outility_spark.workload_next6 import _CMS_D, _CMS_W, HEAVY_HITTERS_ORACLE
 from h2outility_spark.workload_text import toks_cte
@@ -89,6 +89,11 @@ SELECT event_id, ts, user_id, event_type, value, props FROM events
 """
 
 
+@query(
+    "jsonl_roundtrip",
+    oracle=JSONL_ROUNDTRIP_ORACLE,
+    description="S5/S6-family JSONL interchange roundtrip: µs timestamps, full-precision doubles, escaped JSON strings",
+)
 def q_jsonl_roundtrip(spark, sf_dir):
     """Distributed JSONL export + schema-pinned read-back on one hash.
     The three classic JSONL loss modes are all on the hash: (a) Spark's
@@ -162,6 +167,11 @@ def make_cms_handler(spark, state_dir, ctl, key_col="user_id"):
     return handle
 
 
+@query(
+    "stream_heavy_hitters",
+    oracle=STREAM_CMS_ORACLE,
+    description="Count-Min grid maintained per micro-batch by cell-wise merge across two checkpointed drains",
+)
 def q_stream_heavy_hitters(spark, sf_dir):
     """The Count-Min sketch in its production seat: each micro-batch
     sketches ITSELF (one explode + one bounded hash agg) and the running
@@ -272,6 +282,11 @@ LIMIT {_BM25_TOPK}
 )
 
 
+@query(
+    "bm25_topk_docs",
+    oracle=BM25_ORACLE,
+    description="BM25 (k1=1.2, b=0.75, Lucene +1 idf) top-20 docs against the corpus's own top-3 tokens",
+)
 def q_bm25_topk_docs(spark, sf_dir):
     """BM25 ranked retrieval (k1=1.2, b=0.75, Lucene +1 idf) against the
     corpus's own top-3 tokens — the query derives from the data, so the
@@ -404,6 +419,11 @@ def make_quarantine_handler(main_dir, quar_dir, meta_dir, ctl):
     return handle
 
 
+@query(
+    "late_data_quarantine",
+    oracle=LATE_QUARANTINE_ORACLE,
+    description="foreachBatch-owned watermark ROUTES stragglers to quarantine instead of dropping (conservation on the hash)",
+)
 def q_late_data_quarantine(spark, sf_dir):
     """The late-data policy Structured Streaming does NOT give you:
     instead of silently dropping rows older than the watermark (append
@@ -476,6 +496,11 @@ FROM base
 """
 
 
+@query(
+    "txtable_clone_divergence",
+    oracle=CLONE_DIVERGENCE_ORACLE,
+    description="two-way clone isolation: source and hard-link fork both diverge, source also compacts",
+)
 def q_txtable_clone_divergence(spark, sf_dir):
     """TWO-WAY clone isolation — the half the certified ``txtable_clone``
     does not check: after a hard-link clone, BOTH sides diverge (the
@@ -553,6 +578,11 @@ FROM g JOIN sel ON sel.event_type = g.event_type
 """
 
 
+@query(
+    "histogram_quantile_sketch",
+    oracle=HIST_QUANTILE_ORACLE,
+    description="128-bin mergeable histogram median with the provable |est-p50| <= bin-width certificate",
+)
 def q_histogram_quantile_sketch(spark, sf_dir):
     """The third member of the sketch family (HLL++ distinct, Count-Min
     frequency, now quantiles): a fixed-width {bins}-bin histogram per
@@ -648,6 +678,11 @@ FROM j JOIN mad d ON d.SiteID = j.SiteID AND d.VariableCode = j.VariableCode
 )
 
 
+@query(
+    "qc_robust_mad",
+    oracle=QC_ROBUST_MAD_ORACLE,
+    description="W2-family robust outliers: Iglewicz-Hoaglin modified z-score (median/MAD) per series",
+)
 def q_qc_robust_mad(spark, sf_dir):
     """Robust per-series outlier detection by the MAD rule (Iglewicz &
     Hoaglin's modified z-score: |x − median| / (1.4826·MAD) > 3.5) — the
@@ -696,6 +731,11 @@ GROUP BY event_type
 """
 
 
+@query(
+    "stream_jsonl_ingest",
+    oracle=STREAM_JSONL_ORACLE,
+    description="JSONL drop-directory streamed (pinned schema, µs format) into a restart-surviving per-type aggregate",
+)
 def q_stream_jsonl_ingest(spark, sf_dir):
     """The production drop-directory shape: producers append JSON Lines
     files, Spark TAILS the directory as a stream (``readStream.json``
@@ -795,6 +835,11 @@ FROM pre GROUP BY 1, 2
 """
 
 
+@query(
+    "rag_prep_sharded",
+    oracle=RAG_SHARDED_ORACLE,
+    description="RAG prep with the packing window scoped per md5 hash-shard — k parallel sorts of n/k",
+)
 def q_rag_prep_sharded(spark, sf_dir):
     """The shard-local form of the RAG-prep pipeline (VERDICT r10 #2) —
     the shape that actually runs at 100 TB: the certified sliding chunker
@@ -855,6 +900,11 @@ SELECT o_orderkey, o_custkey, cents FROM newrows
 """
 
 
+@query(
+    "txtable_branch_merge_back",
+    oracle=TXBRANCH_ORACLE,
+    description="named TxTable branch workflow: branch, experiment, merge net CDF delta back into advanced main",
+)
 def q_txtable_branch_merge_back(spark, sf_dir):
     """The full named-branch workflow the Delta/Iceberg branch feature
     exists for — branch, experiment, merge BACK — on TxTable's hard-link
@@ -898,6 +948,11 @@ from h2outility_spark.workload_next6 import STRATIFIED_SPLIT_ORACLE  # noqa: E40
 STREAM_STRAT_ORACLE = STRATIFIED_SPLIT_ORACLE
 
 
+@query(
+    "stream_stratified_ingest",
+    oracle=STREAM_STRAT_ORACLE,
+    description="per-source stratified split assigned in-flight per micro-batch, equal to the batch rule",
+)
 def q_stream_stratified_ingest(spark, sf_dir):
     """The stratified split in its production seat: documents arrive as a
     drop-directory stream and every batch is hash-assigned to
@@ -1006,6 +1061,11 @@ FROM stats s JOIN sel ON sel.week = s.week, g
 """
 
 
+@query(
+    "weekly_pctl_rollup",
+    oracle=WEEKLY_PCTL_ORACLE,
+    description="weekly exact p50 next to the shared-edge histogram estimate with the within-bin certificate",
+)
 def q_weekly_pctl_rollup(spark, sf_dir):
     """The sketch-ROLLUP pattern the per-group histogram certificate
     (``histogram_quantile_sketch``) stops short of: per-DAY histograms
