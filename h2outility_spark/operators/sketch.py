@@ -215,9 +215,12 @@ def bloom_bits(keys: DataFrame, key_col: str, m_bits: int = 1024, k: int = 3) ->
 def bloom_probe(df: DataFrame, probe_col: str, bits: DataFrame, m_bits: int = 1024, k: int = 3) -> DataFrame:
     """Keep only rows of ``df`` whose ``probe_col`` the filter MIGHT
     contain: all k bit positions set. The bits frame is broadcast (≤
-    m_bits rows); the probe adds one narrow projection + one broadcast
-    semi-join per position batch — no shuffle of ``df``. Survivors still
-    need the exact join (false positives pass by design)."""
+    m_bits rows); the probe adds one narrow projection + k broadcast
+    semi-joins — which PIPELINE inside a single whole-stage-codegen pass
+    over ``df`` (k hash-table probes per row, not k scans), with no
+    shuffle of ``df`` anywhere (``tests/test_sketch_graph.py`` pins
+    both properties on the physical plan). Survivors still need the
+    exact join (false positives pass by design)."""
     # Helper-column prefix must not collide with an existing column of
     # ``df`` (a duplicate name would make the semi-join key ambiguous):
     # extend deterministically until the whole __p0..__p{k-1} family is free.
@@ -228,7 +231,9 @@ def bloom_probe(df: DataFrame, probe_col: str, bits: DataFrame, m_bits: int = 10
     pos_cols = [F.expr(_bloom_pos_sql(probe_col, i, m_bits)).alias(f"{base}{i}") for i in range(k)]
     probed = df.select("*", *pos_cols)
     for i in range(k):
-        # fresh projection per position: k independent broadcast semi-joins
-        marked = F.broadcast(bits.select(F.col("pos").alias(f"{base}{i}")))
-        probed = probed.join(marked, f"{base}{i}", "semi")
+        # Every join broadcasts the IDENTICAL bits subplan (no per-i
+        # aliasing of the build side), so Spark's ReuseExchange computes
+        # the filter build once and the other k−1 probes reuse it.
+        marked = F.broadcast(bits.select("pos"))
+        probed = probed.join(marked, probed[f"{base}{i}"] == marked["pos"], "semi")
     return probed.drop(*[f"{base}{i}" for i in range(k)])

@@ -12,8 +12,10 @@ rows; ``compact`` versions emit nothing (pure rewrites of already-emitted
 rows — the file diff is ignored by op, which is why compaction stays safe
 to run under a live tail reader); any other op (merge/overwrite/restore)
 raises, because rewritten files would re-emit old rows. This matches the
-Kafka-ish ingest shape the table plays in pipelines; the batch
-``TxTable.changes()`` feed covers the general case.
+Kafka-ish ingest shape the table plays in pipelines; the general case —
+merge/delete versions emitting row-level changes — is the CDC source
+(``TxTableCdcDataSource`` below, the streaming form of the batch
+``TxTable.changes()`` feed).
 
 Execution shape: a partition-planning ``DataSourceStreamReader`` — the
 driver only diffs manifests (metadata) and plans ONE PARTITION PER ADDED
@@ -197,3 +199,173 @@ class TxTableStreamDataSource(DataSource):
 
     def streamReader(self, schema) -> _TxAppendTailReader:
         return _TxAppendTailReader(self.options["path"], [f.name for f in schema.fields])
+
+
+# ---------------------------------------------------------------------------
+# CDC form: signed change rows for EVERY op (merge/delete/restore included)
+# ---------------------------------------------------------------------------
+#
+# The append tail above deliberately raises on non-append versions; this
+# source is the general change feed — the streaming form of the batch
+# ``TxTable.changes()`` (reference I2 watermark-append upgraded to
+# lakehouse CDC). Per version it emits the rows of files ADDED with
+# ``_sign`` +1 and files REMOVED with ``_sign`` −1 (files shared by both
+# manifests are immutable, hence changeless, and are never read). Rows
+# merely REWRITTEN into new files (compaction survivors, copy-on-write
+# carriage) appear once with each sign and cancel in the downstream
+# multiset sum — ``net_changes`` turns the signed rows into the Delta-CDF
+# '_change_type' shape with ONE combiner-friendly groupBy over just the
+# changed rows, the same cancellation ``changes()`` runs as exceptAll.
+# Keeping the cancellation OUT of the source keeps the source
+# embarrassingly parallel (one immutable parquet file per task, no
+# executor-side state) and lets Catalyst plan the shuffle; 'compact'
+# versions are skipped entirely by op (zero read, zero shuffle).
+#
+# Offsets, vacuum discipline and snapshot bootstrap are identical to the
+# tail reader: versions are the WAL, a fresh reader whose start version
+# was vacuumed bootstraps from the oldest retained snapshot (all +1 — a
+# replica built from the feed alone starts with the full state), a
+# checkpointed reader refuses the same branch to protect exactly-once
+# sinks.
+
+
+def _changed_files(
+    table_dir: str, v: int, allow_bootstrap: bool = False
+) -> list[tuple[str, int]]:
+    """(relative path, sign) for version ``v``: +1 = added, −1 = removed.
+
+    Same O(changed segments) manifest diff as ``_added_files`` (unchanged
+    segments carry over BY NAME and are never opened), generalized to the
+    symmetric difference; same vacuum/bootstrap contract."""
+    try:
+        m = _manifest(table_dir, v)
+    except FileNotFoundError:
+        raise ValueError(
+            f"txtable_cdc offset points at version {v}, which vacuum has "
+            f"removed (oldest retained: {min(_versions(table_dir), default='none')}); "
+            "restart the stream from a fresh checkpoint"
+        ) from None
+    try:
+        prev_m = _manifest(table_dir, v - 1) if v > 0 else None
+    except FileNotFoundError:
+        if allow_bootstrap:
+            return [(p, 1) for p in sorted(_file_paths(table_dir, m))]
+        raise ValueError(
+            f"version {v}'s parent manifest was vacuumed away beneath a "
+            "checkpointed reader; restart the stream from a fresh checkpoint"
+        ) from None
+    if m["op"] == "compact":
+        return []  # pure rewrite: provably no net change, skip by op
+    if prev_m is None:
+        return [(p, 1) for p in sorted(_file_paths(table_dir, m))]
+    prev_segs = {d["name"] for d in prev_m["segments"]}
+    cur_segs = {d["name"] for d in m["segments"]}
+    cur_cand: set[str] = {e["path"] for e in m["_inline_files"]}
+    for name in cur_segs - prev_segs:
+        cur_cand.update(e["path"] for e in _segment_entries(table_dir, name))
+    prev_cand: set[str] = {e["path"] for e in prev_m["_inline_files"]}
+    for name in prev_segs - cur_segs:
+        prev_cand.update(e["path"] for e in _segment_entries(table_dir, name))
+    return [(p, 1) for p in sorted(cur_cand - prev_cand)] + [
+        (p, -1) for p in sorted(prev_cand - cur_cand)
+    ]
+
+
+class _TxSignedFilePartition(InputPartition):
+    def __init__(self, abs_path: str, version: int, sign: int):
+        self.abs_path = abs_path
+        self.version = version
+        self.sign = sign
+
+
+class _TxCdcReader(DataSourceStreamReader):
+    def __init__(self, table_dir: str, data_field_names: list[str]):
+        self.table_dir = table_dir
+        self.data_field_names = data_field_names
+
+    def initialOffset(self) -> dict:
+        vs = _versions(self.table_dir)
+        return {"version": (vs[0] - 1) if vs else -1, "bootstrap": True}
+
+    def latestOffset(self) -> dict:
+        latest = _latest_version(self.table_dir)
+        return {"version": -1 if latest is None else latest}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        parts: list[InputPartition] = []
+        for v in range(start["version"] + 1, end["version"] + 1):
+            fresh = bool(start.get("bootstrap")) and v == start["version"] + 1
+            parts.extend(
+                _TxSignedFilePartition(os.path.join(self.table_dir, rel), v, sign)
+                for rel, sign in _changed_files(self.table_dir, v, allow_bootstrap=fresh)
+            )
+        return parts
+
+    def read(self, partition: _TxSignedFilePartition) -> Iterator[tuple]:
+        # Runs on EXECUTORS: one immutable parquet file per task. Columns a
+        # file predates (add-column schema evolution) surface as nulls,
+        # matching snapshot()/changes() semantics for old files.
+        import pyarrow.parquet as pq
+
+        present = set(pq.read_schema(partition.abs_path).names)
+        want = [c for c in self.data_field_names if c in present]
+        tbl = pq.read_table(partition.abs_path, columns=want)
+        n = tbl.num_rows
+        by_name = {c: tbl.column(c).to_pylist() for c in want}
+        cols = [by_name.get(c, [None] * n) for c in self.data_field_names]
+        meta = ([partition.version] * n, [partition.sign] * n)
+        return iter(zip(*cols, *meta))
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are durable table versions; files are immutable
+
+
+class TxTableCdcDataSource(DataSource):
+    """``format("txtable_cdc")`` — signed change-row stream; see the CDC
+    section comment above. Schema = destination table schema plus
+    ``_commit_version bigint`` (the version that produced the row) and
+    ``_sign int`` (+1 added / −1 removed)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "txtable_cdc"
+
+    def schema(self) -> str:
+        table_dir = self.options["path"]
+        latest = _latest_version(table_dir)
+        if latest is None:
+            raise FileNotFoundError(f"no committed version in {table_dir}")
+        return _manifest(table_dir, latest)["schema"] + ", _commit_version bigint, _sign int"
+
+    def streamReader(self, schema) -> _TxCdcReader:
+        data = [f.name for f in schema.fields if f.name not in ("_commit_version", "_sign")]
+        return _TxCdcReader(self.options["path"], data)
+
+
+def net_changes(signed):
+    """Collapse signed change rows into the Delta-CDF shape: data columns
+    + ``_change_type`` ('insert' | 'delete'), with exact multiset
+    multiplicities. The multiset sum TELESCOPES across versions — net over
+    rows spanning (v_a, v_b] equals ``TxTable.changes(v_a, v_b)`` — so a
+    micro-batch covering several commits collapses to the end-to-end
+    delta before any downstream work (an upsert immediately overwritten
+    within the batch costs nothing). One hash aggregate over only the
+    changed rows (map-side combine does the cancellation early); rewritten
+    rows cancel to net 0 and vanish."""
+    from pyspark.sql import functions as F
+
+    data_cols = [c for c in signed.columns if c not in ("_commit_version", "_sign")]
+    counts = (
+        signed.groupBy(*data_cols)
+        .agg(F.sum("_sign").alias("_net"))
+        .filter(F.col("_net") != 0)
+    )
+    # |net| copies per row keeps exact multiset semantics (duplicates in
+    # the table stay duplicates in the feed); |net| is almost always 1.
+    rep = counts.withColumn("_i", F.explode(F.sequence(F.lit(1), F.abs(F.col("_net")))))
+    return rep.select(
+        *data_cols,
+        F.when(F.col("_net") > 0, F.lit("insert")).otherwise(F.lit("delete")).alias(
+            "_change_type"
+        ),
+    )

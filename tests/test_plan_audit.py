@@ -34,6 +34,7 @@ BNLJ_ALLOWED = {
     "hybrid_search_knn",  # semantic leg: tiny query set broadcast x docs by
     # design (operators/similarity.hybrid_search; IVF/PQ are the scale paths
     # when the query set grows)
+    "bloom_prefilter_revenue",  # two 1-row count broadcasts (n_cand, n_total) (STAGED9)
 }
 
 
@@ -52,12 +53,14 @@ def test_bnlj_allowlist_is_tight(spark):
     still plan a BNLJ — stale entries would quietly widen the allowlist."""
     from h2outility_spark.workload_next7 import STAGED7
     from h2outility_spark.workload_next8 import STAGED8
+    from h2outility_spark.workload_next9 import STAGED9
 
     reg = workload.registry()
     fns = {
         **{n: s.fn for n, s in reg.items()},
         **{n: fn for n, (fn, _o) in STAGED7.items()},
         **{n: fn for n, (fn, _o) in STAGED8.items()},
+        **{n: fn for n, (fn, _o) in STAGED9.items()},
     }
     stale = [n for n in BNLJ_ALLOWED if n not in fns]
     assert not stale, f"allowlisted queries no longer registered/staged: {stale}"
@@ -79,9 +82,10 @@ def test_staged_pairs_plan_clean(spark):
     from h2outility_spark.workload_next6 import STAGED6
     from h2outility_spark.workload_next7 import STAGED7
     from h2outility_spark.workload_next8 import STAGED8
+    from h2outility_spark.workload_next9 import STAGED9
 
     offenders: dict[str, list[str]] = {}
-    for name, (fn, _oracle) in {**STAGED4, **STAGED5, **STAGED6, **STAGED7, **STAGED8}.items():
+    for name, (fn, _oracle) in {**STAGED4, **STAGED5, **STAGED6, **STAGED7, **STAGED8, **STAGED9}.items():
         plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
         flags = [b for b in ("CartesianProduct", "BroadcastNestedLoopJoin") if b in plan]
         if "CartesianProduct" in flags or (

@@ -122,6 +122,26 @@ def test_bloom_probe_survives_colliding_column_names(spark):
     assert set(range(100)) <= kept
 
 
+def test_bloom_probe_no_shuffle_single_scan(spark):
+    # the 100 TB contract: probing must not shuffle the big side, and the
+    # k semi-joins must pipeline into ONE pass over it (broadcast hash
+    # probes chain inside whole-stage codegen; no repeated scan)
+    big = spark.range(0, 123457).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    bits = sketch.bloom_bits(_ids(spark, 0, 100), "k", m_bits=1024, k=3)
+    plan = (
+        sketch.bloom_probe(big, "k", bits, m_bits=1024, k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    bad = [
+        ln for ln in plan.splitlines()
+        if "Exchange" in ln and "Broadcast" not in ln and "pos#" not in ln
+    ]
+    # the only permitted exchanges are the bits-BUILD distincts (tiny,
+    # bounded by the keys side); the probe side must never repartition
+    assert not bad, f"big side must not shuffle: {bad}"
+    assert plan.count("Range (0, 123457") == 1, "big side must be scanned exactly once"
+
+
 def test_bloom_bits_bounded(spark):
     bits = sketch.bloom_bits(_ids(spark, 0, 100_000), "k", m_bits=256, k=3)
     n = bits.count()

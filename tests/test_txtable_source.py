@@ -106,6 +106,152 @@ def test_lagging_checkpoint_past_retention_errors_clearly(spark, registered, tmp
         _added_files(tdir, 1)  # a checkpointed offset pointing at a gone version
 
 
+# -- CDC source: signed change rows for every op -----------------------------
+
+
+@pytest.fixture(scope="module")
+def cdc_registered(spark):
+    from h2outility_spark.sources.txtable_source import TxTableCdcDataSource
+
+    spark.dataSource.register(TxTableCdcDataSource)
+
+
+def _drain_cdc(spark, tdir, out_name, ckpt):
+    stream = spark.readStream.format("txtable_cdc").option("path", tdir).load()
+    q = (
+        stream.writeStream.outputMode("append").format("memory").queryName(out_name)
+        .option("checkpointLocation", ckpt).start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {out_name}")
+
+
+def test_cdc_streams_through_merge_and_delete(spark, cdc_registered, tmp_path):
+    from h2outility_spark.sources.txtable_source import net_changes
+
+    tdir = str(tmp_path / "cdc")
+    table = TxTable(spark, tdir, key_cols=["k"])
+    table.append(kv(spark, [(1, "a"), (2, "b"), (3, "c")]))   # v0
+    table.merge_upsert(kv(spark, [(2, "B2"), (4, "d")]))      # v1: update + insert
+    table.delete_keys(kv(spark, [(3, "ignored")]).select("k"))  # v2
+
+    signed = _drain_cdc(spark, tdir, "cdc1", str(tmp_path / "ck"))
+    assert set(signed.columns) == {"k", "v", "_commit_version", "_sign"}
+
+    # per-version: the merge version nets to exactly its CDF rows
+    v1 = net_changes(signed.filter("_commit_version = 1"))
+    got1 = {(r["k"], r["v"], r["_change_type"]) for r in v1.collect()}
+    assert got1 == {(2, "b", "delete"), (2, "B2", "insert"), (4, "d", "insert")}
+    v2 = net_changes(signed.filter("_commit_version = 2"))
+    assert {(r["k"], r["v"], r["_change_type"]) for r in v2.collect()} == {
+        (3, "c", "delete")
+    }
+
+    # telescoped: net over the WHOLE feed from empty == final snapshot as inserts
+    total = net_changes(signed)
+    got = {(r["k"], r["v"], r["_change_type"]) for r in total.collect()}
+    assert got == {
+        (1, "a", "insert"), (2, "B2", "insert"), (4, "d", "insert")
+    }
+
+
+def test_cdc_skips_compact_and_resumes(spark, cdc_registered, tmp_path):
+    tdir = str(tmp_path / "cdccomp")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck1")
+    table = TxTable(spark, tdir, key_cols=["k"])
+    table.append(kv(spark, [(1, "a")]))
+
+    def drain(name):
+        stream = spark.readStream.format("txtable_cdc").option("path", tdir).load()
+        q = (
+            stream.writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt).queryName(name)
+            .trigger(availableNow=True).start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+
+    drain("cdcc1")
+    table.append(kv(spark, [(2, "b")]))
+    table.compact_files(target_rows=1000, small_rows=1_000_000)
+    table.append(kv(spark, [(3, "c")]))
+    drain("cdcc2")  # resumes past v0 through the same checkpoint
+    rows = {
+        (r["k"], r["v"], r["_commit_version"], r["_sign"])
+        for r in spark.read.parquet(out).collect()
+    }
+    versions = {r[2] for r in rows}
+    assert 2 not in versions, "a compact version is a pure rewrite: zero CDC rows"
+    assert rows == {(1, "a", 0, 1), (2, "b", 1, 1), (3, "c", 3, 1)}  # no re-emission
+
+
+def test_cdc_preserves_duplicate_multiplicity(spark, cdc_registered, tmp_path):
+    from h2outility_spark.sources.txtable_source import net_changes
+
+    tdir = str(tmp_path / "cdcdup")
+    table = TxTable(spark, tdir, key_cols=["k"])
+    table.append(kv(spark, [(1, "a"), (1, "a")]))  # a true duplicate row
+    signed = _drain_cdc(spark, tdir, "cdcd", str(tmp_path / "ckd"))
+    out = net_changes(signed).collect()
+    assert len(out) == 2 and all(r["_change_type"] == "insert" for r in out)
+
+
+def test_cdc_vacuum_bootstrap_and_checkpoint_guard(spark, cdc_registered, tmp_path):
+    from h2outility_spark.sources.txtable_source import _TxCdcReader, _changed_files
+
+    tdir = str(tmp_path / "cdcvac")
+    table = TxTable(spark, tdir, key_cols=["k"])
+    for i in range(5):
+        table.append(kv(spark, [(i, f"v{i}")]))
+    table.merge_upsert(kv(spark, [(0, "V0")]))  # v5
+    table.vacuum(keep_versions=2, retention_seconds=0)
+
+    reader = _TxCdcReader(tdir, ["k", "v"])
+    start = reader.initialOffset()
+    assert start["bootstrap"] is True
+    parts = reader.partitions(start, reader.latestOffset())
+    rows = []
+    for p in parts:
+        rows.extend(reader.read(p))
+    # the bootstrap version itself emits only +1 (snapshot); later retained
+    # versions (here the merge) may emit both signs
+    boot_v = start["version"] + 1
+    assert all(r[3] == 1 for r in rows if r[2] == boot_v)
+    # Python-side multiset net == the final snapshot
+    from collections import Counter
+
+    net = Counter()
+    for k, v, _ver, sign in rows:
+        net[(k, v)] += sign
+    final = {kv_ for kv_, n in net.items() if n > 0}
+    assert final == {(i, f"v{i}") for i in range(1, 5)} | {(0, "V0")}
+
+    # a checkpointed reader pointing into the vacuumed gap must refuse
+    with pytest.raises(ValueError, match="fresh checkpoint"):
+        _changed_files(tdir, 1)
+
+
+def test_cdc_evolved_schema_nullfills_old_files(spark, cdc_registered, tmp_path):
+    from h2outility_spark.sources.txtable_source import net_changes
+
+    tdir = str(tmp_path / "cdcevo")
+    table = TxTable(spark, tdir, key_cols=["k"])
+    table.append(kv(spark, [(1, "a"), (2, "b")]))
+    evolved = spark.createDataFrame([Row(k=2, v="B2", extra=7)], "k int, v string, extra int")
+    table.merge_upsert(evolved, evolve_schema=True)
+
+    signed = _drain_cdc(spark, tdir, "cdce", str(tmp_path / "cke"))
+    assert set(signed.columns) == {"k", "v", "extra", "_commit_version", "_sign"}
+    total = net_changes(signed)
+    got = {(r["k"], r["v"], r["extra"]) for r in total.filter("_change_type = 'insert'").collect()}
+    assert got == {(1, "a", None), (2, "B2", 7)}
+
+
 def test_image_dhash_respects_custom_id_col(spark):
     from pyspark.sql import Row
 
