@@ -277,6 +277,19 @@ def q_neardup_embedding_strict(spark, sf_dir):
     arithmetic on both engines) with cosines 0.91–0.95 against their
     sources. The oracle brute-forces the augmented corpus: hash equality
     proves recall 1.0 of the banded path at this threshold."""
+    out = similarity.cosine_neardup_pairs_lsh(
+        neardup_strict_corpus(spark, sf_dir),
+        threshold=_STRICT_THRESHOLD,
+        n_bits=_STRICT_BITS,
+        n_bands=_STRICT_BANDS,
+    )
+    return out.select("id_a", "id_b", fround(F.col("cos_sim"), 4).alias("cos_sim"))
+
+
+def neardup_strict_corpus(spark, sf_dir):
+    """The augmented corpus (originals + planted near-dups) the strict
+    pair runs on — shared by the registered-config query above and the
+    bench's auto-sized scaling variant."""
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
@@ -286,14 +299,23 @@ def q_neardup_embedding_strict(spark, sf_dir):
             F.col("embedding"), lambda x: x + F.lit(_STRICT_SHIFT)
         ).alias("embedding"),
     )
-    corpus = emb.unionByName(planted)
-    out = similarity.cosine_neardup_pairs_lsh(
-        corpus,
+    return emb.unionByName(planted)
+
+
+def neardup_strict_auto(spark, sf_dir, n_rows: int):
+    """Bench-only variant of the strict pair with OCCUPANCY-MATCHED band
+    width (``n_bits=None`` → ``similarity.auto_n_bits``): the production
+    resize discipline for the 100× scaling block — fixed-bit configs
+    necessarily grow candidate sets as occupancy², which measures the
+    configuration, not the operator. Band count stays at 24, so the
+    true-pair miss probability stays < ~1e-3 per pair as bits grow."""
+    return similarity.cosine_neardup_pairs_lsh(
+        neardup_strict_corpus(spark, sf_dir),
         threshold=_STRICT_THRESHOLD,
-        n_bits=_STRICT_BITS,
+        n_bits=None,
         n_bands=_STRICT_BANDS,
-    )
-    return out.select("id_a", "id_b", fround(F.col("cos_sim"), 4).alias("cos_sim"))
+        n_rows=n_rows,
+    ).select("id_a", "id_b", fround(F.col("cos_sim"), 4).alias("cos_sim"))
 
 
 #: name -> (fn, oracle) for a future promotion pass and the parity test.
