@@ -851,6 +851,68 @@ class TxTable:
         finally:
             net.unpersist()
 
+    def resolve_from_branch(
+        self,
+        other: "TxTable",
+        since_self: int,
+        since_other: int = 0,
+        prefer: str = "branch",
+        propagate_deletes: bool = True,
+    ) -> int:
+        """THREE-WAY merge with a conflict policy — the step after
+        ``branch_conflicts`` reports divergence: both this table (since
+        ``since_self``, its version at fork time) and the branch (since
+        ``since_other``, 0 for a fresh branch) have advanced, and their
+        changed key sets may overlap.
+
+        * ``prefer='branch'`` ("theirs"): every branch change lands,
+          conflicted keys taking the branch's final state — upsert
+          semantics already mean the last writer wins, so this delegates
+          to :meth:`merge_from_branch` unchanged.
+        * ``prefer='main'`` ("ours"): conflicted keys KEEP this table's
+          current state; only the branch's NON-conflicting net changes
+          apply (inserts merge_upserted, deleted-not-reinserted keys
+          tombstoned when ``propagate_deletes``). The conflict set is
+          computed as in :meth:`branch_conflicts` and anti-joined out of
+          both legs — one CDF diff per side, one join, then the same
+          two-commit-max apply path as merge_from_branch.
+
+        Returns the version committed by the final apply. Cost stays
+        O(changes on either side), never O(table)."""
+        if prefer not in ("branch", "main"):
+            raise ValueError(f"prefer must be 'branch' or 'main', got {prefer!r}")
+        if prefer == "branch":
+            return self.merge_from_branch(
+                other, since_version=since_other, propagate_deletes=propagate_deletes
+            )
+        from pyspark.sql import functions as F
+
+        conflicts = self.branch_conflicts(
+            self, other, since_a=since_self, since_b=since_other
+        )
+        net = other.changes(since_other).persist()
+        try:
+            all_inserts = net.filter(F.col("_change_type") == "insert").drop(
+                "_change_type"
+            )
+            inserts = all_inserts.join(conflicts, self.key_cols, "left_anti")
+            if propagate_deletes:
+                tombstones = (
+                    net.filter(F.col("_change_type") == "delete")
+                    .select(*self.key_cols)
+                    .join(
+                        all_inserts.select(*self.key_cols).distinct(),
+                        self.key_cols,
+                        "left_anti",
+                    )
+                    .join(conflicts, self.key_cols, "left_anti")
+                    .distinct()
+                )
+                self.delete_keys(tombstones)
+            return self.merge_upsert(inserts)
+        finally:
+            net.unpersist()
+
     def branch_conflicts(
         self, a: "TxTable", b: "TxTable", since_a: int = 0, since_b: int = 0
     ) -> DataFrame:

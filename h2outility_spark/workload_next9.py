@@ -153,6 +153,63 @@ def q_stream_cdc_replica(spark, sf_dir):
     return replica.snapshot().select("o_orderkey", "o_custkey", "cents")
 
 
+# -- three-way merge resolution ----------------------------------------------------------
+
+RESOLVE_OURS_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 100 < 6
+)
+SELECT o_orderkey, o_custkey,
+       CASE WHEN o_orderkey % 3 = 0 THEN cents + 100
+            WHEN o_orderkey % 2 = 0 THEN cents + 5000
+            ELSE cents END AS cents
+FROM base
+WHERE NOT (o_orderkey % 3 <> 0 AND o_orderkey % 5 = 0)
+"""
+
+
+def q_txtable_resolve_ours(spark, sf_dir):
+    """Three-way merge RESOLUTION (the step VERDICT r11 seeded after
+    ``branch_conflicts``): main and a named branch BOTH advance after the
+    fork — main bumps the %3 keys by +100 while the branch bumps the %2
+    keys by +5000 and deletes the %5 keys — then
+    ``resolve_from_branch(prefer='main')`` applies ONLY the branch's
+    non-conflicting net changes: conflicted keys (touched on both sides
+    = the %3 ∩ (%2 ∪ %5) set) keep main's state, branch-only updates
+    land, branch-only deletes tombstone. The oracle restates the
+    resolved end state as one CASE: every %3 key carries main's +100
+    (ours wins on conflict AND on main-only), %5-not-%3 keys are gone,
+    %2-not-%3 survivors carry the branch's +5000. Cost is O(changes on
+    either side) — two CDF diffs, one conflict join, the standard
+    two-commit apply."""
+    from h2outility_spark.storage_tx import TxTable
+
+    cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("bigint")
+    base = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 < 6).select(
+        "o_orderkey", "o_custkey", cents.alias("cents")
+    )
+    root = scratch_dir("h2ou_resolve_")
+    main = TxTable(spark, root + "/main", key_cols=["o_orderkey"])
+    main.append(base)
+    fork_v = main.latest_version()
+    br = main.branch("exp")
+    main.merge_upsert(
+        base.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+            "cents", F.col("cents") + F.lit(100)
+        )
+    )
+    br.merge_upsert(
+        base.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+            "cents", F.col("cents") + F.lit(5000)
+        )
+    )
+    br.delete_keys(base.filter(F.col("o_orderkey") % 5 == 0).select("o_orderkey"))
+    main.resolve_from_branch(br, since_self=fork_v, prefer="main")
+    return main.snapshot().select("o_orderkey", "o_custkey", "cents")
+
+
 # -- Bloom prefilter inside a real join pipeline -----------------------------------------
 
 _BPR_M, _BPR_K = 1024, 3
@@ -241,6 +298,64 @@ def q_bloom_prefilter_revenue(spark, sf_dir):
     )
 
 
+# -- per-source embedding drift across ingest batches ------------------------------------
+
+EMB_DRIFT_ORACLE = """
+WITH e AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS v, label, vec_id % 4 AS batch
+  FROM embeddings
+),
+c AS (
+  SELECT label, batch, r.range AS pos, avg(v[CAST(r.range AS INT) + 1]) AS cv
+  FROM e CROSS JOIN range(64) r GROUP BY 1, 2, 3
+),
+d AS (
+  SELECT a.label, a.batch, sum((a.cv - b.cv) * (a.cv - b.cv)) AS s2
+  FROM c a JOIN c b ON a.label = b.label AND b.batch = a.batch - 1 AND a.pos = b.pos
+  GROUP BY 1, 2
+)
+SELECT label, CAST(batch AS BIGINT) AS batch,
+       floor(sqrt(s2) * 10000.0 + 0.5) / 10000.0 AS drift_l2
+FROM d
+"""
+
+
+def q_embedding_drift_batches(spark, sf_dir):
+    """Per-source embedding DRIFT monitoring (the NOTES r11 §5 seed): the
+    alarm a production corpus pipeline watches on its encoder — has a
+    source's embedding distribution moved between ingest batches? Batch =
+    vec_id % 4 (the deterministic ingest-slice convention the incremental
+    dedup pairs use), centroid = per-position mean per (label, batch) —
+    ONE posexplode (×64) into ONE combiner-friendly hash aggregate, the
+    same bounded-output shape as the sketch grids — and drift = L2
+    between consecutive batch centroids, a join of two tiny centroid
+    frames. Only the averages' accumulation order is engine-dependent
+    (the r9 lesson), so the distance is rounded at 4 dp on both sides —
+    the kmeans-oracle discipline."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "label",
+        (F.col("vec_id") % 4).alias("batch"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+    )
+    c = e.groupBy("label", "batch", "pos").agg(F.avg("x").alias("cv"))
+    a, b = c.alias("a"), c.alias("b")
+    d = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("b.batch") == F.col("a.batch") - 1)
+            & (F.col("a.pos") == F.col("b.pos")),
+        )
+        .groupBy(F.col("a.label").alias("label"), F.col("a.batch").alias("batch"))
+        .agg(F.sum(F.pow(F.col("a.cv") - F.col("b.cv"), 2)).alias("s2"))
+    )
+    return d.select(
+        "label",
+        F.col("batch").cast("bigint").alias("batch"),
+        fround(F.sqrt("s2"), 4).alias("drift_l2"),
+    )
+
+
 # -- realistic-threshold embedding near-dup ----------------------------------------------
 
 _STRICT_THRESHOLD = 0.85
@@ -318,9 +433,122 @@ def neardup_strict_auto(spark, sf_dir, n_rows: int):
     ).select("id_a", "id_b", fround(F.col("cos_sim"), 4).alias("cos_sim"))
 
 
+# -- semantic dedup: cluster-scoped near-dup with a keep-first policy --------------------
+
+_SEM_K, _SEM_TAU = 8, 0.85
+
+_SEM_CORPUS_CTE = f"""
+eb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pl AS (
+  SELECT vec_id + 100000 AS vec_id, list_transform(v, x -> x + {_STRICT_SHIFT}) AS v
+  FROM eb WHERE vec_id % 20 = 0
+),
+e AS (SELECT * FROM eb UNION ALL SELECT * FROM pl)
+"""
+
+SEMANTIC_DEDUP_ORACLE = f"""
+WITH {_SEM_CORPUS_CTE},
+c0 AS (
+  SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cluster, v AS cvec
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {_SEM_K})
+),
+a1 AS (SELECT vec_id, v, cluster FROM (
+  SELECT e.vec_id, e.v, c.cluster, row_number() OVER (PARTITION BY e.vec_id ORDER BY
+    list_inner_product(c.cvec, c.cvec) - 2.0 * list_inner_product(e.v, c.cvec), c.cluster) AS rn
+  FROM e CROSS JOIN c0 c) WHERE rn = 1),
+p1 AS (SELECT cluster, r.range AS pos, avg(v[CAST(r.range AS INT) + 1]) AS cv
+       FROM a1 CROSS JOIN range(64) r GROUP BY 1, 2),
+g1 AS (SELECT cluster, list(cv ORDER BY pos) AS cvec FROM p1 GROUP BY cluster),
+c1 AS (SELECT c.cluster, coalesce(g.cvec, c.cvec) AS cvec
+       FROM c0 c LEFT JOIN g1 g USING (cluster)),
+a2 AS (SELECT vec_id, v, cluster FROM (
+  SELECT e.vec_id, e.v, c.cluster, row_number() OVER (PARTITION BY e.vec_id ORDER BY
+    list_inner_product(c.cvec, c.cvec) - 2.0 * list_inner_product(e.v, c.cvec), c.cluster) AS rn
+  FROM e CROSS JOIN c1 c) WHERE rn = 1),
+dup AS (
+  SELECT DISTINCT b.vec_id
+  FROM a2 a JOIN a2 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE list_inner_product(a.v, b.v)
+        / sqrt(list_inner_product(a.v, a.v) * list_inner_product(b.v, b.v))
+        >= {_SEM_TAU}
+)
+SELECT a2.vec_id, CAST(a2.cluster AS INT) AS cell,
+       a2.vec_id NOT IN (SELECT vec_id FROM dup) AS is_canonical
+FROM a2
+"""
+
+
+def q_semantic_dedup_cells(spark, sf_dir):
+    """SemDeDup-shaped semantic dedup (Abbas et al. 2023): cluster the
+    corpus (one Lloyd update from first-k seeds — the certified
+    ``kmeans_centroids`` machinery), then search near-dups ONLY within a
+    cell and keep the smallest id per duplicate group (a doc is
+    canonical iff no smaller-id same-cell neighbor at cos ≥ 0.85). The
+    within-cell scoping is the scale story: candidate pairs cost
+    Σ_cells n_c² instead of n² — at 100 TB the cells come from a stored
+    IVF model and each cell's pair scan is an independent task. Run on
+    the planted-near-dup corpus so real duplicate groups exist; the
+    planted +0.05 shift keeps a copy in its source's cell here, and a
+    copy that DID cross a cell boundary would be missed by BOTH engines
+    identically (the known SemDeDup recall trade, deterministic under
+    the shared model). Every row rides the hash with its cell and
+    verdict."""
+    from h2outility_spark.operators import kmeans as km
+    from h2outility_spark.operators.similarity import dot
+
+    corpus = neardup_strict_corpus(spark, sf_dir)
+    seeds = (
+        corpus.orderBy("vec_id")
+        .limit(_SEM_K)
+        .select(F.col("embedding").alias("v"))
+        .collect()
+    )
+    centroids = [(i, list(r["v"])) for i, r in enumerate(seeds)]
+    # one Lloyd update (assign under seeds, re-average), then final assign
+    assigned = km._assign(corpus, centroids, "vec_id", "embedding")
+    new_rows = (
+        assigned.select("cluster", F.posexplode("__v").alias("pos", "x"))
+        .groupBy("cluster", "pos")
+        .agg(F.avg("x").alias("cv"))
+        .groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pairs"))
+        .select("cluster", F.expr("transform(pairs, p -> p.cv)").alias("cvec"))
+        .collect()
+    )
+    updated = {r["cluster"]: list(r["cvec"]) for r in new_rows}
+    centroids = [(cid, updated.get(cid, cvec)) for cid, cvec in centroids]
+    cells = km._assign(corpus, centroids, "vec_id", "embedding").select(
+        "vec_id", "cluster", "__v"
+    )
+
+    a = cells.select(
+        F.col("vec_id").alias("id_a"), F.col("cluster").alias("ca"), F.col("__v").alias("va")
+    )
+    b = cells.select(
+        F.col("vec_id").alias("id_b"), F.col("cluster").alias("cb"), F.col("__v").alias("vb")
+    )
+    sim = dot(F.col("va"), F.col("vb")) / F.sqrt(
+        dot(F.col("va"), F.col("va")) * dot(F.col("vb"), F.col("vb"))
+    )
+    dup = (
+        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("id_a") < F.col("id_b")))
+        .filter(sim >= F.lit(_SEM_TAU))
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return cells.join(dup.withColumn("__dup", F.lit(True)), "vec_id", "left").select(
+        "vec_id",
+        F.col("cluster").cast("int").alias("cell"),
+        (~F.coalesce(F.col("__dup"), F.lit(False))).alias("is_canonical"),
+    )
+
+
 #: name -> (fn, oracle) for a future promotion pass and the parity test.
 STAGED9 = {
     "stream_cdc_replica": (q_stream_cdc_replica, STREAM_CDC_ORACLE),
     "bloom_prefilter_revenue": (q_bloom_prefilter_revenue, BLOOM_REVENUE_ORACLE),
     "neardup_embedding_strict": (q_neardup_embedding_strict, NEARDUP_STRICT_ORACLE),
+    "txtable_resolve_ours": (q_txtable_resolve_ours, RESOLVE_OURS_ORACLE),
+    "embedding_drift_batches": (q_embedding_drift_batches, EMB_DRIFT_ORACLE),
+    "semantic_dedup_cells": (q_semantic_dedup_cells, SEMANTIC_DEDUP_ORACLE),
 }

@@ -1072,3 +1072,53 @@ def test_branch_conflicts_reports_only_both_touched(spark, table):
     # 1: updated on one, deleted on two; 2: updated on both. 3/5 one side
     # only; 4 reverted on two.
     assert got == [1, 2]
+
+
+def test_resolve_from_branch_prefer_main_keeps_ours_on_conflict(spark, table):
+    """Three-way resolution, prefer='main': conflicted keys keep main's
+    state; the branch's non-conflicting updates, inserts and deletes all
+    land."""
+    table.append(kv(spark, [(1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e")]))
+    fork_v = table.latest_version()
+    br = table.branch("exp")
+    # main advances: touches 1 and 2
+    table.merge_upsert(kv(spark, [(1, "main1"), (2, "main2")]))
+    # branch: updates 1 (conflict) and 3, inserts 6, deletes 2 (conflict) and 5
+    br.merge_upsert(kv(spark, [(1, "br1"), (3, "br3"), (6, "br6")]))
+    br.delete_keys(spark.createDataFrame([(2,), (5,)], "k int"))
+
+    table.resolve_from_branch(br, since_self=fork_v, prefer="main")
+    assert rows_of(table.snapshot()) == [
+        (1, "main1"),  # conflict: ours wins
+        (2, "main2"),  # conflict (branch deleted, main updated): ours wins
+        (3, "br3"),    # branch-only update lands
+        (4, "d"),      # untouched
+        (6, "br6"),    # branch-only insert lands
+    ]  # 5: branch-only delete propagated
+
+
+def test_resolve_from_branch_prefer_branch_delegates_to_merge(spark, table):
+    table.append(kv(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    fork_v = table.latest_version()
+    br = table.branch("exp")
+    table.merge_upsert(kv(spark, [(1, "main1")]))
+    br.merge_upsert(kv(spark, [(1, "br1")]))
+    br.delete_keys(spark.createDataFrame([(3,)], "k int"))
+    table.resolve_from_branch(br, since_self=fork_v, prefer="branch")
+    assert rows_of(table.snapshot()) == [(1, "br1"), (2, "b")]
+
+
+def test_resolve_from_branch_no_deletes_when_opted_out(spark, table):
+    table.append(kv(spark, [(1, "a"), (2, "b")]))
+    fork_v = table.latest_version()
+    br = table.branch("exp")
+    br.delete_keys(spark.createDataFrame([(2,)], "k int"))
+    table.resolve_from_branch(br, since_self=fork_v, prefer="main", propagate_deletes=False)
+    assert rows_of(table.snapshot()) == [(1, "a"), (2, "b")]
+
+
+def test_resolve_from_branch_rejects_unknown_policy(spark, table):
+    table.append(kv(spark, [(1, "a")]))
+    br = table.branch("exp")
+    with pytest.raises(ValueError, match="prefer"):
+        table.resolve_from_branch(br, since_self=0, prefer="newest")
