@@ -43,6 +43,27 @@ Coverage targets (the three VERDICT-r11 build directives):
     random pairs — the regime where banding genuinely bites, unlike the
     borderline 0.45 exemplar. The brute-force oracle over the augmented
     corpus makes hash equality the recall-1.0 law.
+
+Deepening pairs (the NOTES r11 §5 seeds plus one curation staple):
+  * ``txtable_resolve_ours`` — three-way merge RESOLUTION via the NEW
+    ``TxTable.resolve_from_branch(prefer='main')``: conflicted keys keep
+    main's state, the branch's non-conflicting updates/inserts/deletes
+    land; the oracle restates the resolved end state as one CASE.
+  * ``embedding_drift_batches`` — per-label centroid L2 shift across
+    deterministic ingest batches (vec_id % 4): the encoder-drift alarm,
+    one posexplode into one combiner-friendly aggregate.
+  * ``semantic_dedup_cells`` — SemDeDup-shaped cluster-scoped near-dup
+    with a keep-first policy: one Lloyd update from first-k seeds, pairs
+    searched only within a cell (Σ n_c² not n²), run on the planted
+    corpus so real duplicate groups exist.
+  * ``unigram_logprob_buckets`` — CCNet-style perplexity bucketing:
+    mean token log-prob under the corpus's own unigram LM, per-source
+    head/middle/tail terciles ranked on the 4-dp-ROUNDED score with
+    doc_id tie-break.
+  * ``stream_cdc_evolve_replica`` — CDC replication THROUGH a
+    mid-stream add-column schema evolution: the post-evolution drains
+    carry the evolved schema (old files null-fill), and the replica
+    evolves in lockstep via ``merge_upsert(evolve_schema=True)``.
 """
 
 from __future__ import annotations
@@ -151,6 +172,94 @@ def q_stream_cdc_replica(spark, sf_dir):
     src.delete_keys(base.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey"))
     drain()  # batch 3: the delete version — tombstones only
     return replica.snapshot().select("o_orderkey", "o_custkey", "cents")
+
+
+STREAM_CDC_EVOLVE_ORACLE = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 4 = 0
+            THEN CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) + 7
+            ELSE CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) END AS cents,
+       CASE WHEN o_orderkey % 4 = 0 THEN 'hot' ELSE NULL END AS flag
+FROM orders
+WHERE o_orderkey % 100 < 3 AND o_orderkey % 11 <> 0
+"""
+
+
+def q_stream_cdc_evolve_replica(spark, sf_dir):
+    """CDC replication THROUGH a mid-stream schema evolution — the drift
+    case every long-lived replica eventually meets: after the bootstrap
+    drain the source merge adds a ``flag`` column (``evolve_schema``),
+    so the next drain's feed carries the evolved schema, old files
+    null-filling the new column exactly like snapshots do; the replica
+    applies each batch with ``merge_upsert(evolve_schema=True)`` and
+    evolves in lockstep. A delete drain follows on the evolved table.
+    Final replica state — updated keys carrying the flag, untouched keys
+    NULL, deleted keys gone — is restated by the oracle."""
+    from h2outility_spark.sources.txtable_source import (
+        TxTableCdcDataSource,
+        net_changes,
+    )
+    from h2outility_spark.storage_tx import TxTable
+
+    spark.dataSource.register(TxTableCdcDataSource)
+    cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("bigint")
+    base = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 < 3).select(
+        "o_orderkey", cents.alias("cents")
+    )
+
+    root = scratch_dir("h2ou_scdce_")
+    src_dir, ckpt = root + "/src", root + "/ckpt"
+    applied_dir = root + "/applied"
+    os.makedirs(applied_dir, exist_ok=True)
+    src = TxTable(spark, src_dir, key_cols=["o_orderkey"])
+    replica = TxTable(spark, root + "/replica", key_cols=["o_orderkey"])
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        marker = os.path.join(applied_dir, f"applied_{batch_id}")
+        if os.path.exists(marker):
+            return
+        cdf = net_changes(batch_df)
+        inserts = cdf.filter(F.col("_change_type") == "insert").drop("_change_type")
+        tombstones = (
+            cdf.filter(F.col("_change_type") == "delete")
+            .select("o_orderkey")
+            .join(inserts.select("o_orderkey").distinct(), "o_orderkey", "left_anti")
+            .distinct()
+        )
+        if replica.latest_version() is not None:
+            replica.delete_keys(tombstones)
+        replica.merge_upsert(inserts, evolve_schema=True)
+        tmp = os.path.join(applied_dir, f".tmp_{batch_id}")
+        with open(tmp, "w") as f:
+            f.write("applied")
+        os.replace(tmp, marker)
+
+    def drain() -> None:
+        q = (
+            spark.readStream.format("txtable_cdc")
+            .option("path", src_dir)
+            .load()
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+
+    src.append(base)
+    drain()  # bootstrap at the pre-evolution schema
+    upd = (
+        base.filter(F.col("o_orderkey") % 4 == 0)
+        .withColumn("cents", F.col("cents") + F.lit(7))
+        .withColumn("flag", F.lit("hot"))
+    )
+    src.merge_upsert(upd, evolve_schema=True)
+    drain()  # the feed now carries the evolved schema; old rows null-fill
+    src.delete_keys(base.filter(F.col("o_orderkey") % 11 == 0).select("o_orderkey"))
+    drain()
+    return replica.snapshot().select("o_orderkey", "cents", "flag")
 
 
 # -- three-way merge resolution ----------------------------------------------------------
@@ -543,6 +652,77 @@ def q_semantic_dedup_cells(spark, sf_dir):
     )
 
 
+# -- unigram-LM quality scoring with per-source buckets (the CCNet shape) ----------------
+
+_ULM_BUCKETS = 3
+
+UNIGRAM_LM_ORACLE = """
+WITH toks AS (
+  SELECT d.doc_id, d.source,
+         unnest(regexp_split_to_array(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')), ' ')) AS w
+  FROM documents d
+  WHERE length(trim(text)) > 0
+),
+cnt AS (SELECT w, count(*) AS c FROM toks GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n_tot FROM cnt),
+per AS (
+  SELECT t.doc_id, t.source, count(*) AS n_tokens,
+         floor(avg(ln(CAST(c.c AS DOUBLE) / tot.n_tot)) * 10000.0 + 0.5) / 10000.0 AS logprob
+  FROM toks t JOIN cnt c USING (w) CROSS JOIN tot
+  GROUP BY 1, 2
+)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens, logprob,
+       CAST(ntile({b}) OVER (PARTITION BY source ORDER BY logprob DESC, doc_id) AS INT) AS bucket
+FROM per
+""".format(b=_ULM_BUCKETS)
+
+
+def q_unigram_logprob_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020) — the
+    standard curation move this engine lacked: score every document by
+    its mean token log-probability under the corpus's own unigram LM,
+    then split each source into head/middle/tail terciles (real CCNet
+    scores against a Wikipedia KenLM; the unigram self-model keeps the
+    pair hermetic while exercising the identical plan shape). Flow: one
+    token explode -> vocabulary count table (hash join, combiner-
+    friendly) -> per-doc mean ln p -> per-source ntile. The ln() values
+    differ across engines in the last ulp, so the score is ROUNDED at 4
+    dp BEFORE ranking and doc_id breaks ties — near-ties become exact
+    ties with a deterministic order (the tfidf top-k lesson). The 1-row
+    total-token broadcast is the allowlisted scalar-BNLJ shape."""
+    from pyspark.sql import Window as W
+
+    from h2outility_spark.operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    toks = docs.select(
+        "doc_id", "source", F.explode(tokens(F.col("text"))).alias("w")
+    )
+    cnt = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.sum("c").cast("double").alias("n_tot"))
+    per = (
+        toks.join(cnt, "w")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            fround(F.avg(F.log(F.col("c").cast("double") / F.col("n_tot"))), 4).alias(
+                "logprob"
+            ),
+        )
+    )
+    w = W.partitionBy("source").orderBy(F.col("logprob").desc(), "doc_id")
+    return per.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "logprob",
+        F.ntile(_ULM_BUCKETS).over(w).cast("int").alias("bucket"),
+    )
+
+
 #: name -> (fn, oracle) for a future promotion pass and the parity test.
 STAGED9 = {
     "stream_cdc_replica": (q_stream_cdc_replica, STREAM_CDC_ORACLE),
@@ -551,4 +731,6 @@ STAGED9 = {
     "txtable_resolve_ours": (q_txtable_resolve_ours, RESOLVE_OURS_ORACLE),
     "embedding_drift_batches": (q_embedding_drift_batches, EMB_DRIFT_ORACLE),
     "semantic_dedup_cells": (q_semantic_dedup_cells, SEMANTIC_DEDUP_ORACLE),
+    "unigram_logprob_buckets": (q_unigram_logprob_buckets, UNIGRAM_LM_ORACLE),
+    "stream_cdc_evolve_replica": (q_stream_cdc_evolve_replica, STREAM_CDC_EVOLVE_ORACLE),
 }

@@ -37,6 +37,7 @@ BNLJ_ALLOWED = {
     "bloom_prefilter_revenue",  # two 1-row count broadcasts (n_cand, n_total) (STAGED9)
     "semantic_dedup_cells",  # vectors x broadcast 8-centroid frame — the
     # canonical IVF/kmeans assignment shape (same as ivf_search) (STAGED9)
+    "unigram_logprob_buckets",  # 1-row total-token-count broadcast (STAGED9)
 }
 
 
