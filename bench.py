@@ -51,7 +51,15 @@ from h2outility_spark.session import get_spark  # noqa: E402
 def _ensure_sf1(sf_dir: str) -> str | None:
     import tempfile
 
-    out = os.path.join(tempfile.gettempdir(), "h2ou_sf1_v2")
+    # v3: per-table ROW_GROUP_SIZE. DuckDB's default row group is 122,880
+    # rows, so the 50k-row sf1 documents table landed in ONE row group of
+    # one file — Spark cannot split inside a row group, so every
+    # documents-scanning query ran its narrow map on ~2 of 32 cores at
+    # sf1 and the measured 100x exponent crept up with data (the r12
+    # chunk_sliding 0.829 reading was THIS, not the algorithm). Real
+    # corpora arrive as thousands of files; bounded row groups restore
+    # the parallel scan the measurement is supposed to exercise.
+    out = os.path.join(tempfile.gettempdir(), "h2ou_sf1_v3")
     marker = os.path.join(out, "_COMPLETE")
     if os.path.exists(marker):
         return out
@@ -97,15 +105,18 @@ def _ensure_sf1(sf_dir: str) -> str | None:
                 "FROM read_parquet('{src}/events.parquet')"
             ).format(eo=k * 1_000_000, uo=k * 10_000, src=sf_dir)
 
-        for name, per_copy in (
-            ("documents", docs_k),
-            ("embeddings", emb_k),
-            ("orders", lambda k: fact_k(k, "orders", "o_orderkey")),
-            ("lineitem", lambda k: fact_k(k, "lineitem", "l_orderkey")),
-            ("events", events_k),
+        for name, per_copy, rg in (
+            ("documents", docs_k, 2000),      # 50k rows -> ~25 splittable groups
+            ("embeddings", emb_k, 1000),      # 22k rows -> ~22 groups
+            ("orders", lambda k: fact_k(k, "orders", "o_orderkey"), 60000),
+            ("lineitem", lambda k: fact_k(k, "lineitem", "l_orderkey"), 120000),
+            ("events", events_k, 60000),
         ):
             union = " UNION ALL ".join(per_copy(k) for k in range(10))
-            con.execute(f"COPY ({union}) TO '{out}/{name}.parquet' (FORMAT PARQUET)")
+            con.execute(
+                f"COPY ({union}) TO '{out}/{name}.parquet' "
+                f"(FORMAT PARQUET, ROW_GROUP_SIZE {rg})"
+            )
         con.close()
         for t in ("region", "nation", "customer", "supplier", "part"):
             dst = os.path.join(out, f"{t}.parquet")
