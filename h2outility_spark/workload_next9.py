@@ -174,6 +174,92 @@ def q_stream_cdc_replica(spark, sf_dir):
     return replica.snapshot().select("o_orderkey", "o_custkey", "cents")
 
 
+CDC_CATCHUP_ORACLE = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 3 = 0
+            THEN CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) + 555
+            ELSE CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) END AS cents
+FROM orders
+WHERE o_orderkey % 100 >= 96 AND o_orderkey % 5 <> 0
+"""
+
+
+def q_stream_cdc_catchup(spark, sf_dir):
+    """CDC replica CATCH-UP — the failure-recovery scenario: the replica
+    bootstraps from the first drain, then MISSES three source commits
+    (a second append, a merge, a delete) and reconnects with ONE drain
+    covering the whole backlog version range. ``net_changes`` telescopes
+    the range — a row appended in the missed window and updated later
+    arrives once with its final value; appended-then-deleted rows never
+    reach the replica at all — so catch-up cost is O(net changes),
+    never O(missed versions × table). The final snapshot equals the
+    source's, restated by the oracle; the sibling ``stream_cdc_replica``
+    certifies the same pipeline arriving as three incremental batches,
+    so together they pin that batch-boundary placement cannot change
+    the replica."""
+    from h2outility_spark.sources.txtable_source import (
+        TxTableCdcDataSource,
+        net_changes,
+    )
+    from h2outility_spark.storage_tx import TxTable
+
+    spark.dataSource.register(TxTableCdcDataSource)
+    cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("bigint")
+    slice_ = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 >= 96)
+    base = slice_.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", cents.alias("cents")
+    )
+    late = slice_.filter(F.col("o_orderkey") % 2 != 0).select(
+        "o_orderkey", cents.alias("cents")
+    )
+
+    root = scratch_dir("h2ou_scdcc_")
+    src_dir, ckpt = root + "/src", root + "/ckpt"
+    src = TxTable(spark, src_dir, key_cols=["o_orderkey"])
+    replica = TxTable(spark, root + "/replica", key_cols=["o_orderkey"])
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        cdf = net_changes(batch_df)
+        inserts = cdf.filter(F.col("_change_type") == "insert").drop("_change_type")
+        tombstones = (
+            cdf.filter(F.col("_change_type") == "delete")
+            .select("o_orderkey")
+            .join(inserts.select("o_orderkey").distinct(), "o_orderkey", "left_anti")
+            .distinct()
+        )
+        if replica.latest_version() is not None:
+            replica.delete_keys(tombstones)
+        replica.merge_upsert(inserts)
+
+    def drain() -> None:
+        q = (
+            spark.readStream.format("txtable_cdc")
+            .option("path", src_dir)
+            .load()
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+
+    src.append(base)
+    drain()  # replica bootstraps, then goes OFFLINE
+    src.append(late)  # missed commit 1
+    src.merge_upsert(  # missed commit 2: +555 on the %3 keys
+        slice_.filter(F.col("o_orderkey") % 3 == 0).select(
+            "o_orderkey", (cents + F.lit(555)).alias("cents")
+        )
+    )
+    src.delete_keys(  # missed commit 3: the %5 keys vanish
+        slice_.filter(F.col("o_orderkey") % 5 == 0).select("o_orderkey")
+    )
+    drain()  # ONE catch-up drain telescopes the three missed versions
+    return replica.snapshot().select("o_orderkey", "cents")
+
+
 STREAM_CDC_EVOLVE_ORACLE = """
 SELECT o_orderkey,
        CASE WHEN o_orderkey % 4 = 0
@@ -733,4 +819,5 @@ STAGED9 = {
     "semantic_dedup_cells": (q_semantic_dedup_cells, SEMANTIC_DEDUP_ORACLE),
     "unigram_logprob_buckets": (q_unigram_logprob_buckets, UNIGRAM_LM_ORACLE),
     "stream_cdc_evolve_replica": (q_stream_cdc_evolve_replica, STREAM_CDC_EVOLVE_ORACLE),
+    "stream_cdc_catchup": (q_stream_cdc_catchup, CDC_CATCHUP_ORACLE),
 }
