@@ -352,7 +352,13 @@ def main() -> None:
     # operator). Supplementary: not part of the headline total until the
     # pair is promoted in the r13 rotation.
     strict_block: dict[str, float] = {}
-    if small_dir != sf_dir and os.path.isdir(small_dir):
+    if (
+        small_dir != sf_dir
+        and os.path.isdir(small_dir)
+        # same wall-budget guard as the scaling blocks: supplementary
+        # evidence must never risk the headline JSON line after a VM stall
+        and time.perf_counter() - t_bench_start <= 420
+    ):
         try:
             from h2outility_spark.workload_next9 import (
                 neardup_strict_auto,

@@ -73,62 +73,21 @@ def _file_paths(table_dir: str, m: dict) -> set[str]:
 def _added_files(table_dir: str, v: int, allow_bootstrap: bool = False) -> list[str]:
     """Relative paths of the data files version ``v`` ADDED, enforcing the
     append-only contract (compact → none; other non-append ops → error).
-
-    Cost is O(changed segments), not O(table): unchanged segments carry
-    over BY NAME between manifests, so the diff reads only segments
-    present in exactly one of the two manifests (new segments hold the
-    candidates; vanished ones — small segments repacked by the manifest
-    compactor — hold the carried files to subtract).
-
-    If version ``v``'s PARENT manifest was vacuumed away, behavior depends
-    on ``allow_bootstrap``: a FRESH reader (offset minted by
-    ``initialOffset`` this run, which sets the bootstrap flag) emits
-    ``v``'s FULL file set as the snapshot bootstrap — it has emitted
-    nothing yet, so the snapshot is exactly its backlog. A CHECKPOINTED
-    reader resuming mid-stream must NOT take that branch: it already
-    emitted every row up to its offset, and the full snapshot would
-    re-emit the whole table as duplicates into an exactly-once sink — it
-    gets the fresh-checkpoint ValueError instead.
-    """
+    The diff/vacuum/bootstrap mechanics are shared with the CDC source
+    (:func:`_changed_files`); this wrapper only adds the op guard and
+    keeps the +1 side (an append never removes files, so the symmetric
+    diff IS the added set)."""
     try:
-        m = _manifest(table_dir, v)
+        op = _manifest(table_dir, v)["op"]
     except FileNotFoundError:
-        raise ValueError(
-            f"txtable_stream offset points at version {v}, which vacuum has "
-            f"removed (oldest retained: {min(_versions(table_dir), default='none')}); "
-            "restart the stream from a fresh checkpoint"
-        ) from None
-    try:
-        prev_m = _manifest(table_dir, v - 1) if v > 0 else None
-    except FileNotFoundError:
-        if allow_bootstrap:
-            # v is the oldest retained version and the reader is fresh:
-            # bootstrap with its snapshot
-            return sorted(_file_paths(table_dir, m))
-        raise ValueError(
-            f"version {v}'s parent manifest was vacuumed away beneath a "
-            "checkpointed reader; emitting the snapshot here would re-send "
-            "already-delivered rows as duplicates — restart the stream from "
-            "a fresh checkpoint"
-        ) from None
-    if m["op"] == "compact":
-        return []
-    if m["op"] != "append":
+        op = None  # let _changed_files raise the canonical vacuum error
+    if op not in (None, "append", "compact"):
         raise ValueError(
             f"txtable_stream is an append-only tail (version {v} is "
-            f"op={m['op']!r}); use TxTable.changes() for the general feed"
+            f"op={op!r}); use TxTable.changes() / the txtable_cdc source "
+            "for the general feed"
         )
-    if prev_m is None:
-        return sorted(_file_paths(table_dir, m))
-    prev_segs = {d["name"] for d in prev_m["segments"]}
-    cur_segs = {d["name"] for d in m["segments"]}
-    candidates: set[str] = {e["path"] for e in m["_inline_files"]}
-    for name in cur_segs - prev_segs:
-        candidates.update(e["path"] for e in _segment_entries(table_dir, name))
-    carried: set[str] = {e["path"] for e in prev_m["_inline_files"]}
-    for name in prev_segs - cur_segs:
-        carried.update(e["path"] for e in _segment_entries(table_dir, name))
-    return sorted(candidates - carried)
+    return [p for p, sign in _changed_files(table_dir, v, allow_bootstrap) if sign == 1]
 
 
 class _TxFilePartition(InputPartition):
@@ -233,15 +192,25 @@ def _changed_files(
     table_dir: str, v: int, allow_bootstrap: bool = False
 ) -> list[tuple[str, int]]:
     """(relative path, sign) for version ``v``: +1 = added, −1 = removed.
+    THE shared diff core for both stream sources (the tail keeps the +1
+    side behind an op guard): O(changed segments) — unchanged segments
+    carry over BY NAME and are never opened — with one vacuum/bootstrap
+    contract for both.
 
-    Same O(changed segments) manifest diff as ``_added_files`` (unchanged
-    segments carry over BY NAME and are never opened), generalized to the
-    symmetric difference; same vacuum/bootstrap contract."""
+    If version ``v``'s PARENT manifest was vacuumed away, behavior
+    depends on ``allow_bootstrap``: a FRESH reader (offset minted by
+    ``initialOffset`` this run, which sets the bootstrap flag) emits
+    ``v``'s FULL file set as the snapshot bootstrap — it has emitted
+    nothing yet, so the snapshot is exactly its backlog. A CHECKPOINTED
+    reader resuming mid-stream must NOT take that branch: it already
+    emitted every row up to its offset, and the full snapshot would
+    re-emit the whole table as duplicates into an exactly-once sink —
+    it gets the fresh-checkpoint ValueError instead."""
     try:
         m = _manifest(table_dir, v)
     except FileNotFoundError:
         raise ValueError(
-            f"txtable_cdc offset points at version {v}, which vacuum has "
+            f"stream offset points at version {v}, which vacuum has "
             f"removed (oldest retained: {min(_versions(table_dir), default='none')}); "
             "restart the stream from a fresh checkpoint"
         ) from None
@@ -252,7 +221,9 @@ def _changed_files(
             return [(p, 1) for p in sorted(_file_paths(table_dir, m))]
         raise ValueError(
             f"version {v}'s parent manifest was vacuumed away beneath a "
-            "checkpointed reader; restart the stream from a fresh checkpoint"
+            "checkpointed reader; emitting the snapshot here would re-send "
+            "already-delivered rows as duplicates — restart the stream "
+            "from a fresh checkpoint"
         ) from None
     if m["op"] == "compact":
         return []  # pure rewrite: provably no net change, skip by op
@@ -269,6 +240,25 @@ def _changed_files(
     return [(p, 1) for p in sorted(cur_cand - prev_cand)] + [
         (p, -1) for p in sorted(prev_cand - cur_cand)
     ]
+
+
+def _ddl_column_names(ddl: str) -> set[str]:
+    """Top-level column names of a DDL string ("`a` int, `b` array<int>")
+    without a SparkSession: split on depth-0 commas (angle brackets track
+    nested generics), take each entry's first token, strip backticks."""
+    parts, depth, cur = [], 0, []
+    for ch in ddl:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return {p.strip().split()[0].strip("`") for p in parts if p.strip()}
 
 
 class _TxSignedFilePartition(InputPartition):
@@ -335,7 +325,20 @@ class TxTableCdcDataSource(DataSource):
         latest = _latest_version(table_dir)
         if latest is None:
             raise FileNotFoundError(f"no committed version in {table_dir}")
-        return _manifest(table_dir, latest)["schema"] + ", _commit_version bigint, _sign int"
+        data_schema = _manifest(table_dir, latest)["schema"]
+        # The metadata columns are reserved: a table that already owns one
+        # would silently have it shadowed by the per-partition metadata in
+        # read() AND excluded from net_changes' groupBy — corrupt feed, so
+        # refuse loudly at stream start instead. Column names are parsed
+        # from the DDL by hand: schema() runs in the data-source helper
+        # process where no SparkSession exists for StructType.fromDDL.
+        clash = _ddl_column_names(data_schema) & {"_commit_version", "_sign"}
+        if clash:
+            raise ValueError(
+                f"txtable_cdc reserves column names {sorted(clash)}; rename "
+                "the table column(s) before streaming the change feed"
+            )
+        return data_schema + ", _commit_version bigint, _sign int"
 
     def streamReader(self, schema) -> _TxCdcReader:
         data = [f.name for f in schema.fields if f.name not in ("_commit_version", "_sign")]

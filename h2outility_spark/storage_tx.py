@@ -887,10 +887,21 @@ class TxTable:
             )
         from pyspark.sql import functions as F
 
-        conflicts = self.branch_conflicts(
-            self, other, since_a=since_self, since_b=since_other
-        )
+        # ONE CDF diff per side: the branch leg of the conflict set is
+        # derived from the SAME persisted net the apply path consumes
+        # (calling branch_conflicts here would re-run other.changes()),
+        # and conflicts itself is persisted because delete_keys +
+        # merge_upsert each consume their inputs several times (bounds
+        # collects + staged writes) — without it the exceptAll shuffles
+        # behind self.changes() would re-run per consumption.
         net = other.changes(since_other).persist()
+        conflicts = (
+            self.changes(since_self)
+            .select(*self.key_cols)
+            .distinct()
+            .join(net.select(*self.key_cols).distinct(), self.key_cols, "semi")
+            .persist()
+        )
         try:
             all_inserts = net.filter(F.col("_change_type") == "insert").drop(
                 "_change_type"
@@ -912,6 +923,7 @@ class TxTable:
             return self.merge_upsert(inserts)
         finally:
             net.unpersist()
+            conflicts.unpersist()
 
     def branch_conflicts(
         self, a: "TxTable", b: "TxTable", since_a: int = 0, since_b: int = 0

@@ -197,10 +197,13 @@ def q_hll_register_rollup(spark, sf_dir):
 _BLOOM_M, _BLOOM_K = 1024, 3
 
 
-def _bloom_pos_oracle(item_sql: str, i: int) -> str:
+def _bloom_pos_oracle(item_sql: str, i: int, m_bits: int = _BLOOM_M) -> str:
+    """DuckDB restatement of ``sketch._bloom_pos_sql`` — ONE definition
+    (workload_next9 imports it) so the md5-position formula can never
+    drift between the two staged Bloom certificates and the operator."""
     return (
         f"('0x' || substr(md5(CAST({item_sql} AS VARCHAR) || '#{i}'), 1, 8))::BIGINT"
-        f" % {_BLOOM_M}"
+        f" % {m_bits}"
     )
 
 

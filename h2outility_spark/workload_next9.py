@@ -78,6 +78,68 @@ from h2outility_spark.workload_lakehouse import scratch_dir
 
 # -- streaming CDC replica ---------------------------------------------------------------
 
+
+def _cdc_replica_runner(spark, root: str, key_col: str, evolve_schema: bool = False):
+    """Shared CDC-replica harness for the three streaming pairs: returns
+    (src_table, replica_table, drain). The foreachBatch handler collapses
+    each micro-batch with ``net_changes``, applies tombstones (delete
+    rows anti-joined against insert keys) then upserts — the certified
+    ``txtable_cdf_replica`` discipline — under a batch_id marker written
+    LAST by atomic rename, so a replayed batch is skipped (a crash
+    before the marker replays the batch; delete-of-deleted and
+    merge-of-identical are no-ops on state, so even a half-applied
+    replay converges). One definition so a fix to the apply discipline
+    lands in every pair at once."""
+    from h2outility_spark.sources.txtable_source import (
+        TxTableCdcDataSource,
+        net_changes,
+    )
+    from h2outility_spark.storage_tx import TxTable
+
+    spark.dataSource.register(TxTableCdcDataSource)
+    src_dir, ckpt = root + "/src", root + "/ckpt"
+    applied_dir = root + "/applied"
+    os.makedirs(applied_dir, exist_ok=True)
+    src = TxTable(spark, src_dir, key_cols=[key_col])
+    replica = TxTable(spark, root + "/replica", key_cols=[key_col])
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        marker = os.path.join(applied_dir, f"applied_{batch_id}")
+        if os.path.exists(marker):
+            return  # replayed batch: already applied, exactly-once preserved
+        cdf = net_changes(batch_df)
+        inserts = cdf.filter(F.col("_change_type") == "insert").drop("_change_type")
+        tombstones = (
+            cdf.filter(F.col("_change_type") == "delete")
+            .select(key_col)
+            .join(inserts.select(key_col).distinct(), key_col, "left_anti")
+            .distinct()
+        )
+        if replica.latest_version() is not None:
+            replica.delete_keys(tombstones)
+        replica.merge_upsert(inserts, evolve_schema=evolve_schema)
+        tmp = os.path.join(applied_dir, f".tmp_{batch_id}")
+        with open(tmp, "w") as f:
+            f.write("applied")
+        os.replace(tmp, marker)
+
+    def drain() -> None:
+        q = (
+            spark.readStream.format("txtable_cdc")
+            .option("path", src_dir)
+            .load()
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+
+    return src, replica, drain
+
+
 STREAM_CDC_ORACLE = """
 SELECT o_orderkey, o_custkey,
        CASE WHEN o_orderkey % 2 = 0
@@ -104,64 +166,14 @@ def q_stream_cdc_replica(spark, sf_dir):
     replica starts EMPTY: even the initial state arrives as version 0's
     insert rows. Final snapshot must equal the source's, restated by the
     oracle."""
-    from h2outility_spark.sources.txtable_source import (
-        TxTableCdcDataSource,
-        net_changes,
-    )
-    from h2outility_spark.storage_tx import TxTable
-
-    spark.dataSource.register(TxTableCdcDataSource)
     cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("bigint")
     orders = _t(spark, sf_dir, "orders")
     base = orders.filter(F.col("o_orderkey") % 100 < 4).select(
         "o_orderkey", "o_custkey", cents.alias("cents")
     )
-
-    root = scratch_dir("h2ou_scdc_")
-    src_dir = root + "/src"
-    ckpt = root + "/ckpt"
-    applied_dir = root + "/applied"
-    os.makedirs(applied_dir, exist_ok=True)
-    src = TxTable(spark, src_dir, key_cols=["o_orderkey"])
-    replica = TxTable(spark, root + "/replica", key_cols=["o_orderkey"])
-
-    def apply_batch(batch_df, batch_id: int) -> None:
-        marker = os.path.join(applied_dir, f"applied_{batch_id}")
-        if os.path.exists(marker):
-            return  # replayed batch: already applied, exactly-once preserved
-        cdf = net_changes(batch_df)
-        inserts = cdf.filter(F.col("_change_type") == "insert").drop("_change_type")
-        tombstones = (
-            cdf.filter(F.col("_change_type") == "delete")
-            .select("o_orderkey")
-            .join(inserts.select("o_orderkey").distinct(), "o_orderkey", "left_anti")
-            .distinct()
-        )
-        if replica.latest_version() is not None:
-            replica.delete_keys(tombstones)
-        replica.merge_upsert(inserts)
-        # marker LAST (atomic rename): a crash before this point replays
-        # the batch; delete-of-deleted and merge-of-identical are no-ops
-        # on state, so even a replayed half-applied batch converges
-        tmp = os.path.join(applied_dir, f".tmp_{batch_id}")
-        with open(tmp, "w") as f:
-            f.write("applied")
-        os.replace(tmp, marker)
-
-    def drain() -> None:
-        q = (
-            spark.readStream.format("txtable_cdc")
-            .option("path", src_dir)
-            .load()
-            .writeStream.foreachBatch(apply_batch)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.processAllAvailable()
-        q.stop()
-        q.awaitTermination(30)
-
+    src, replica, drain = _cdc_replica_runner(
+        spark, scratch_dir("h2ou_scdc_"), "o_orderkey"
+    )
     src.append(base)
     drain()  # batch 1: the bootstrap — v0's rows arrive as inserts
     upd = base.filter(F.col("o_orderkey") % 2 == 0).withColumn(
@@ -197,13 +209,6 @@ def q_stream_cdc_catchup(spark, sf_dir):
     certifies the same pipeline arriving as three incremental batches,
     so together they pin that batch-boundary placement cannot change
     the replica."""
-    from h2outility_spark.sources.txtable_source import (
-        TxTableCdcDataSource,
-        net_changes,
-    )
-    from h2outility_spark.storage_tx import TxTable
-
-    spark.dataSource.register(TxTableCdcDataSource)
     cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("bigint")
     slice_ = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 >= 96)
     base = slice_.filter(F.col("o_orderkey") % 2 == 0).select(
@@ -212,39 +217,9 @@ def q_stream_cdc_catchup(spark, sf_dir):
     late = slice_.filter(F.col("o_orderkey") % 2 != 0).select(
         "o_orderkey", cents.alias("cents")
     )
-
-    root = scratch_dir("h2ou_scdcc_")
-    src_dir, ckpt = root + "/src", root + "/ckpt"
-    src = TxTable(spark, src_dir, key_cols=["o_orderkey"])
-    replica = TxTable(spark, root + "/replica", key_cols=["o_orderkey"])
-
-    def apply_batch(batch_df, batch_id: int) -> None:
-        cdf = net_changes(batch_df)
-        inserts = cdf.filter(F.col("_change_type") == "insert").drop("_change_type")
-        tombstones = (
-            cdf.filter(F.col("_change_type") == "delete")
-            .select("o_orderkey")
-            .join(inserts.select("o_orderkey").distinct(), "o_orderkey", "left_anti")
-            .distinct()
-        )
-        if replica.latest_version() is not None:
-            replica.delete_keys(tombstones)
-        replica.merge_upsert(inserts)
-
-    def drain() -> None:
-        q = (
-            spark.readStream.format("txtable_cdc")
-            .option("path", src_dir)
-            .load()
-            .writeStream.foreachBatch(apply_batch)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.processAllAvailable()
-        q.stop()
-        q.awaitTermination(30)
-
+    src, replica, drain = _cdc_replica_runner(
+        spark, scratch_dir("h2ou_scdcc_"), "o_orderkey"
+    )
     src.append(base)
     drain()  # replica bootstraps, then goes OFFLINE
     src.append(late)  # missed commit 1
@@ -281,59 +256,13 @@ def q_stream_cdc_evolve_replica(spark, sf_dir):
     evolves in lockstep. A delete drain follows on the evolved table.
     Final replica state — updated keys carrying the flag, untouched keys
     NULL, deleted keys gone — is restated by the oracle."""
-    from h2outility_spark.sources.txtable_source import (
-        TxTableCdcDataSource,
-        net_changes,
-    )
-    from h2outility_spark.storage_tx import TxTable
-
-    spark.dataSource.register(TxTableCdcDataSource)
     cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("bigint")
     base = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 < 3).select(
         "o_orderkey", cents.alias("cents")
     )
-
-    root = scratch_dir("h2ou_scdce_")
-    src_dir, ckpt = root + "/src", root + "/ckpt"
-    applied_dir = root + "/applied"
-    os.makedirs(applied_dir, exist_ok=True)
-    src = TxTable(spark, src_dir, key_cols=["o_orderkey"])
-    replica = TxTable(spark, root + "/replica", key_cols=["o_orderkey"])
-
-    def apply_batch(batch_df, batch_id: int) -> None:
-        marker = os.path.join(applied_dir, f"applied_{batch_id}")
-        if os.path.exists(marker):
-            return
-        cdf = net_changes(batch_df)
-        inserts = cdf.filter(F.col("_change_type") == "insert").drop("_change_type")
-        tombstones = (
-            cdf.filter(F.col("_change_type") == "delete")
-            .select("o_orderkey")
-            .join(inserts.select("o_orderkey").distinct(), "o_orderkey", "left_anti")
-            .distinct()
-        )
-        if replica.latest_version() is not None:
-            replica.delete_keys(tombstones)
-        replica.merge_upsert(inserts, evolve_schema=True)
-        tmp = os.path.join(applied_dir, f".tmp_{batch_id}")
-        with open(tmp, "w") as f:
-            f.write("applied")
-        os.replace(tmp, marker)
-
-    def drain() -> None:
-        q = (
-            spark.readStream.format("txtable_cdc")
-            .option("path", src_dir)
-            .load()
-            .writeStream.foreachBatch(apply_batch)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.processAllAvailable()
-        q.stop()
-        q.awaitTermination(30)
-
+    src, replica, drain = _cdc_replica_runner(
+        spark, scratch_dir("h2ou_scdce_"), "o_orderkey", evolve_schema=True
+    )
     src.append(base)
     drain()  # bootstrap at the pre-evolution schema
     upd = (
@@ -411,10 +340,10 @@ _BPR_M, _BPR_K = 1024, 3
 
 
 def _bpr_pos_oracle(item_sql: str, i: int) -> str:
-    return (
-        f"('0x' || substr(md5(CAST({item_sql} AS VARCHAR) || '#{i}'), 1, 8))::BIGINT"
-        f" % {_BPR_M}"
-    )
+    # shared definition: the md5-position formula lives once, in next8
+    from h2outility_spark.workload_next8 import _bloom_pos_oracle
+
+    return _bloom_pos_oracle(item_sql, i, m_bits=_BPR_M)
 
 
 BLOOM_REVENUE_ORACLE = f"""

@@ -236,6 +236,18 @@ def test_cdc_vacuum_bootstrap_and_checkpoint_guard(spark, cdc_registered, tmp_pa
         _changed_files(tdir, 1)
 
 
+def test_cdc_rejects_reserved_column_names(spark, cdc_registered, tmp_path):
+    # a table owning _sign (or _commit_version) would have it silently
+    # shadowed by the feed metadata — the source must refuse at stream start
+    tdir = str(tmp_path / "cdcres")
+    table = TxTable(spark, tdir, key_cols=["k"])
+    table.append(
+        spark.createDataFrame([Row(k=1, _sign=5)], "k int, _sign int")
+    )
+    with pytest.raises(Exception, match="reserve"):
+        spark.readStream.format("txtable_cdc").option("path", tdir).load()
+
+
 def test_cdc_evolved_schema_nullfills_old_files(spark, cdc_registered, tmp_path):
     from h2outility_spark.sources.txtable_source import net_changes
 
