@@ -64,6 +64,12 @@ Deepening pairs (the NOTES r11 §5 seeds plus one curation staple):
     mid-stream add-column schema evolution: the post-evolution drains
     carry the evolved schema (old files null-fill), and the replica
     evolves in lockstep via ``merge_upsert(evolve_schema=True)``.
+  * ``stream_cdc_catchup`` — the replica misses three source commits
+    and ONE drain telescopes them (catch-up cost O(net changes)).
+  * ``hll_grid_serving`` — the serving-layer shape: ONE stored daily
+    register family answers BOTH weekly distinct (rollup law) and
+    week-over-week retention (set algebra) in one query, rows never
+    rescanned.
 """
 
 from __future__ import annotations
@@ -667,6 +673,112 @@ def q_semantic_dedup_cells(spark, sf_dir):
     )
 
 
+# -- HLL grid SERVING: one stored daily grid family, two question classes ----------------
+
+HLL_SERVING_ORACLE = None  # assigned below (needs next8's shared helpers)
+
+
+def _hll_serving_oracle() -> str:
+    from h2outility_spark.workload_next8 import _HLL_RHO_ORACLE, _hll_est_sql
+    from h2outility_spark.workload import sql_round
+
+    return f"""
+WITH e AS (
+  SELECT CAST(date_trunc('week', ts) AS DATE) AS week, user_id
+  FROM events WHERE user_id IS NOT NULL
+),
+h AS (
+  SELECT week,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))::BIGINT AS bucket,
+         regexp_replace(substr(md5(CAST(user_id AS VARCHAR)), 3, 8), '^0+', '') AS stripped
+  FROM e
+),
+wk AS (
+  SELECT week, bucket, max({_HLL_RHO_ORACLE}) AS reg
+  FROM h GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.week AS week, b.week AS week_next
+  FROM (SELECT DISTINCT week FROM wk) a
+  JOIN (SELECT DISTINCT week FROM wk) b ON b.week = a.week + 7
+),
+uni AS (
+  SELECT p.week, r.bucket, max(r.reg) AS reg
+  FROM pairs p JOIN wk r ON r.week = p.week OR r.week = p.week_next
+  GROUP BY 1, 2
+),
+est_w AS ({_hll_est_sql("wk", "week")}),
+est_u AS ({_hll_est_sql("uni", "week")})
+SELECT p.week, p.week_next,
+       {sql_round("ea.e", 4)} AS est_distinct,
+       {sql_round("eb.e", 4)} AS est_next_distinct,
+       {sql_round("ea.e + eb.e - eu.e", 4)} AS est_retained
+FROM pairs p
+JOIN est_w ea ON ea.week = p.week
+JOIN est_w eb ON eb.week = p.week_next
+JOIN est_u eu ON eu.week = p.week
+"""
+
+
+def q_hll_grid_serving(spark, sf_dir):
+    """The HLL SERVING-LAYER shape the two sibling certificates build
+    toward: ONE stored grid family — per-(week, day) registers, the form
+    a production pipeline persists — serves BOTH question classes in one
+    query with zero row rescans: weekly distinct counts (daily grids
+    max-merged to weekly, the rollup law) AND week-over-week retention
+    (inclusion-exclusion over the max-merged union of adjacent weekly
+    grids, the set-algebra law). The oracle rebuilds weekly registers
+    directly from rows, so the hash simultaneously re-certifies the
+    merge law (daily→weekly == direct) and the serving arithmetic. At
+    100 TB this is the whole point of the register representation: the
+    grids are a few KB per grain, the rows are never touched again."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select(
+            F.to_date(F.date_trunc("week", F.col("ts"))).alias("week"),
+            F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+            "user_id",
+        )
+    )
+    daily = sketch.hll_registers(ev, "user_id", "week", "day")  # the STORED family
+    wk = sketch.hll_merge(daily, "week")
+    weeks = wk.select("week").distinct()
+    pairs = (
+        weeks.alias("a")
+        .join(weeks.alias("b"), F.col("b.week") == F.date_add(F.col("a.week"), 7))
+        .select(F.col("a.week").alias("week"), F.col("b.week").alias("week_next"))
+    )
+    ra = wk.join(F.broadcast(pairs.select("week")), "week")
+    rb = (
+        wk.withColumnRenamed("week", "week_next")
+        .join(F.broadcast(pairs), "week_next")
+        .select("week", "bucket", "reg")
+    )
+    uni = sketch.hll_merge(ra.unionByName(rb), "week")
+    est_w = sketch.hll_estimate(wk, "week")
+    est_u = sketch.hll_estimate(uni, "week").withColumnRenamed("est_distinct", "e_u")
+    ea = F.col("e_a")
+    eb = F.col("e_b")
+    return (
+        pairs.join(est_w.withColumnRenamed("est_distinct", "e_a"), "week")
+        .join(
+            est_w.withColumnRenamed("est_distinct", "e_b").withColumnRenamed(
+                "week", "week_next"
+            ),
+            "week_next",
+        )
+        .join(est_u, "week")
+        .select(
+            "week",
+            "week_next",
+            fround(ea, 4).alias("est_distinct"),
+            fround(eb, 4).alias("est_next_distinct"),
+            fround(ea + eb - F.col("e_u"), 4).alias("est_retained"),
+        )
+    )
+
+
 # -- unigram-LM quality scoring with per-source buckets (the CCNet shape) ----------------
 
 _ULM_BUCKETS = 3
@@ -749,4 +861,5 @@ STAGED9 = {
     "unigram_logprob_buckets": (q_unigram_logprob_buckets, UNIGRAM_LM_ORACLE),
     "stream_cdc_evolve_replica": (q_stream_cdc_evolve_replica, STREAM_CDC_EVOLVE_ORACLE),
     "stream_cdc_catchup": (q_stream_cdc_catchup, CDC_CATCHUP_ORACLE),
+    "hll_grid_serving": (q_hll_grid_serving, _hll_serving_oracle()),
 }
