@@ -76,7 +76,20 @@ def _added_files(table_dir: str, v: int, allow_bootstrap: bool = False) -> list[
     The diff/vacuum/bootstrap mechanics are shared with the CDC source
     (:func:`_changed_files`); this wrapper only adds the op guard and
     keeps the +1 side (an append never removes files, so the symmetric
-    diff IS the added set)."""
+    diff IS the added set).
+
+    Bootstrap FIRST, then guard: a fresh tail reader whose start version
+    was vacuumed reads the oldest retained version as a full SNAPSHOT, and
+    a snapshot is op-agnostic — the merges/overwrites that produced it are
+    history the tail never replays, so the append-only guard applies only
+    to versions read as incremental diffs."""
+    if allow_bootstrap and v > 0:
+        try:
+            _manifest(table_dir, v - 1)
+        except FileNotFoundError:
+            # Parent vacuumed + fresh reader: the snapshot-bootstrap branch
+            # of _changed_files (all +1); v's own op is irrelevant here.
+            return [p for p, sign in _changed_files(table_dir, v, True) if sign == 1]
     try:
         op = _manifest(table_dir, v)["op"]
     except FileNotFoundError:

@@ -857,7 +857,7 @@ class TxTable:
         since_self: int,
         since_other: int = 0,
         prefer: str = "branch",
-        propagate_deletes: bool = True,
+        propagate_deletes: bool = False,
     ) -> int:
         """THREE-WAY merge with a conflict policy — the step after
         ``branch_conflicts`` reports divergence: both this table (since
@@ -876,6 +876,10 @@ class TxTable:
           computed as in :meth:`branch_conflicts` and anti-joined out of
           both legs — one CDF diff per side, one join, then the same
           two-commit-max apply path as merge_from_branch.
+
+        ``propagate_deletes`` defaults False, the SAME default as
+        :meth:`merge_from_branch` (a resolution must not silently destroy
+        rows either); pass True to let branch-side deletes tombstone.
 
         Returns the version committed by the final apply. Cost stays
         O(changes on either side), never O(table)."""

@@ -79,7 +79,7 @@ import os
 from pyspark.sql import functions as F
 
 from h2outility_spark.operators import similarity, sketch
-from h2outility_spark.workload import _t, fround
+from h2outility_spark.workload import _t, fround, sql_round
 from h2outility_spark.workload_lakehouse import scratch_dir
 
 # -- streaming CDC replica ---------------------------------------------------------------
@@ -336,7 +336,7 @@ def q_txtable_resolve_ours(spark, sf_dir):
         )
     )
     br.delete_keys(base.filter(F.col("o_orderkey") % 5 == 0).select("o_orderkey"))
-    main.resolve_from_branch(br, since_self=fork_v, prefer="main")
+    main.resolve_from_branch(br, since_self=fork_v, prefer="main", propagate_deletes=True)
     return main.snapshot().select("o_orderkey", "o_custkey", "cents")
 
 
@@ -586,7 +586,8 @@ a1 AS (SELECT vec_id, v, cluster FROM (
   SELECT e.vec_id, e.v, c.cluster, row_number() OVER (PARTITION BY e.vec_id ORDER BY
     list_inner_product(c.cvec, c.cvec) - 2.0 * list_inner_product(e.v, c.cvec), c.cluster) AS rn
   FROM e CROSS JOIN c0 c) WHERE rn = 1),
-p1 AS (SELECT cluster, r.range AS pos, avg(v[CAST(r.range AS INT) + 1]) AS cv
+p1 AS (SELECT cluster, r.range AS pos,
+              {sql_round("avg(v[CAST(r.range AS INT) + 1])", 12)} AS cv
        FROM a1 CROSS JOIN range(64) r GROUP BY 1, 2),
 g1 AS (SELECT cluster, list(cv ORDER BY pos) AS cvec FROM p1 GROUP BY cluster),
 c1 AS (SELECT c.cluster, coalesce(g.cvec, c.cvec) AS cvec
@@ -639,7 +640,11 @@ def q_semantic_dedup_cells(spark, sf_dir):
     new_rows = (
         assigned.select("cluster", F.posexplode("__v").alias("pos", "x"))
         .groupBy("cluster", "pos")
-        .agg(F.avg("x").alias("cv"))
+        # 12-dp round on BOTH engines before the final assignment: Spark's
+        # partition-order avg and DuckDB's sequential avg can differ in the
+        # last ulp, and a near-equidistant vector would then land in
+        # different cells across engines (the r9 embedding_drift lesson).
+        .agg(fround(F.avg("x"), 12).alias("cv"))
         .groupBy("cluster")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pairs"))
         .select("cluster", F.expr("transform(pairs, p -> p.cv)").alias("cvec"))
@@ -674,9 +679,6 @@ def q_semantic_dedup_cells(spark, sf_dir):
 
 
 # -- HLL grid SERVING: one stored daily grid family, two question classes ----------------
-
-HLL_SERVING_ORACLE = None  # assigned below (needs next8's shared helpers)
-
 
 def _hll_serving_oracle() -> str:
     from h2outility_spark.workload_next8 import _HLL_RHO_ORACLE, _hll_est_sql

@@ -1087,7 +1087,7 @@ def test_resolve_from_branch_prefer_main_keeps_ours_on_conflict(spark, table):
     br.merge_upsert(kv(spark, [(1, "br1"), (3, "br3"), (6, "br6")]))
     br.delete_keys(spark.createDataFrame([(2,), (5,)], "k int"))
 
-    table.resolve_from_branch(br, since_self=fork_v, prefer="main")
+    table.resolve_from_branch(br, since_self=fork_v, prefer="main", propagate_deletes=True)
     assert rows_of(table.snapshot()) == [
         (1, "main1"),  # conflict: ours wins
         (2, "main2"),  # conflict (branch deleted, main updated): ours wins
@@ -1104,16 +1104,19 @@ def test_resolve_from_branch_prefer_branch_delegates_to_merge(spark, table):
     table.merge_upsert(kv(spark, [(1, "main1")]))
     br.merge_upsert(kv(spark, [(1, "br1")]))
     br.delete_keys(spark.createDataFrame([(3,)], "k int"))
-    table.resolve_from_branch(br, since_self=fork_v, prefer="branch")
+    table.resolve_from_branch(br, since_self=fork_v, prefer="branch", propagate_deletes=True)
     assert rows_of(table.snapshot()) == [(1, "br1"), (2, "b")]
 
 
-def test_resolve_from_branch_no_deletes_when_opted_out(spark, table):
+def test_resolve_from_branch_no_deletes_by_default(spark, table):
+    """propagate_deletes defaults False — the same default as
+    merge_from_branch, so the two entry points agree on whether a branch
+    delete destroys main's rows."""
     table.append(kv(spark, [(1, "a"), (2, "b")]))
     fork_v = table.latest_version()
     br = table.branch("exp")
     br.delete_keys(spark.createDataFrame([(2,)], "k int"))
-    table.resolve_from_branch(br, since_self=fork_v, prefer="main", propagate_deletes=False)
+    table.resolve_from_branch(br, since_self=fork_v, prefer="main")
     assert rows_of(table.snapshot()) == [(1, "a"), (2, "b")]
 
 

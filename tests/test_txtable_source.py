@@ -94,6 +94,46 @@ def test_fresh_stream_on_vacuumed_table_bootstraps(spark, registered, tmp_path):
         q.stop()
 
 
+def test_fresh_stream_bootstraps_even_when_oldest_retained_op_is_merge(
+    spark, registered, tmp_path
+):
+    """r12 ADVICE regression: a fresh tail reader bootstrapping at an
+    oldest-retained version whose op is merge must serve the snapshot —
+    bootstrap is a snapshot read, so the ops that PRODUCED the retained
+    state are history the tail never replays and the append-only guard
+    does not apply. (Only versions read as incremental diffs stay
+    guarded.)"""
+    tdir = str(tmp_path / "vmerge")
+    table = TxTable(spark, tdir, key_cols=["k"])
+    table.append(kv(spark, [(1, "a"), (2, "b")]))
+    table.append(kv(spark, [(3, "c")]))
+    table.merge_upsert(kv(spark, [(2, "B"), (4, "d")]))  # latest op = merge
+    table.vacuum(keep_versions=1, retention_seconds=0)  # only the merge manifest survives
+
+    stream = spark.readStream.format("txtable_stream").option("path", tdir).load()
+    q = (
+        stream.writeStream.outputMode("append").format("memory").queryName("vmtail")
+        .option("checkpointLocation", str(tmp_path / "ckm")).start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {(r["k"], r["v"]) for r in spark.sql("SELECT * FROM vmtail").collect()}
+        assert got == {(1, "a"), (2, "B"), (3, "c"), (4, "d")}
+
+        table.append(kv(spark, [(9, "new")]))  # tail keeps flowing after bootstrap
+        q.processAllAvailable()
+        assert (9, "new") in {
+            (r["k"], r["v"]) for r in spark.sql("SELECT * FROM vmtail").collect()
+        }
+        # ...and a post-bootstrap merge still raises: the guard is intact
+        # for versions read as incremental diffs.
+        table.merge_upsert(kv(spark, [(1, "A")]))
+        with pytest.raises(Exception, match="append-only"):
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def test_lagging_checkpoint_past_retention_errors_clearly(spark, registered, tmp_path):
     from h2outility_spark.sources.txtable_source import _added_files
 
