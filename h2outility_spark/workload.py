@@ -464,6 +464,7 @@ from h2outility_spark import workload_next4  # noqa: E402,F401
 from h2outility_spark import workload_next5  # noqa: E402,F401
 from h2outility_spark import workload_next6  # noqa: E402,F401
 from h2outility_spark import workload_next7  # noqa: E402,F401
+from h2outility_spark import workload_next8  # noqa: E402,F401
 
 
 # The driver's correctness gate hashes only the FIRST 50 registered queries.
@@ -482,79 +483,71 @@ from h2outility_spark import workload_next7  # noqa: E402,F401
 # (coverage map in README). Everything outside the window is still
 # oracle-checked every run by tests/test_oracle_parity.py + driver_sim.
 CHECKED_WINDOW = [
-    # -- ROUND-12 ROTATION --------------------------------------------------
-    # CORRECTNESS_r11 went 50/50 green (sixth all-green round), so the
-    # window turns over completely again, exactly as pinned in
-    # NOTES_NEXT_ROUND r11: 12 slots to FIRST-TIMERS — the promoted
-    # workload_next7 STAGED7 pairs, every one tri-scale parity-green
-    # (sf0.001/0.01/0.1) and plan-audited in round 11. These certify the
-    # JSONL interchange roundtrip (µs timestamps + escaped strings), the
-    # streamed Count-Min merge across checkpointed drains, BM25 ranked
-    # retrieval, the late-data quarantine router, two-way clone
-    # divergence, the mergeable histogram quantile sketch with its
-    # error certificate, MAD robust outliers, the JSONL drop-directory
-    # stream, the shard-local RAG packer (the 100 TB form), the named
-    # TxTable branch merge-back, in-flight stratified ingest, and the
-    # weekly percentile rollup. The other 38 slots follow the staleness
-    # rotation pinned in NOTES_NEXT_ROUND r11: the full r8-latest cohort
-    # minus two redundant TPC-H picks deferred to r13
-    # (tpch_q12_priority_buckets, tpch_q14_promo_share — the TPC-H
-    # family had 13 entries in that cohort). After r12, no registered
-    # query's newest driver row predates round 9. Everything outside the
-    # window stays oracle-checked every run by tests/test_oracle_parity
-    # + driver_sim.
-    # -- first-timers: the 12 promoted round-12 staging pairs ---------------
-    "jsonl_roundtrip",           # JSONL write->read fidelity (µs ts, doubles, escapes)
-    "stream_heavy_hitters",      # CMS grid merged per micro-batch, two drains
-    "bm25_topk_docs",            # BM25 top-20 vs the corpus's own top-3 tokens
-    "late_data_quarantine",      # foreachBatch watermark routes, never drops
-    "txtable_clone_divergence",  # source and hard-link fork both diverge
-    "histogram_quantile_sketch", # 128-bin median + |est-p50| <= binwidth law
-    "qc_robust_mad",             # Iglewicz-Hoaglin modified z-score outliers
-    "stream_jsonl_ingest",       # JSONL drop-dir stream, restart-surviving agg
-    "rag_prep_sharded",          # packer windows scoped per md5 hash-shard
-    "txtable_branch_merge_back", # named branch -> net CDF delta -> main
-    "stream_stratified_ingest",  # per-batch split assignment == batch rule
-    "weekly_pctl_rollup",        # exact p50 vs histogram estimate weekly
-    # -- sentinels: 38 of the r8-latest cohort (full cohort minus 2 TPC-H) --
-    "audio_chunks",
-    "contamination_overlap",
-    "corpus_clean_embedding",
-    "cube_orders",
-    "dedup_keep_best",
-    "duplicated_spans",
-    "embedding_stats",
-    "hash_sample_docs",
-    "ivfpq_search_adaptive",
-    "json_props_stats",
-    "minhash_containment_pairs",
-    "pq_codes",
-    "qc_median_despike",
-    "quality_calibrate_per_source",
-    "quality_filter_fusion",
-    "regexp_extract_props",
-    "remove_duplicated_spans",
-    "rolling_avg",
-    "segment_dedup_docs",
-    "shard_assignment",
-    "stream_session_paths",
-    "stream_session_windows",
-    "stream_static_enrich",
-    "tfidf_top_terms",
-    "tpch_q10_returned",
-    "tpch_q11_value_share",
-    "tpch_q13_order_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_cnt",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q19_or_of_ands",
-    "tpch_q20_excess_suppliers",
-    "tpch_q22_idle_rich_customers",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_late_orders",
-    "txtable_concurrent_appends",
-    "txtable_history_rows",
-    "txtable_prune_scan",
+    # -- ROUND-13 ROTATION --------------------------------------------------
+    # CORRECTNESS_r12 went 50/50 green (seventh all-green round). This
+    # window executes the rotation pinned in NOTES_NEXT_ROUND r12 exactly:
+    # the 15 promoted workload_next8 STAGED8 pairs (every one tri-scale
+    # parity-green and plan-audited in rounds 11-12), the TWO stalest
+    # registered queries (tpch_q12_priority_buckets / tpch_q14_promo_share,
+    # deliberately deferred from the r12 window — their newest driver rows
+    # are r8), and 33 of the 50-query r9-latest cohort (the 17 redundant-
+    # coverage picks named in NOTES_NEXT_ROUND defer to r14). After r13, no
+    # registered query's newest driver row predates round 9. Everything
+    # outside the window stays oracle-checked every run by
+    # tests/test_oracle_parity + driver_sim.
+    # -- first-timers: the 15 promoted round-13 staging pairs ---------------
+    "txtable_delete_keys",       # copy-on-write DELETE + pruned merge on the thinned table
+    "txtable_branch_tombstones", # branch deletes tombstone main; updates never do
+    "txtable_cdf_replica",       # replica advanced only by the CDF feed == source
+    "hll_register_rollup",       # daily HLL grids max-merged weekly; merge law + band
+    "bloom_prefilter_join",      # 1024-bit bloom probed broadcast-only; no false negatives
+    "label_prop_nations",        # majority-vote label propagation, seeds clamped
+    "label_prop_weighted",       # weighted votes: integer trade-volume sums
+    "partitioned_sink_prune",    # partitionBy sink + partition-pruned read-back
+    "doc_token_entropy",         # per-doc unigram Shannon entropy quality signal
+    "zipf_slope_fit",            # OLS slope of ln(freq) on ln(rank), top-100/source
+    "stratified_topk_sample",    # RNG-free per-source k-sample by md5 order
+    "mixture_temperature_plan",  # tau=0.7 mixture shares -> planned tokens
+    "pack_conservation_cert",    # packer token conservation + straddle bound
+    "txtable_branch_conflicts",  # keys touched on both branches since the fork
+    "hll_week_overlap",          # retention via inclusion-exclusion on registers
+    # -- the two r8 stragglers: stalest registered queries ------------------
+    "tpch_q12_priority_buckets",  # 2-priority bucket counts by ship mode
+    "tpch_q14_promo_share",       # promo revenue share, one conditional agg
+    # -- sentinels: 33 of the r9-latest cohort ------------------------------
+    "annotated_export_fanout",
+    "asof_join",
+    "audio_vad_segments",
+    "chunk_sliding",
+    "corpus_clean",
+    "dedup_exact_docs",
+    "doc_length_histogram",
+    "embedding_knn",
+    "extract_filtered",
+    "extract_incremental",
+    "grouped_percentiles",
+    "ivf_search",
+    "jdbc_roundtrip",
+    "neardup_embedding_lsh",
+    "neardup_minhash_pairs",
+    "pack_sequences",
+    "qc_interpolate",
+    "quality_gate_docs",
+    "range_join_count",
+    "rest_ingest_roundtrip",
+    "rolling_corr",
+    "salted_agg",
+    "series_catalog",
+    "series_ohlc",
+    "sessionization",
+    "tpch_q9_product_profit",
+    "tpch_q21_waiting_supplier",
+    "txtable_changes",
+    "txtable_incremental_agg",
+    "txtable_restore",
+    "unpivot_part_metrics",
+    "wide_export",
+    "xml_metadata_roundtrip",
 ]
 
 

@@ -1,8 +1,8 @@
 """Round-13 registry staging area (same lifecycle as ``workload_next`` →
 ``workload_next7``): fully-formed (PySpark fn, DuckDB oracle) pairs that
-cannot enter the registry yet — the round-12 rotation will consume the
-``workload_next7`` pairs first. Deliberately NOT decorated with
-``@query``; a future rotation wraps them.
+entered the registry in the ROUND-13 rotation (every function below now
+carries ``@query``; the STAGED8 dict remains for the staged parity tests,
+which re-check the same pairs tri-scale).
 
 Each pair is parity-tested in ``tests/test_workload_next.py`` (STAGED8)
 under the driver's comparison discipline at sf0.001 AND sf0.01.
@@ -83,7 +83,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W, functions as F
 
 from h2outility_spark.operators import graph, sketch
-from h2outility_spark.workload import _t, fround, sql_round
+from h2outility_spark.workload import _t, fround, query, sql_round
 from h2outility_spark.workload_lakehouse import scratch_dir
 from h2outility_spark.workload_text import _N_TOKENS_SQL, toks_cte
 
@@ -155,6 +155,11 @@ FROM ex JOIN est ON est.week = ex.week
 """
 
 
+@query(
+    "hll_register_rollup",
+    oracle=HLL_ROLLUP_ORACLE,
+    description="Mergeable HLL registers: per-day grids max-merged to weekly; merge law + 3-sigma band on the hash",
+)
 def q_hll_register_rollup(spark, sf_dir):
     """The fourth sketch family, fully transparent and MERGEABLE: manual
     HyperLogLog registers (``sketch.hll_registers`` — bucket = first two
@@ -243,6 +248,11 @@ LEFT JOIN nct USING (o_orderpriority)
 """
 
 
+@query(
+    "bloom_prefilter_join",
+    oracle=BLOOM_PREFILTER_ORACLE,
+    description="Relational Bloom semi-join prefilter: 1024-bit filter probed broadcast-only; no-false-negative law",
+)
 def q_bloom_prefilter_join(spark, sf_dir):
     """The Bloom semi-join prefilter (NEW ``sketch.bloom_bits`` /
     ``bloom_probe``) — the pattern behind Spark's own runtime row-group
@@ -311,6 +321,11 @@ SELECT * FROM kept UNION ALL SELECT * FROM merged
 """
 
 
+@query(
+    "txtable_delete_keys",
+    oracle=TXDELETE_ORACLE,
+    description="TxTable copy-on-write DELETE by key with two-level file pruning, then a merge on the thinned table",
+)
 def q_txtable_delete_keys(spark, sf_dir):
     """Copy-on-write DELETE by key (NEW TxTable API ``delete_keys``) —
     the verb retention erasure and right-to-be-forgotten pipelines need
@@ -361,6 +376,11 @@ SELECT * FROM final_base UNION ALL SELECT * FROM newrows
 """
 
 
+@query(
+    "txtable_branch_tombstones",
+    oracle=TXTOMB_ORACLE,
+    description="merge_from_branch(propagate_deletes=True): branch deletes tombstone, updates never do",
+)
 def q_txtable_branch_tombstones(spark, sf_dir):
     """The delete-propagating branch merge the certified
     ``txtable_branch_merge_back`` declares out of scope by default:
@@ -408,6 +428,11 @@ WHERE o_orderkey % 100 < 5 AND o_orderkey % 9 <> 0
 """
 
 
+@query(
+    "txtable_cdf_replica",
+    oracle=CDF_REPLICA_ORACLE,
+    description="Cross-table CDC replication: replica advanced only by the per-version change feed equals the source",
+)
 def q_txtable_cdf_replica(spark, sf_dir):
     """Cross-table CDC replication — the pattern that keeps a downstream
     copy (another region, a serving store) in sync at O(changes), never
@@ -519,6 +544,11 @@ def _label_prop_oracle(iters: int = _LP_ITERS) -> str:
 LABEL_PROP_ORACLE = _label_prop_oracle()
 
 
+@query(
+    "label_prop_nations",
+    oracle=LABEL_PROP_ORACLE,
+    description="Label propagation over the trade graph: synchronous majority vote, seeds clamped, 2 rounds",
+)
 def q_label_prop_nations(spark, sf_dir):
     """Semi-supervised label propagation (NEW ``graph.label_propagation``)
     — the "one human label covers its neighborhood" pattern for corpus
@@ -568,6 +598,11 @@ GROUP BY 1, 2
 """
 
 
+@query(
+    "partitioned_sink_prune",
+    oracle=PARTITIONED_PRUNE_ORACLE,
+    description="Partitioned parquet sink + partition-pruned read-back (layout half of pushdown)",
+)
 def q_partitioned_sink_prune(spark, sf_dir):
     """The partition-pruned table layout — the layout half of predicate
     pushdown a 100 TB events store lives on: events written
@@ -619,6 +654,11 @@ FROM ent JOIN tot ON tot.doc_id = ent.doc_id
 """
 
 
+@query(
+    "doc_token_entropy",
+    oracle=DOC_ENTROPY_ORACLE,
+    description="Per-document unigram Shannon entropy (repetitiveness/diversity quality signal)",
+)
 def q_doc_token_entropy(spark, sf_dir):
     """Per-document unigram Shannon entropy — the diversity score next
     to ``doc_lm_score`` (cross-entropy vs the corpus) and
@@ -682,6 +722,11 @@ FROM s
 """
 
 
+@query(
+    "zipf_slope_fit",
+    oracle=ZIPF_ORACLE,
+    description="Zipf slope: closed-form OLS of ln(freq) on ln(rank) over each source's top-100 tokens",
+)
 def q_zipf_slope_fit(spark, sf_dir):
     """Zipf's-law health check per source: OLS slope of ln(frequency) on
     ln(rank) over the top-100 tokens (natural text sits near −1; a
@@ -746,6 +791,11 @@ FROM r WHERE rk <= {_SAMPLE_K}
 """
 
 
+@query(
+    "stratified_topk_sample",
+    oracle=STRAT_TOPK_ORACLE,
+    description="Deterministic per-source k-sample by md5(doc_id) order — RNG-free, growth-stable membership",
+)
 def q_stratified_topk_sample(spark, sf_dir):
     """Deterministic per-source k-sample: rank docs within each source by
     md5(doc_id) (an order that is uniform-ish but has NO RNG state —
@@ -796,6 +846,11 @@ FROM w, z
 """
 
 
+@query(
+    "mixture_temperature_plan",
+    oracle=MIX_TEMP_ORACLE,
+    description="Temperature-0.7 source mixture: raw share, reweighted share, planned tokens of a 1M budget",
+)
 def q_mixture_temperature_plan(spark, sf_dir):
     """Temperature-scaled source mixture (τ = 0.7) — the standard
     multilingual/multi-domain sampling rule p_i^τ / Σ p_j^τ that
@@ -860,6 +915,11 @@ FROM bins
 """
 
 
+@query(
+    "pack_conservation_cert",
+    oracle=PACK_CERT_ORACLE,
+    description="Packer conservation certificate: token totals preserved + straddle bound, integer-exact",
+)
 def q_pack_conservation_cert(spark, sf_dir):
     """The certified packer's two integer-exact laws on one row — the
     invariants a packing bug breaks first, and both checkable without
@@ -919,6 +979,11 @@ FROM base b JOIN conf USING (o_orderkey)
 """
 
 
+@query(
+    "txtable_branch_conflicts",
+    oracle=TXCONFLICTS_ORACLE,
+    description="Two-branch divergence report: keys touched on both sides since the fork, with both values",
+)
 def q_txtable_branch_conflicts(spark, sf_dir):
     """The divergence report a three-way merge needs BEFORE choosing a
     resolution policy (NEW TxTable API ``branch_conflicts``): two
@@ -1037,6 +1102,11 @@ def _label_prop_weighted_oracle(iters: int = _LP_ITERS) -> str:
 LABEL_PROP_WEIGHTED_ORACLE = _label_prop_weighted_oracle()
 
 
+@query(
+    "label_prop_weighted",
+    oracle=LABEL_PROP_WEIGHTED_ORACLE,
+    description="Weighted label propagation: integer trade-volume weight sums as votes, 2 unrolled rounds",
+)
 def q_label_prop_weighted(spark, sf_dir):
     """Weighted label propagation (``label_propagation(weight_col=...)``)
     — the vote is the SUM of edge weights, not the neighbor count, so a
@@ -1135,6 +1205,11 @@ JOIN est_u eu ON eu.week = p.week
 """
 
 
+@query(
+    "hll_week_overlap",
+    oracle=HLL_OVERLAP_ORACLE,
+    description="HLL set algebra: week-over-week retention via inclusion-exclusion over stored registers",
+)
 def q_hll_week_overlap(spark, sf_dir):
     """Sketch SET ALGEBRA — the question stored registers answer that a
     single count cannot: how many of week W's users RETURNED in week

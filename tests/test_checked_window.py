@@ -38,6 +38,44 @@ def test_every_registered_query_earns_a_driver_row():
     assert not orphans, f"queries with no driver evidence path: {orphans}"
 
 
+def test_rotation_keeps_every_query_fresh():
+    """The rotation discipline, mechanized (VERDICT r12 #8): at window-build
+    time, every registered query must either sit in the CURRENT window (it
+    is about to earn a fresh driver row) or have a GREEN driver row within
+    the last 4 completed rounds. A mis-pinned rotation that lets a query go
+    stale now fails here instead of in a judge verdict."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    newest_green: dict[str, int] = {}
+    max_round = 0
+    for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)\.json$", p).group(1))
+        max_round = max(max_round, rnd)
+        with open(p) as f:
+            for name, rec in json.load(f).items():
+                green = (
+                    rec.get("rows_match")
+                    and rec.get("schema_match")
+                    and rec.get("hash_match") is not False
+                    and not rec.get("err")
+                )
+                if green and rnd > newest_green.get(name, -1):
+                    newest_green[name] = rnd
+    window = set(workload.CHECKED_WINDOW)
+    stale = [
+        f"{n} (newest green r{newest_green.get(n, 0)})"
+        for n in workload.registry()
+        if n not in window and newest_green.get(n, 0) < max_round - 3
+    ]
+    assert not stale, (
+        f"queries staler than 4 rounds and not in the current window: {stale}"
+    )
+
+
 def test_window_queries_all_have_oracles_except_nonsql():
     # Every window entry should carry a DuckDB oracle — a window slot spent
     # on a rows-only check is a wasted hard-signal slot.
