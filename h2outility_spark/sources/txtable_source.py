@@ -27,6 +27,15 @@ Usage::
 
     spark.dataSource.register(TxTableStreamDataSource)
     stream = spark.readStream.format("txtable_stream").option("path", dir).load()
+
+Both sources take an optional ``maxVersionsPerBatch`` option (admission
+control): ``latestOffset`` then advances at most that many versions per
+micro-batch, so a catch-up backlog drains in ⌈backlog/N⌉ bounded batches
+instead of telescoping into one — see :class:`_TxVersionOffsets`.
+
+The data plane is vectorized: both readers yield ``pyarrow.RecordBatch``
+iterators (pyspark 4's Arrow DataSource path), so rows never materialize
+as Python objects between the parquet file and the JVM.
 """
 
 from __future__ import annotations
@@ -103,15 +112,58 @@ def _added_files(table_dir: str, v: int, allow_bootstrap: bool = False) -> list[
     return [p for p, sign in _changed_files(table_dir, v, allow_bootstrap) if sign == 1]
 
 
+def _max_versions_option(options) -> int | None:
+    """Parse the ``maxVersionsPerBatch`` option (admission control; absent =
+    unbounded). DataSource options arrive as strings."""
+    raw = options.get("maxVersionsPerBatch")
+    if raw is None:
+        return None
+    try:
+        n = int(raw)
+    except ValueError:
+        raise ValueError(f"maxVersionsPerBatch must be an integer, got {raw!r}") from None
+    if n < 1:
+        raise ValueError(f"maxVersionsPerBatch must be >= 1, got {n}")
+    return n
+
+
 class _TxFilePartition(InputPartition):
     def __init__(self, abs_path: str):
         self.abs_path = abs_path
 
 
-class _TxAppendTailReader(DataSourceStreamReader):
-    def __init__(self, table_dir: str, field_names: list[str]):
+class _TxVersionOffsets:
+    """Shared offset discipline for both TxTable stream readers: table
+    versions are the offsets, plus optional ADMISSION CONTROL — with
+    ``max_versions_per_batch`` set, ``latestOffset`` advances at most that
+    many versions past the reader's base, so a catch-up backlog splits into
+    bounded micro-batches instead of telescoping into one (the chunked-
+    fetch intent of reference src/Common.py:61, series_service.py:436-441).
+
+    The base is driver-side state, safe against every call order Spark
+    actually uses (verified against pyspark 4.1.2's MicroBatchExecution):
+    on a FRESH stream the engine polls ``latestOffset`` even before
+    ``initialOffset``, so a ``None`` base there means fresh start and is
+    seeded from the oldest-retained initial position; on ANY checkpoint
+    resume the engine first replays the last planned batch through
+    ``partitions`` (a (last, last) no-op when the commit log is caught
+    up), which re-learns the base before the first poll. ``commit`` and
+    every ``latestOffset`` advance it. ``partitions`` additionally
+    refuses an end offset behind its start — if a future engine ever
+    reorders calls, the failure is loud, never duplicate emission."""
+
+    def __init__(self, table_dir: str, max_versions_per_batch: int | None = None):
         self.table_dir = table_dir
-        self.field_names = field_names
+        if max_versions_per_batch is not None and max_versions_per_batch < 1:
+            raise ValueError(
+                f"maxVersionsPerBatch must be >= 1, got {max_versions_per_batch}"
+            )
+        self.max_versions_per_batch = max_versions_per_batch
+        self._base: int | None = None  # highest version known planned/committed
+
+    def _advance_base(self, version: int) -> None:
+        if self._base is None or version > self._base:
+            self._base = version
 
     def initialOffset(self) -> dict:
         # Start just below the OLDEST RETAINED version, not -1: on a table
@@ -122,13 +174,50 @@ class _TxAppendTailReader(DataSourceStreamReader):
         # the full-snapshot branch; a checkpointed offset (minted by
         # latestOffset, no flag) never bootstraps — see _added_files.
         vs = _versions(self.table_dir)
-        return {"version": (vs[0] - 1) if vs else -1, "bootstrap": True}
+        start = (vs[0] - 1) if vs else -1
+        self._advance_base(start)
+        return {"version": start, "bootstrap": True}
 
     def latestOffset(self) -> dict:
         latest = _latest_version(self.table_dir)
-        return {"version": -1 if latest is None else latest}
+        if latest is None:
+            return {"version": -1}
+        if self.max_versions_per_batch is not None:
+            if self._base is None:
+                # Fresh start (any resume seeds the base via partitions
+                # first): cap from the same position initialOffset mints.
+                vs = _versions(self.table_dir)
+                self._base = (vs[0] - 1) if vs else -1
+            latest = min(latest, self._base + self.max_versions_per_batch)
+        self._advance_base(latest)
+        return {"version": latest}
+
+    def commit(self, end: dict) -> None:
+        # Offsets are durable table versions and the files they name are
+        # immutable (vacuum retention is the guard) — nothing to clean up;
+        # just advance the admission-control base.
+        self._advance_base(end["version"])
+
+
+class _TxAppendTailReader(_TxVersionOffsets, DataSourceStreamReader):
+    def __init__(
+        self,
+        table_dir: str,
+        field_names: list[str],
+        arrow_schema,
+        max_versions_per_batch: int | None = None,
+    ):
+        super().__init__(table_dir, max_versions_per_batch)
+        self.field_names = field_names
+        self.arrow_schema = arrow_schema  # pa.Schema; picklable, rides to executors
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        if end["version"] < start["version"]:
+            raise ValueError(
+                f"txtable stream planned end offset {end['version']} behind "
+                f"start {start['version']} — refusing (would re-emit rows)"
+            )
+        self._advance_base(end["version"])  # checkpoint resume re-learns the base
         parts: list[InputPartition] = []
         for v in range(start["version"] + 1, end["version"] + 1):
             # Only the FIRST version past a fresh initialOffset may
@@ -141,18 +230,17 @@ class _TxAppendTailReader(DataSourceStreamReader):
             )
         return parts
 
-    def read(self, partition: _TxFilePartition) -> Iterator[tuple]:
-        # Runs on EXECUTORS: one immutable parquet file per task.
+    def read(self, partition: _TxFilePartition) -> Iterator:
+        # Runs on EXECUTORS: one immutable parquet file per task. Yields
+        # pyarrow RecordBatches (pyspark 4's vectorized DataSource path) —
+        # the rows stay in Arrow end to end, no per-row Python tuples. The
+        # cast pins the exact Arrow types Spark expects for the declared
+        # schema (e.g. timestamp[us, tz=UTC]) independent of how the
+        # parquet writer spelled them.
         import pyarrow.parquet as pq
 
         tbl = pq.read_table(partition.abs_path, columns=self.field_names)
-        cols = [tbl.column(n).to_pylist() for n in self.field_names]
-        return iter(zip(*cols))
-
-    def commit(self, end: dict) -> None:
-        # Nothing to clean up: offsets are durable table versions and the
-        # files they name are immutable (vacuum retention is the guard).
-        pass
+        return iter(tbl.select(self.field_names).cast(self.arrow_schema).to_batches())
 
 
 class TxTableStreamDataSource(DataSource):
@@ -170,7 +258,14 @@ class TxTableStreamDataSource(DataSource):
         return _manifest(table_dir, latest)["schema"]
 
     def streamReader(self, schema) -> _TxAppendTailReader:
-        return _TxAppendTailReader(self.options["path"], [f.name for f in schema.fields])
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        return _TxAppendTailReader(
+            self.options["path"],
+            [f.name for f in schema.fields],
+            to_arrow_schema(schema),
+            max_versions_per_batch=_max_versions_option(self.options),
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -281,20 +376,27 @@ class _TxSignedFilePartition(InputPartition):
         self.sign = sign
 
 
-class _TxCdcReader(DataSourceStreamReader):
-    def __init__(self, table_dir: str, data_field_names: list[str]):
-        self.table_dir = table_dir
+class _TxCdcReader(_TxVersionOffsets, DataSourceStreamReader):
+    def __init__(
+        self,
+        table_dir: str,
+        data_field_names: list[str],
+        arrow_schema,
+        max_versions_per_batch: int | None = None,
+    ):
+        super().__init__(table_dir, max_versions_per_batch)
         self.data_field_names = data_field_names
-
-    def initialOffset(self) -> dict:
-        vs = _versions(self.table_dir)
-        return {"version": (vs[0] - 1) if vs else -1, "bootstrap": True}
-
-    def latestOffset(self) -> dict:
-        latest = _latest_version(self.table_dir)
-        return {"version": -1 if latest is None else latest}
+        # Full return schema (data columns + _commit_version + _sign) as a
+        # pa.Schema; picklable, rides to executors.
+        self.arrow_schema = arrow_schema
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        if end["version"] < start["version"]:
+            raise ValueError(
+                f"txtable_cdc planned end offset {end['version']} behind "
+                f"start {start['version']} — refusing (would re-emit rows)"
+            )
+        self._advance_base(end["version"])  # checkpoint resume re-learns the base
         parts: list[InputPartition] = []
         for v in range(start["version"] + 1, end["version"] + 1):
             fresh = bool(start.get("bootstrap")) and v == start["version"] + 1
@@ -304,23 +406,32 @@ class _TxCdcReader(DataSourceStreamReader):
             )
         return parts
 
-    def read(self, partition: _TxSignedFilePartition) -> Iterator[tuple]:
-        # Runs on EXECUTORS: one immutable parquet file per task. Columns a
-        # file predates (add-column schema evolution) surface as nulls,
-        # matching snapshot()/changes() semantics for old files.
+    def read(self, partition: _TxSignedFilePartition) -> Iterator:
+        # Runs on EXECUTORS: one immutable parquet file per task. Yields
+        # pyarrow RecordBatches (pyspark 4's vectorized DataSource path):
+        # data columns straight from the parquet read, columns the file
+        # predates (add-column schema evolution) as typed null arrays —
+        # matching snapshot()/changes() semantics for old files — and the
+        # constant _commit_version/_sign metadata as pa.repeat arrays. No
+        # per-row Python materialization anywhere.
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         present = set(pq.read_schema(partition.abs_path).names)
         want = [c for c in self.data_field_names if c in present]
         tbl = pq.read_table(partition.abs_path, columns=want)
         n = tbl.num_rows
-        by_name = {c: tbl.column(c).to_pylist() for c in want}
-        cols = [by_name.get(c, [None] * n) for c in self.data_field_names]
-        meta = ([partition.version] * n, [partition.sign] * n)
-        return iter(zip(*cols, *meta))
-
-    def commit(self, end: dict) -> None:
-        pass  # offsets are durable table versions; files are immutable
+        arrays: dict = {}
+        for name, typ in zip(self.arrow_schema.names, self.arrow_schema.types):
+            if name == "_commit_version":
+                arrays[name] = pa.repeat(pa.scalar(partition.version, type=typ), n)
+            elif name == "_sign":
+                arrays[name] = pa.repeat(pa.scalar(partition.sign, type=typ), n)
+            elif name in present:
+                arrays[name] = tbl.column(name)
+            else:
+                arrays[name] = pa.nulls(n, type=typ)
+        return iter(pa.table(arrays).cast(self.arrow_schema).to_batches())
 
 
 class TxTableCdcDataSource(DataSource):
@@ -354,8 +465,15 @@ class TxTableCdcDataSource(DataSource):
         return data_schema + ", _commit_version bigint, _sign int"
 
     def streamReader(self, schema) -> _TxCdcReader:
+        from pyspark.sql.pandas.types import to_arrow_schema
+
         data = [f.name for f in schema.fields if f.name not in ("_commit_version", "_sign")]
-        return _TxCdcReader(self.options["path"], data)
+        return _TxCdcReader(
+            self.options["path"],
+            data,
+            to_arrow_schema(schema),
+            max_versions_per_batch=_max_versions_option(self.options),
+        )
 
 
 def net_changes(signed):

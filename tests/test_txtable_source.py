@@ -14,6 +14,25 @@ def kv(spark, pairs):
     return spark.createDataFrame([Row(k=k, v=v) for k, v in pairs], "k int, v string")
 
 
+def _kv_arrow_schema(with_cdc_meta: bool = False):
+    import pyarrow as pa
+
+    fields = [("k", pa.int32()), ("v", pa.string())]
+    if with_cdc_meta:
+        fields += [("_commit_version", pa.int64()), ("_sign", pa.int32())]
+    return pa.schema(fields)
+
+
+def _read_rows(reader, parts):
+    """Flatten the reader's RecordBatch iterators back to Python tuples for
+    the direct-construction tests below."""
+    rows = []
+    for p in parts:
+        for b in reader.read(p):
+            rows.extend(zip(*(c.to_pylist() for c in b.columns)))
+    return rows
+
+
 @pytest.fixture(scope="module")
 def registered(spark):
     spark.dataSource.register(TxTableStreamDataSource)
@@ -251,13 +270,11 @@ def test_cdc_vacuum_bootstrap_and_checkpoint_guard(spark, cdc_registered, tmp_pa
     table.merge_upsert(kv(spark, [(0, "V0")]))  # v5
     table.vacuum(keep_versions=2, retention_seconds=0)
 
-    reader = _TxCdcReader(tdir, ["k", "v"])
+    reader = _TxCdcReader(tdir, ["k", "v"], _kv_arrow_schema(with_cdc_meta=True))
     start = reader.initialOffset()
     assert start["bootstrap"] is True
     parts = reader.partitions(start, reader.latestOffset())
-    rows = []
-    for p in parts:
-        rows.extend(reader.read(p))
+    rows = _read_rows(reader, parts)
     # the bootstrap version itself emits only +1 (snapshot); later retained
     # versions (here the merge) may emit both signs
     boot_v = start["version"] + 1
@@ -304,6 +321,104 @@ def test_cdc_evolved_schema_nullfills_old_files(spark, cdc_registered, tmp_path)
     assert got == {(1, "a", None), (2, "B2", 7)}
 
 
+def test_cdc_max_versions_per_batch_bounds_catchup(spark, cdc_registered, tmp_path):
+    """Admission control: with maxVersionsPerBatch=1, a 3-commit backlog
+    drains in ceil(3/1)=3 micro-batches — one version per batch, in order —
+    and the union of emitted rows is identical to an unbounded one-drain
+    (bounding only splits work, never changes it)."""
+    tdir = str(tmp_path / "cdcrate")
+    table = TxTable(spark, tdir, key_cols=["k"])
+    for i in range(3):
+        table.append(kv(spark, [(i, f"v{i}")]))
+
+    def drain(opts, ckpt):
+        batches = []
+        reader = spark.readStream.format("txtable_cdc").option("path", tdir)
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+
+        def sink(df, bid):
+            batches.append(sorted({r["_commit_version"] for r in df.collect()}))
+
+        q = (
+            reader.load().writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt).start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return [b for b in batches if b]
+
+    bounded = drain({"maxVersionsPerBatch": "1"}, str(tmp_path / "ckb"))
+    assert bounded == [[0], [1], [2]]  # one version per micro-batch, in order
+    unbounded = drain({}, str(tmp_path / "cku"))
+    assert sorted(v for b in unbounded for v in b) == [0, 1, 2]
+    assert len(unbounded) == 1  # the telescoped baseline for contrast
+
+
+def test_max_versions_offsets_never_skip_and_cap(tmp_path, spark):
+    """Offset-level law for both sources' shared mixin: with a cap of 2
+    over a 5-version backlog, successive latestOffset calls advance
+    [1, 3, 4] — every version visited exactly once, none skipped."""
+    from h2outility_spark.sources.txtable_source import _TxVersionOffsets
+
+    tdir = str(tmp_path / "offcap")
+    table = TxTable(spark, tdir, key_cols=["k"])
+    for i in range(5):
+        table.append(kv(spark, [(i, "x")]))
+
+    off = _TxVersionOffsets(tdir, max_versions_per_batch=2)
+    start = off.initialOffset()
+    assert start["version"] == -1
+    seen = []
+    for _ in range(3):
+        seen.append(off.latestOffset()["version"])
+    assert seen == [1, 3, 4]
+    # caught up: latestOffset stays put, no phantom batches
+    assert off.latestOffset()["version"] == 4
+
+    # The REAL fresh-start order (verified vs pyspark 4.1.2): the engine
+    # polls latestOffset before initialOffset — the cap must hold there too.
+    off2 = _TxVersionOffsets(tdir, max_versions_per_batch=2)
+    assert off2.latestOffset()["version"] == 1
+
+    # Checkpoint-resume order: the engine replays the last planned batch
+    # through partitions() before its first poll; base re-learned from end.
+    off3 = _TxVersionOffsets(tdir, max_versions_per_batch=2)
+    off3._advance_base(3)  # what partitions({...3}, {...3}) does on resume
+    assert off3.latestOffset()["version"] == 4
+
+    # A planned end behind start is refused loudly in partitions (guards
+    # exactly-once if a future engine reorders calls).
+    from h2outility_spark.sources.txtable_source import _TxCdcReader
+    import pytest as _pytest
+
+    rdr = _TxCdcReader(tdir, ["k", "v"], _kv_arrow_schema(with_cdc_meta=True))
+    with _pytest.raises(ValueError, match="behind"):
+        rdr.partitions({"version": 3}, {"version": 1})
+
+
+def test_max_versions_per_batch_option_validation(spark, cdc_registered, tmp_path):
+    tdir = str(tmp_path / "optbad")
+    table = TxTable(spark, tdir, key_cols=["k"])
+    table.append(kv(spark, [(1, "a")]))
+    for i, bad in enumerate(("0", "-3", "two")):
+        q = None
+        with pytest.raises(Exception, match="maxVersionsPerBatch"):
+            try:
+                q = (
+                    spark.readStream.format("txtable_cdc").option("path", tdir)
+                    .option("maxVersionsPerBatch", bad).load()
+                    .writeStream.format("memory").queryName(f"optbad{i}")
+                    .option("checkpointLocation", str(tmp_path / f"ck{i}")).start()
+                )
+                q.processAllAvailable()
+            finally:
+                if q is not None:
+                    q.stop()
+
+
 def test_image_dhash_respects_custom_id_col(spark):
     from pyspark.sql import Row
 
@@ -335,7 +450,7 @@ def test_checkpointed_reader_never_rebootstraps_after_vacuum(spark, registered, 
         table.append(kv(spark, [(i, "x")]))
     table.vacuum(keep_versions=2, retention_seconds=0)  # manifests v0-v3 gone
 
-    reader = _TxAppendTailReader(tdir, ["k", "v"])
+    reader = _TxAppendTailReader(tdir, ["k", "v"], _kv_arrow_schema())
     # Checkpointed offset {version: 3}: v4 exists but its parent v3 is gone.
     # Pre-fix this emitted v4's FULL snapshot (rows 0..4 again) = duplicates.
     with pytest.raises(ValueError, match="duplicates"):
@@ -346,7 +461,5 @@ def test_checkpointed_reader_never_rebootstraps_after_vacuum(spark, registered, 
     start = reader.initialOffset()
     assert start == {"version": 3, "bootstrap": True}
     parts = reader.partitions(start, {"version": 5})
-    rows = set()
-    for p in parts:
-        rows.update(reader.read(p))
+    rows = set(_read_rows(reader, parts))
     assert rows == {(i, "x") for i in range(6)}  # snapshot(v4) + v5's append
