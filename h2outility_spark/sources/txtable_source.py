@@ -32,6 +32,12 @@ Both sources take an optional ``maxVersionsPerBatch`` option (admission
 control): ``latestOffset`` then advances at most that many versions per
 micro-batch, so a catch-up backlog drains in ⌈backlog/N⌉ bounded batches
 instead of telescoping into one — see :class:`_TxVersionOffsets`.
+CAVEAT: ``Trigger.AvailableNow`` latches the FIRST (capped) latestOffset
+as the whole drain's target — the Python DataSource API has no
+SupportsTriggerAvailableNow hook — so an availableNow drain under a cap
+advances at most N versions and stops. Use the default trigger (with
+``processAllAvailable``) or repeated drains for a full rate-limited
+catch-up.
 
 The data plane is vectorized: both readers yield ``pyarrow.RecordBatch``
 iterators (pyspark 4's Arrow DataSource path), so rows never materialize

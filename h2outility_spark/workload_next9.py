@@ -85,7 +85,14 @@ from h2outility_spark.workload_lakehouse import scratch_dir
 # -- streaming CDC replica ---------------------------------------------------------------
 
 
-def _cdc_replica_runner(spark, root: str, key_col: str, evolve_schema: bool = False):
+def _cdc_replica_runner(
+    spark,
+    root: str,
+    key_col: str,
+    evolve_schema: bool = False,
+    reader_options: dict | None = None,
+    use_available_now: bool = True,
+):
     """Shared CDC-replica harness for the three streaming pairs: returns
     (src_table, replica_table, drain). The foreachBatch handler collapses
     each micro-batch with ``net_changes``, applies tombstones (delete
@@ -130,15 +137,23 @@ def _cdc_replica_runner(spark, root: str, key_col: str, evolve_schema: bool = Fa
         os.replace(tmp, marker)
 
     def drain() -> None:
-        q = (
-            spark.readStream.format("txtable_cdc")
-            .option("path", src_dir)
-            .load()
+        # NOTE the trigger choice under maxVersionsPerBatch (admission
+        # control): AvailableNow latches the FIRST capped latestOffset as
+        # the drain target, so an availableNow drain advances at most N
+        # versions and stops — a rate-limited catch-up needs the default
+        # trigger, where processAllAvailable keeps planning capped batches
+        # until the source is truly drained.
+        reader = spark.readStream.format("txtable_cdc").option("path", src_dir)
+        for k, v in (reader_options or {}).items():
+            reader = reader.option(k, v)
+        writer = (
+            reader.load()
             .writeStream.foreachBatch(apply_batch)
             .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
         )
+        if use_available_now:
+            writer = writer.trigger(availableNow=True)
+        q = writer.start()
         q.processAllAvailable()
         q.stop()
         q.awaitTermination(30)

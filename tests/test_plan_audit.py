@@ -38,6 +38,10 @@ BNLJ_ALLOWED = {
     "semantic_dedup_cells",  # vectors x broadcast 8-centroid frame — the
     # canonical IVF/kmeans assignment shape (same as ivf_search) (STAGED9)
     "unigram_logprob_buckets",  # 1-row total-token-count broadcast (STAGED9)
+    "unigram_lm_salted",  # 1-row total-token-count broadcast (STAGED10)
+    "bigram_logprob_docs",  # 1-row vocabulary-size broadcast (STAGED10)
+    "semantic_dedup_parallel",  # vectors x broadcast 16-centroid frame, twice —
+    # the canonical IVF/kmeans assignment shape (STAGED10)
 }
 
 
@@ -57,6 +61,7 @@ def test_bnlj_allowlist_is_tight(spark):
     from h2outility_spark.workload_next7 import STAGED7
     from h2outility_spark.workload_next8 import STAGED8
     from h2outility_spark.workload_next9 import STAGED9
+    from h2outility_spark.workload_next10 import STAGED10
 
     reg = workload.registry()
     fns = {
@@ -64,6 +69,7 @@ def test_bnlj_allowlist_is_tight(spark):
         **{n: fn for n, (fn, _o) in STAGED7.items()},
         **{n: fn for n, (fn, _o) in STAGED8.items()},
         **{n: fn for n, (fn, _o) in STAGED9.items()},
+        **{n: fn for n, (fn, _o) in STAGED10.items()},
     }
     stale = [n for n in BNLJ_ALLOWED if n not in fns]
     assert not stale, f"allowlisted queries no longer registered/staged: {stale}"
@@ -86,9 +92,10 @@ def test_staged_pairs_plan_clean(spark):
     from h2outility_spark.workload_next7 import STAGED7
     from h2outility_spark.workload_next8 import STAGED8
     from h2outility_spark.workload_next9 import STAGED9
+    from h2outility_spark.workload_next10 import STAGED10
 
     offenders: dict[str, list[str]] = {}
-    for name, (fn, _oracle) in {**STAGED4, **STAGED5, **STAGED6, **STAGED7, **STAGED8, **STAGED9}.items():
+    for name, (fn, _oracle) in {**STAGED4, **STAGED5, **STAGED6, **STAGED7, **STAGED8, **STAGED9, **STAGED10}.items():
         plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
         flags = [b for b in ("CartesianProduct", "BroadcastNestedLoopJoin") if b in plan]
         if "CartesianProduct" in flags or (

@@ -22,6 +22,7 @@ from h2outility_spark.workload_next6 import STAGED6
 from h2outility_spark.workload_next7 import STAGED7
 from h2outility_spark.workload_next8 import STAGED8
 from h2outility_spark.workload_next9 import STAGED9
+from h2outility_spark.workload_next10 import STAGED10
 
 from tests.conftest import SF_DIR, SF_DIR_MED
 
@@ -213,6 +214,24 @@ def test_staged8_query_matches_oracle(spark, name, sf_dir):
 @pytest.mark.parametrize("name", sorted(STAGED9))
 def test_staged9_query_matches_oracle(spark, name, sf_dir):
     fn, oracle = STAGED9[name]
+    sdf = fn(spark, sf_dir)
+    s_cols, s_rows = _normalize([tuple(r) for r in sdf.collect()], sdf.columns)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    res = con.sql(oracle)
+    o_cols, o_rows = _normalize(res.fetchall(), [d[0] for d in res.description])
+
+    assert s_cols == o_cols, f"{name}: column mismatch {s_cols} vs {o_cols}"
+    assert len(s_rows) == len(o_rows), f"{name}: row count {len(s_rows)} vs {len(o_rows)}"
+    assert s_rows == o_rows, f"{name}: value mismatch"
+
+
+@pytest.mark.parametrize("sf_dir", [SF_DIR, SF_DIR_MED])
+@pytest.mark.parametrize("name", sorted(STAGED10))
+def test_staged10_query_matches_oracle(spark, name, sf_dir):
+    fn, oracle = STAGED10[name]
     sdf = fn(spark, sf_dir)
     s_cols, s_rows = _normalize([tuple(r) for r in sdf.collect()], sdf.columns)
 
