@@ -97,8 +97,14 @@ def _added_files(table_dir: str, v: int, allow_bootstrap: bool = False) -> list[
     was vacuumed reads the oldest retained version as a full SNAPSHOT, and
     a snapshot is op-agnostic — the merges/overwrites that produced it are
     history the tail never replays, so the append-only guard applies only
-    to versions read as incremental diffs."""
-    if allow_bootstrap and v > 0:
+    to versions read as incremental diffs. Version 0 is ALWAYS a snapshot
+    (the diff from empty — nothing previously emitted can be rewritten by
+    it), so its op is irrelevant no matter how the reader arrived: a table
+    born by merge_upsert (v0 op='merge') streams fine; only a LATER
+    merge/overwrite/restore trips the guard."""
+    if v == 0:
+        return [p for p, sign in _changed_files(table_dir, v, allow_bootstrap) if sign == 1]
+    if allow_bootstrap:
         try:
             _manifest(table_dir, v - 1)
         except FileNotFoundError:
@@ -166,6 +172,7 @@ class _TxVersionOffsets:
             )
         self.max_versions_per_batch = max_versions_per_batch
         self._base: int | None = None  # highest version known planned/committed
+        self._warned_capped = False  # one backlog-capped breadcrumb per run
 
     def _advance_base(self, version: int) -> None:
         if self._base is None or version > self._base:
@@ -194,7 +201,21 @@ class _TxVersionOffsets:
                 # first): cap from the same position initialOffset mints.
                 vs = _versions(self.table_dir)
                 self._base = (vs[0] - 1) if vs else -1
-            latest = min(latest, self._base + self.max_versions_per_batch)
+            capped = min(latest, self._base + self.max_versions_per_batch)
+            if capped < latest and not self._warned_capped:
+                # Visible breadcrumb for the AvailableNow interaction (the
+                # docstring caveat): a latched drain stops at this capped
+                # offset and leaves the rest of the backlog for later runs.
+                self._warned_capped = True
+                print(
+                    f"txtable source: backlog extends past the "
+                    f"maxVersionsPerBatch={self.max_versions_per_batch} cap "
+                    f"(capped at v{capped}, latest v{latest}); an "
+                    "AvailableNow drain stops HERE — use the default "
+                    "trigger or repeated drains to fully catch up",
+                    flush=True,
+                )
+            latest = capped
         self._advance_base(latest)
         return {"version": latest}
 

@@ -53,7 +53,10 @@ def test_rotation_keeps_every_query_fresh():
     newest_green: dict[str, int] = {}
     max_round = 0
     for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
-        rnd = int(re.search(r"r(\d+)\.json$", p).group(1))
+        m = re.search(r"r(\d+)\.json$", p)
+        if m is None:
+            continue  # e.g. a CORRECTNESS_r13_solo.json-style side record
+        rnd = int(m.group(1))
         max_round = max(max_round, rnd)
         with open(p) as f:
             for name, rec in json.load(f).items():

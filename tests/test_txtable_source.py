@@ -153,6 +153,32 @@ def test_fresh_stream_bootstraps_even_when_oldest_retained_op_is_merge(
         q.stop()
 
 
+def test_fresh_tail_streams_table_born_by_merge(spark, registered, tmp_path):
+    """Round-13 self-review regression: version 0 is ALWAYS a snapshot
+    (the diff from empty), so a table BORN by merge_upsert (v0 op='merge'
+    — how every CDC replica table starts) must stream on the tail source;
+    only a later merge trips the append-only guard."""
+    tdir = str(tmp_path / "bornmerge")
+    table = TxTable(spark, tdir, key_cols=["k"])
+    table.merge_upsert(kv(spark, [(1, "a"), (2, "b")]))  # v0: op='merge'
+    table.append(kv(spark, [(3, "c")]))
+
+    stream = spark.readStream.format("txtable_stream").option("path", tdir).load()
+    q = (
+        stream.writeStream.outputMode("append").format("memory").queryName("bmtail")
+        .option("checkpointLocation", str(tmp_path / "ckbm")).start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {(r["k"], r["v"]) for r in spark.sql("SELECT * FROM bmtail").collect()}
+        assert got == {(1, "a"), (2, "b"), (3, "c")}
+        table.merge_upsert(kv(spark, [(1, "A")]))  # a LATER merge still raises
+        with pytest.raises(Exception, match="append-only"):
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def test_lagging_checkpoint_past_retention_errors_clearly(spark, registered, tmp_path):
     from h2outility_spark.sources.txtable_source import _added_files
 
