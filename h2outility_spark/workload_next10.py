@@ -33,7 +33,11 @@ Coverage targets (NOTES_NEXT_ROUND r12 §5 seeds + the round-13 feature):
     cannot). Assignment argmin is min(struct(dist, cluster)) — partial
     (map-side) min, no window sort over the n×k exploded set.
   * ``stream_cdc_bounded`` — the round-13 ``maxVersionsPerBatch``
-    admission control certified by the driver gate: a replica misses
+    admission control certified by the driver gate (the reference's
+    chunked-fetch intent — QUERY_CHUNK_SIZE at src/Common.py:59 and the
+    chunk_size fetch path at
+    src/GAMUTRawData/odmservices/series_service.py:388,437-439 —
+    upgraded to streaming admission control): a replica misses
     three source commits and catches up under a 2-versions-per-batch
     cap — the backlog drains in ⌈3/2⌉ = 2 micro-batches (plus the one
     bootstrap batch = 3 applied batches total, restated as a literal by
