@@ -484,8 +484,12 @@ def q_txtable_cdf_replica(spark, sf_dir):
 
 _LP_ITERS = 2
 
+# MATERIALIZED matters: DuckDB inlines plain CTEs, so the 4-way trade-
+# graph join would be re-evaluated inside EVERY unrolled vote round —
+# at sf0.1 that blew past 100 GB transient memory and minutes of wall
+# (round-13 finding); materializing tr/sym once makes the oracle ~0.2 s.
 _LP_EDGES_CTE = """
-tr AS (
+tr AS MATERIALIZED (
   SELECT DISTINCT least(c.c_nationkey, s.s_nationkey) AS id_a,
                   greatest(c.c_nationkey, s.s_nationkey) AS id_b
   FROM lineitem l
@@ -494,7 +498,7 @@ tr AS (
   JOIN supplier s ON l.l_suppkey = s.s_suppkey
   WHERE c.c_nationkey <> s.s_nationkey
 ),
-sym AS (
+sym AS MATERIALIZED (
   SELECT id_a AS src, id_b AS dst FROM tr
   UNION ALL
   SELECT id_b AS src, id_a AS dst FROM tr
@@ -1043,7 +1047,7 @@ def q_txtable_branch_conflicts(spark, sf_dir):
 # -- weighted label propagation ----------------------------------------------------------
 
 _LPW_EDGES_CTE = """
-tr AS (
+tr AS MATERIALIZED (
   SELECT least(c.c_nationkey, s.s_nationkey) AS id_a,
          greatest(c.c_nationkey, s.s_nationkey) AS id_b,
          CAST(count(*) AS BIGINT) AS w
@@ -1054,7 +1058,7 @@ tr AS (
   WHERE c.c_nationkey <> s.s_nationkey
   GROUP BY 1, 2
 ),
-sym AS (
+sym AS MATERIALIZED (
   SELECT id_a AS src, id_b AS dst, w FROM tr
   UNION ALL
   SELECT id_b AS src, id_a AS dst, w FROM tr
