@@ -32,6 +32,10 @@ Both sources take an optional ``maxVersionsPerBatch`` option (admission
 control): ``latestOffset`` then advances at most that many versions per
 micro-batch, so a catch-up backlog drains in ⌈backlog/N⌉ bounded batches
 instead of telescoping into one — see :class:`_TxVersionOffsets`.
+A ``startingVersion`` option (Delta-CDF semantics) starts the feed at an
+explicit version read as an incremental diff — changes-only, no snapshot
+bootstrap — for replicas whose initial state arrived out-of-band; it
+errors loudly if that version's parent manifest was vacuumed.
 CAVEAT: ``Trigger.AvailableNow`` latches the FIRST (capped) latestOffset
 as the whole drain's target — the Python DataSource API has no
 SupportsTriggerAvailableNow hook — so an availableNow drain under a cap
@@ -139,6 +143,21 @@ def _max_versions_option(options) -> int | None:
     return n
 
 
+def _starting_version_option(options) -> int | None:
+    """Parse the ``startingVersion`` option (Delta-CDF-style explicit feed
+    start; absent = snapshot-bootstrap from the oldest retained version)."""
+    raw = options.get("startingVersion")
+    if raw is None:
+        return None
+    try:
+        n = int(raw)
+    except ValueError:
+        raise ValueError(f"startingVersion must be an integer, got {raw!r}") from None
+    if n < 0:
+        raise ValueError(f"startingVersion must be >= 0, got {n}")
+    return n
+
+
 class _TxFilePartition(InputPartition):
     def __init__(self, abs_path: str):
         self.abs_path = abs_path
@@ -162,21 +181,45 @@ class _TxVersionOffsets:
     up), which re-learns the base before the first poll. ``commit`` and
     every ``latestOffset`` advance it. ``partitions`` additionally
     refuses an end offset behind its start — if a future engine ever
-    reorders calls, the failure is loud, never duplicate emission."""
+    reorders calls, the failure is loud, never duplicate emission.
 
-    def __init__(self, table_dir: str, max_versions_per_batch: int | None = None):
+    ``starting_version`` (the ``startingVersion`` option, Delta-CDF
+    semantics) starts the feed at an EXPLICIT version read as an
+    incremental diff — no snapshot bootstrap, the changes-only contract a
+    replica wants when its initial state arrived out-of-band. Version
+    ``startingVersion`` itself is the first emitted; if its parent
+    manifest was vacuumed the stream errors loudly (a diff there is
+    unreconstructable and a silent snapshot would duplicate the
+    out-of-band state). A value past the current latest is allowed: the
+    feed starts empty and picks up once the table reaches it."""
+
+    def __init__(
+        self,
+        table_dir: str,
+        max_versions_per_batch: int | None = None,
+        starting_version: int | None = None,
+    ):
         self.table_dir = table_dir
         if max_versions_per_batch is not None and max_versions_per_batch < 1:
             raise ValueError(
                 f"maxVersionsPerBatch must be >= 1, got {max_versions_per_batch}"
             )
+        if starting_version is not None and starting_version < 0:
+            raise ValueError(f"startingVersion must be >= 0, got {starting_version}")
         self.max_versions_per_batch = max_versions_per_batch
+        self.starting_version = starting_version
         self._base: int | None = None  # highest version known planned/committed
         self._warned_capped = False  # one backlog-capped breadcrumb per run
 
     def _advance_base(self, version: int) -> None:
         if self._base is None or version > self._base:
             self._base = version
+
+    def _initial_version(self) -> int:
+        if self.starting_version is not None:
+            return self.starting_version - 1
+        vs = _versions(self.table_dir)
+        return (vs[0] - 1) if vs else -1
 
     def initialOffset(self) -> dict:
         # Start just below the OLDEST RETAINED version, not -1: on a table
@@ -186,21 +229,27 @@ class _TxVersionOffsets:
         # so ONLY a reader starting from this freshly-minted offset may take
         # the full-snapshot branch; a checkpointed offset (minted by
         # latestOffset, no flag) never bootstraps — see _added_files.
-        vs = _versions(self.table_dir)
-        start = (vs[0] - 1) if vs else -1
+        # With an explicit startingVersion the flag is withheld: the user
+        # asked for changes-only from that version, never a snapshot.
+        start = self._initial_version()
         self._advance_base(start)
-        return {"version": start, "bootstrap": True}
+        off = {"version": start}
+        if self.starting_version is None:
+            off["bootstrap"] = True
+        return off
 
     def latestOffset(self) -> dict:
         latest = _latest_version(self.table_dir)
         if latest is None:
-            return {"version": -1}
+            return {"version": self._initial_version() if self.starting_version is not None else -1}
+        if self.starting_version is not None and latest < self.starting_version - 1:
+            # Feed pinned to start in the future: nothing available yet.
+            return {"version": self.starting_version - 1}
         if self.max_versions_per_batch is not None:
             if self._base is None:
                 # Fresh start (any resume seeds the base via partitions
                 # first): cap from the same position initialOffset mints.
-                vs = _versions(self.table_dir)
-                self._base = (vs[0] - 1) if vs else -1
+                self._base = self._initial_version()
             capped = min(latest, self._base + self.max_versions_per_batch)
             if capped < latest and not self._warned_capped:
                 # Visible breadcrumb for the AvailableNow interaction (the
@@ -233,8 +282,9 @@ class _TxAppendTailReader(_TxVersionOffsets, DataSourceStreamReader):
         field_names: list[str],
         arrow_schema,
         max_versions_per_batch: int | None = None,
+        starting_version: int | None = None,
     ):
-        super().__init__(table_dir, max_versions_per_batch)
+        super().__init__(table_dir, max_versions_per_batch, starting_version)
         self.field_names = field_names
         self.arrow_schema = arrow_schema  # pa.Schema; picklable, rides to executors
 
@@ -292,6 +342,7 @@ class TxTableStreamDataSource(DataSource):
             [f.name for f in schema.fields],
             to_arrow_schema(schema),
             max_versions_per_batch=_max_versions_option(self.options),
+            starting_version=_starting_version_option(self.options),
         )
 
 
@@ -410,8 +461,9 @@ class _TxCdcReader(_TxVersionOffsets, DataSourceStreamReader):
         data_field_names: list[str],
         arrow_schema,
         max_versions_per_batch: int | None = None,
+        starting_version: int | None = None,
     ):
-        super().__init__(table_dir, max_versions_per_batch)
+        super().__init__(table_dir, max_versions_per_batch, starting_version)
         self.data_field_names = data_field_names
         # Full return schema (data columns + _commit_version + _sign) as a
         # pa.Schema; picklable, rides to executors.
@@ -500,6 +552,7 @@ class TxTableCdcDataSource(DataSource):
             data,
             to_arrow_schema(schema),
             max_versions_per_batch=_max_versions_option(self.options),
+            starting_version=_starting_version_option(self.options),
         )
 
 

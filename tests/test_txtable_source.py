@@ -445,6 +445,87 @@ def test_max_versions_per_batch_option_validation(spark, cdc_registered, tmp_pat
                     q.stop()
 
 
+def test_cdc_starting_version_changes_only(spark, cdc_registered, tmp_path):
+    """startingVersion=N (Delta-CDF semantics): the feed begins at version
+    N read as an incremental diff — NO snapshot bootstrap, the
+    changes-only contract for replicas whose initial state arrived
+    out-of-band."""
+    tdir = str(tmp_path / "cdcsv")
+    table = TxTable(spark, tdir, key_cols=["k"])
+    for i in range(4):
+        table.append(kv(spark, [(i, f"v{i}")]))  # v0..v3
+
+    stream = (
+        spark.readStream.format("txtable_cdc").option("path", tdir)
+        .option("startingVersion", "2").load()
+    )
+    q = (
+        stream.writeStream.outputMode("append").format("memory").queryName("cdcsv")
+        .option("checkpointLocation", str(tmp_path / "cksv")).start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = {
+            (r["k"], r["_commit_version"], r["_sign"])
+            for r in spark.sql("SELECT * FROM cdcsv").collect()
+        }
+        assert rows == {(2, 2, 1), (3, 3, 1)}  # v0/v1 rows never emitted
+    finally:
+        q.stop()
+
+
+def test_starting_version_past_latest_waits(spark, cdc_registered, tmp_path):
+    tdir = str(tmp_path / "cdcfuture")
+    table = TxTable(spark, tdir, key_cols=["k"])
+    table.append(kv(spark, [(1, "a")]))  # v0
+
+    stream = (
+        spark.readStream.format("txtable_cdc").option("path", tdir)
+        .option("startingVersion", "2").load()
+    )
+    q = (
+        stream.writeStream.outputMode("append").format("memory").queryName("cdcfut")
+        .option("checkpointLocation", str(tmp_path / "ckfut")).start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM cdcfut").count() == 0  # nothing yet
+        table.append(kv(spark, [(2, "b")]))  # v1 — still before the start
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM cdcfut").count() == 0
+        table.append(kv(spark, [(3, "c")]))  # v2 — the pinned start arrives
+        q.processAllAvailable()
+        rows = {
+            (r["k"], r["_commit_version"]) for r in spark.sql("SELECT * FROM cdcfut").collect()
+        }
+        assert rows == {(3, 2)}
+    finally:
+        q.stop()
+
+
+def test_starting_version_vacuumed_parent_errors(spark, cdc_registered, tmp_path):
+    """A startingVersion whose parent manifest was vacuumed is
+    unreconstructable as a diff — the stream must error, never silently
+    snapshot (that would duplicate the replica's out-of-band state)."""
+    tdir = str(tmp_path / "cdcsvvac")
+    table = TxTable(spark, tdir, key_cols=["k"])
+    for i in range(5):
+        table.append(kv(spark, [(i, "x")]))
+    table.vacuum(keep_versions=1, retention_seconds=0)  # only v4 retained
+
+    q = (
+        spark.readStream.format("txtable_cdc").option("path", tdir)
+        .option("startingVersion", "4").load()
+        .writeStream.outputMode("append").format("memory").queryName("cdcsvv")
+        .option("checkpointLocation", str(tmp_path / "cksvv")).start()
+    )
+    with pytest.raises(Exception, match="vacuum|fresh checkpoint"):
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+
 def test_image_dhash_respects_custom_id_col(spark):
     from pyspark.sql import Row
 
