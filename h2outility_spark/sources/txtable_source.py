@@ -28,10 +28,14 @@ Usage::
     spark.dataSource.register(TxTableStreamDataSource)
     stream = spark.readStream.format("txtable_stream").option("path", dir).load()
 
-Both sources take an optional ``maxVersionsPerBatch`` option (admission
-control): ``latestOffset`` then advances at most that many versions per
-micro-batch, so a catch-up backlog drains in ⌈backlog/N⌉ bounded batches
-instead of telescoping into one — see :class:`_TxVersionOffsets`.
+Both sources take optional admission-control options: with
+``maxVersionsPerBatch``, ``latestOffset`` advances at most that many
+versions per micro-batch; with ``maxBytesPerBatch``, it admits versions
+until their manifest-stat ADDED bytes spend the budget (always at least
+one version, so progress is guaranteed) — either way a catch-up backlog
+drains in bounded batches instead of telescoping into one — see
+:class:`_TxVersionOffsets`. The byte walk is manifest metadata only,
+the same O(changed segments) cost as batch planning itself.
 A ``startingVersion`` option (Delta-CDF semantics) starts the feed at an
 explicit version read as an incremental diff — changes-only, no snapshot
 bootstrap — for replicas whose initial state arrived out-of-band; it
@@ -128,34 +132,61 @@ def _added_files(table_dir: str, v: int, allow_bootstrap: bool = False) -> list[
     return [p for p, sign in _changed_files(table_dir, v, allow_bootstrap) if sign == 1]
 
 
-def _max_versions_option(options) -> int | None:
-    """Parse the ``maxVersionsPerBatch`` option (admission control; absent =
-    unbounded). DataSource options arrive as strings."""
-    raw = options.get("maxVersionsPerBatch")
+def _int_option(options, name: str, min_value: int) -> int | None:
+    """Parse an optional integer DataSource option (options arrive as
+    strings); absent = None."""
+    raw = options.get(name)
     if raw is None:
         return None
     try:
         n = int(raw)
     except ValueError:
-        raise ValueError(f"maxVersionsPerBatch must be an integer, got {raw!r}") from None
-    if n < 1:
-        raise ValueError(f"maxVersionsPerBatch must be >= 1, got {n}")
+        raise ValueError(f"{name} must be an integer, got {raw!r}") from None
+    if n < min_value:
+        raise ValueError(f"{name} must be >= {min_value}, got {n}")
     return n
+
+
+def _max_versions_option(options) -> int | None:
+    return _int_option(options, "maxVersionsPerBatch", 1)
+
+
+def _max_bytes_option(options) -> int | None:
+    return _int_option(options, "maxBytesPerBatch", 1)
 
 
 def _starting_version_option(options) -> int | None:
-    """Parse the ``startingVersion`` option (Delta-CDF-style explicit feed
-    start; absent = snapshot-bootstrap from the oldest retained version)."""
-    raw = options.get("startingVersion")
-    if raw is None:
-        return None
+    """The ``startingVersion`` option: Delta-CDF-style explicit feed start
+    (absent = snapshot-bootstrap from the oldest retained version)."""
+    return _int_option(options, "startingVersion", 0)
+
+
+def _added_bytes(table_dir: str, v: int) -> int:
+    """Bytes of the data files version ``v`` ADDED, from manifest stats
+    alone (no data IO; same O(changed segments) walk as _changed_files).
+    Powers the byte-based admission control. Returns 0 for compact
+    versions (no net change) and for unreadable manifests — the planner
+    raises the canonical error later; admission control only has to
+    guarantee progress, never correctness."""
     try:
-        n = int(raw)
-    except ValueError:
-        raise ValueError(f"startingVersion must be an integer, got {raw!r}") from None
-    if n < 0:
-        raise ValueError(f"startingVersion must be >= 0, got {n}")
-    return n
+        m = _manifest(table_dir, v)
+        prev_m = _manifest(table_dir, v - 1) if v > 0 else None
+    except FileNotFoundError:
+        return 0
+    if m["op"] == "compact":
+        return 0
+    by_path = {e["path"]: e.get("bytes", 0) for e in m["_inline_files"]}
+    cur_segs = {d["name"] for d in m["segments"]}
+    prev_segs = {d["name"] for d in prev_m["segments"]} if prev_m else set()
+    for name in cur_segs - prev_segs:
+        for e in _segment_entries(table_dir, name):
+            by_path[e["path"]] = e.get("bytes", 0)
+    if prev_m is None:
+        return sum(by_path.values())
+    prev_paths = {e["path"] for e in prev_m["_inline_files"]}
+    for name in prev_segs - cur_segs:
+        prev_paths.update(e["path"] for e in _segment_entries(table_dir, name))
+    return sum(b for p, b in by_path.items() if p not in prev_paths)
 
 
 class _TxFilePartition(InputPartition):
@@ -198,15 +229,21 @@ class _TxVersionOffsets:
         table_dir: str,
         max_versions_per_batch: int | None = None,
         starting_version: int | None = None,
+        max_bytes_per_batch: int | None = None,
     ):
         self.table_dir = table_dir
         if max_versions_per_batch is not None and max_versions_per_batch < 1:
             raise ValueError(
                 f"maxVersionsPerBatch must be >= 1, got {max_versions_per_batch}"
             )
+        if max_bytes_per_batch is not None and max_bytes_per_batch < 1:
+            raise ValueError(
+                f"maxBytesPerBatch must be >= 1, got {max_bytes_per_batch}"
+            )
         if starting_version is not None and starting_version < 0:
             raise ValueError(f"startingVersion must be >= 0, got {starting_version}")
         self.max_versions_per_batch = max_versions_per_batch
+        self.max_bytes_per_batch = max_bytes_per_batch
         self.starting_version = starting_version
         self._base: int | None = None  # highest version known planned/committed
         self._warned_capped = False  # one backlog-capped breadcrumb per run
@@ -245,20 +282,40 @@ class _TxVersionOffsets:
         if self.starting_version is not None and latest < self.starting_version - 1:
             # Feed pinned to start in the future: nothing available yet.
             return {"version": self.starting_version - 1}
-        if self.max_versions_per_batch is not None:
+        if self.max_versions_per_batch is not None or self.max_bytes_per_batch is not None:
             if self._base is None:
                 # Fresh start (any resume seeds the base via partitions
                 # first): cap from the same position initialOffset mints.
                 self._base = self._initial_version()
-            capped = min(latest, self._base + self.max_versions_per_batch)
+            capped = latest
+            if self.max_versions_per_batch is not None:
+                capped = min(capped, self._base + self.max_versions_per_batch)
+            if self.max_bytes_per_batch is not None:
+                # Walk the backlog's manifest stats (metadata only),
+                # admitting versions until the byte budget is spent —
+                # always at least one, so progress is guaranteed even
+                # when a single version exceeds the budget.
+                total, v = 0, self._base
+                while v < capped:
+                    nxt = _added_bytes(self.table_dir, v + 1)
+                    if v > self._base and total + nxt > self.max_bytes_per_batch:
+                        break
+                    total += nxt
+                    v += 1
+                capped = v
             if capped < latest and not self._warned_capped:
                 # Visible breadcrumb for the AvailableNow interaction (the
                 # docstring caveat): a latched drain stops at this capped
                 # offset and leaves the rest of the backlog for later runs.
                 self._warned_capped = True
+                caps = []
+                if self.max_versions_per_batch is not None:
+                    caps.append(f"maxVersionsPerBatch={self.max_versions_per_batch}")
+                if self.max_bytes_per_batch is not None:
+                    caps.append(f"maxBytesPerBatch={self.max_bytes_per_batch}")
                 print(
                     f"txtable source: backlog extends past the "
-                    f"maxVersionsPerBatch={self.max_versions_per_batch} cap "
+                    f"{'/'.join(caps)} cap "
                     f"(capped at v{capped}, latest v{latest}); an "
                     "AvailableNow drain stops HERE — use the default "
                     "trigger or repeated drains to fully catch up",
@@ -283,8 +340,11 @@ class _TxAppendTailReader(_TxVersionOffsets, DataSourceStreamReader):
         arrow_schema,
         max_versions_per_batch: int | None = None,
         starting_version: int | None = None,
+        max_bytes_per_batch: int | None = None,
     ):
-        super().__init__(table_dir, max_versions_per_batch, starting_version)
+        super().__init__(
+            table_dir, max_versions_per_batch, starting_version, max_bytes_per_batch
+        )
         self.field_names = field_names
         self.arrow_schema = arrow_schema  # pa.Schema; picklable, rides to executors
 
@@ -343,6 +403,7 @@ class TxTableStreamDataSource(DataSource):
             to_arrow_schema(schema),
             max_versions_per_batch=_max_versions_option(self.options),
             starting_version=_starting_version_option(self.options),
+            max_bytes_per_batch=_max_bytes_option(self.options),
         )
 
 
@@ -462,8 +523,11 @@ class _TxCdcReader(_TxVersionOffsets, DataSourceStreamReader):
         arrow_schema,
         max_versions_per_batch: int | None = None,
         starting_version: int | None = None,
+        max_bytes_per_batch: int | None = None,
     ):
-        super().__init__(table_dir, max_versions_per_batch, starting_version)
+        super().__init__(
+            table_dir, max_versions_per_batch, starting_version, max_bytes_per_batch
+        )
         self.data_field_names = data_field_names
         # Full return schema (data columns + _commit_version + _sign) as a
         # pa.Schema; picklable, rides to executors.
@@ -553,6 +617,7 @@ class TxTableCdcDataSource(DataSource):
             to_arrow_schema(schema),
             max_versions_per_batch=_max_versions_option(self.options),
             starting_version=_starting_version_option(self.options),
+            max_bytes_per_batch=_max_bytes_option(self.options),
         )
 
 

@@ -445,6 +445,49 @@ def test_max_versions_per_batch_option_validation(spark, cdc_registered, tmp_pat
                     q.stop()
 
 
+def test_max_bytes_per_batch_budgets_and_progresses(spark, tmp_path):
+    """Byte-based admission control: versions are admitted until their
+    manifest-stat ADDED bytes spend the budget; a budget smaller than any
+    single version still advances one version per batch (progress is
+    guaranteed). Manifest metadata only — no data IO in the walk."""
+    from h2outility_spark.sources.txtable_source import _TxVersionOffsets, _added_bytes
+
+    tdir = str(tmp_path / "bytecap")
+    table = TxTable(spark, tdir, key_cols=["k"])
+    for i in range(4):
+        table.append(kv(spark, [(i, "x" * 50)]))
+    sizes = [_added_bytes(tdir, v) for v in range(4)]
+    assert all(b > 0 for b in sizes)
+
+    off = _TxVersionOffsets(tdir, max_bytes_per_batch=sizes[0] + sizes[1])
+    off.initialOffset()
+    assert [off.latestOffset()["version"] for _ in range(3)] == [1, 3, 3]
+
+    tiny = _TxVersionOffsets(tdir, max_bytes_per_batch=1)
+    tiny.initialOffset()
+    assert [tiny.latestOffset()["version"] for _ in range(4)] == [0, 1, 2, 3]
+
+    # Composes with the version cap: the tighter constraint wins.
+    both = _TxVersionOffsets(
+        tdir, max_versions_per_batch=1, max_bytes_per_batch=sizes[0] + sizes[1]
+    )
+    both.initialOffset()
+    assert both.latestOffset()["version"] == 0
+
+
+def test_added_bytes_skips_compact_and_counts_snapshot(spark, tmp_path):
+    from h2outility_spark.sources.txtable_source import _added_bytes
+
+    tdir = str(tmp_path / "bytecompact")
+    table = TxTable(spark, tdir, key_cols=["k"])
+    table.append(kv(spark, [(1, "a"), (2, "b")]))  # v0: full snapshot bytes
+    table.append(kv(spark, [(3, "c")]))  # v1
+    table.compact_files(target_rows=1000, small_rows=1_000_000)  # v2: pure rewrite
+    assert _added_bytes(tdir, 0) > 0
+    assert _added_bytes(tdir, 1) > 0
+    assert _added_bytes(tdir, 2) == 0  # compact: no net change, zero budget spend
+
+
 def test_cdc_starting_version_changes_only(spark, cdc_registered, tmp_path):
     """startingVersion=N (Delta-CDF semantics): the feed begins at version
     N read as an incremental diff — NO snapshot bootstrap, the
