@@ -57,6 +57,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import warnings
 from collections.abc import Iterator, Sequence
 
 from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
@@ -165,16 +166,23 @@ def _added_bytes(table_dir: str, v: int) -> int:
     """Bytes of the data files version ``v`` ADDED, from manifest stats
     alone (no data IO; same O(changed segments) walk as _changed_files).
     Powers the byte-based admission control. Returns 0 for compact
-    versions (no net change) and for unreadable manifests — the planner
-    raises the canonical error later; admission control only has to
-    guarantee progress, never correctness."""
+    versions (no net change) and when version ``v``'s OWN manifest is
+    unreadable — the planner raises the canonical error later; admission
+    control only has to guarantee progress, never correctness. A vacuumed
+    PARENT manifest, by contrast, charges the FULL file set of ``v``:
+    that is exactly what a fresh reader's snapshot bootstrap will emit,
+    so the byte cap must bound it (charging 0 would admit the whole
+    table plus further versions in one batch)."""
     try:
         m = _manifest(table_dir, v)
-        prev_m = _manifest(table_dir, v - 1) if v > 0 else None
     except FileNotFoundError:
         return 0
     if m["op"] == "compact":
         return 0
+    try:
+        prev_m = _manifest(table_dir, v - 1) if v > 0 else None
+    except FileNotFoundError:
+        prev_m = None  # vacuumed parent → snapshot bootstrap: charge all of v
     by_path = {e["path"]: e.get("bytes", 0) for e in m["_inline_files"]}
     cur_segs = {d["name"] for d in m["segments"]}
     prev_segs = {d["name"] for d in prev_m["segments"]} if prev_m else set()
@@ -313,13 +321,18 @@ class _TxVersionOffsets:
                     caps.append(f"maxVersionsPerBatch={self.max_versions_per_batch}")
                 if self.max_bytes_per_batch is not None:
                     caps.append(f"maxBytesPerBatch={self.max_bytes_per_batch}")
-                print(
+                # warnings.warn, not print(): this runs in the Python
+                # data-source helper process, whose stdout may never reach
+                # the driver log — the warning machinery writes to stderr,
+                # which Spark forwards. (It still lands in the python-worker
+                # log, not necessarily the driver console.)
+                warnings.warn(
                     f"txtable source: backlog extends past the "
                     f"{'/'.join(caps)} cap "
                     f"(capped at v{capped}, latest v{latest}); an "
                     "AvailableNow drain stops HERE — use the default "
                     "trigger or repeated drains to fully catch up",
-                    flush=True,
+                    stacklevel=2,
                 )
             latest = capped
         self._advance_base(latest)
@@ -373,11 +386,23 @@ class _TxAppendTailReader(_TxVersionOffsets, DataSourceStreamReader):
         # the rows stay in Arrow end to end, no per-row Python tuples. The
         # cast pins the exact Arrow types Spark expects for the declared
         # schema (e.g. timestamp[us, tz=UTC]) independent of how the
-        # parquet writer spelled them.
+        # parquet writer spelled them. Columns the file predates
+        # (add-column schema evolution — reachable here via startingVersion
+        # pointing before the evolution, or a bootstrap over old files) are
+        # null-filled like snapshot()/changes() and the CDC reader do,
+        # instead of letting pq.read_table raise on the missing name.
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
-        tbl = pq.read_table(partition.abs_path, columns=self.field_names)
-        return iter(tbl.select(self.field_names).cast(self.arrow_schema).to_batches())
+        present = set(pq.read_schema(partition.abs_path).names)
+        want = [c for c in self.field_names if c in present]
+        tbl = pq.read_table(partition.abs_path, columns=want)
+        n = tbl.num_rows
+        arrays = {
+            name: tbl.column(name) if name in present else pa.nulls(n, type=typ)
+            for name, typ in zip(self.arrow_schema.names, self.arrow_schema.types)
+        }
+        return iter(pa.table(arrays).cast(self.arrow_schema).to_batches())
 
 
 class TxTableStreamDataSource(DataSource):

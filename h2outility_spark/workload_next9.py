@@ -120,6 +120,12 @@ def _cdc_replica_runner(
         marker = os.path.join(applied_dir, f"applied_{batch_id}")
         if os.path.exists(marker):
             return  # replayed batch: already applied, exactly-once preserved
+        if batch_df.isEmpty():
+            # No-data micro-batch (a default-trigger heartbeat can plan
+            # one): no state change, and NO marker either — the marker
+            # count certifies the number of DATA batches applied, so it
+            # must stay robust to spurious empty batches.
+            return
         cdf = net_changes(batch_df)
         inserts = cdf.filter(F.col("_change_type") == "insert").drop("_change_type")
         tombstones = (
@@ -158,6 +164,7 @@ def _cdc_replica_runner(
         q.stop()
         q.awaitTermination(30)
 
+    drain.apply_batch = apply_batch  # exposed for the empty-batch unit test
     return src, replica, drain
 
 

@@ -613,3 +613,85 @@ def test_checkpointed_reader_never_rebootstraps_after_vacuum(spark, registered, 
     parts = reader.partitions(start, {"version": 5})
     rows = set(_read_rows(reader, parts))
     assert rows == {(i, "x") for i in range(6)}  # snapshot(v4) + v5's append
+
+def test_added_bytes_charges_full_snapshot_when_parent_vacuumed(spark, tmp_path):
+    """ADVICE r13 regression: when version v's PARENT manifest was vacuumed,
+    a fresh capped reader reads v as a FULL SNAPSHOT bootstrap — so the byte
+    budget must charge v's whole file set, not 0 (charging 0 admitted the
+    entire snapshot plus further versions in one batch under
+    maxBytesPerBatch)."""
+    from h2outility_spark.sources.txtable_source import _TxVersionOffsets, _added_bytes
+
+    tdir = str(tmp_path / "bytevac")
+    table = TxTable(spark, tdir, key_cols=["k"])
+    for i in range(4):
+        table.append(kv(spark, [(i, "x" * 50)]))  # v0..v3, one file each
+    diff_bytes = _added_bytes(tdir, 2)  # incremental diff: one file
+    full_state = sum(_added_bytes(tdir, v) for v in range(3))  # all files in v2
+
+    table.vacuum(keep_versions=2, retention_seconds=0)  # v2, v3 retained
+    assert _added_bytes(tdir, 2) == full_state  # bootstrap charges everything
+    assert _added_bytes(tdir, 2) > diff_bytes
+
+    # The cap now bounds the bootstrap batch: the snapshot alone overspends
+    # a one-diff budget, so the first batch admits ONLY v2 (progress floor),
+    # v3 waits for the second — pre-fix both landed in one batch.
+    off = _TxVersionOffsets(tdir, max_bytes_per_batch=diff_bytes)
+    off.initialOffset()
+    assert [off.latestOffset()["version"] for _ in range(2)] == [2, 3]
+
+
+def test_tail_bootstrap_nullfills_pre_evolution_files(spark, registered, tmp_path):
+    """ADVICE r13 regression: a tail bootstrap can carry files written
+    BEFORE an add-column schema evolution; read() must null-fill the
+    missing column like snapshot()/changes() and the CDC reader do, not
+    let pq.read_table raise on the absent name."""
+    tdir = str(tmp_path / "tailevo")
+    table = TxTable(spark, tdir, key_cols=["k"])
+    table.append(kv(spark, [(1, "a")]))  # v0: pre-evolution file, never rewritten
+    table.append(kv(spark, [(2, "b")]))  # v1
+    evolved = spark.createDataFrame(
+        [Row(k=2, v="B2", extra=7)], "k int, v string, extra int"
+    )
+    table.merge_upsert(evolved, evolve_schema=True)  # v2: rewrites only v1's file
+    table.vacuum(keep_versions=1, retention_seconds=0)  # only v2 retained
+
+    # Fresh reader: snapshot-bootstrap of v2's FULL file set under the
+    # evolved schema — includes v0's (k, v)-only file.
+    stream = spark.readStream.format("txtable_stream").option("path", tdir).load()
+    assert stream.schema.fieldNames() == ["k", "v", "extra"]
+    q = (
+        stream.writeStream.outputMode("append").format("memory").queryName("tailevo")
+        .option("checkpointLocation", str(tmp_path / "ckte")).start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["k"], r["v"], r["extra"])
+            for r in spark.sql("SELECT * FROM tailevo").collect()
+        }
+        assert got == {(1, "a", None), (2, "B2", 7)}
+    finally:
+        q.stop()
+
+
+def test_cdc_replica_skips_marker_on_empty_batch(spark, tmp_path):
+    """ADVICE r13 regression: a no-data micro-batch (default-trigger
+    heartbeat) must not write an applied_<id> marker — the marker count
+    certifies the number of DATA batches (stream_cdc_bounded's oracle pins
+    it), so spurious empty batches may not inflate it."""
+    import os
+
+    from h2outility_spark.workload_next9 import _cdc_replica_runner
+
+    root = str(tmp_path / "emptyb")
+    cdc_schema = "k int, v string, _commit_version bigint, _sign int"
+    src, replica, drain = _cdc_replica_runner(spark, root, "k")
+
+    drain.apply_batch(spark.createDataFrame([], cdc_schema), 99)
+    assert not os.path.exists(os.path.join(root, "applied", "applied_99"))
+
+    data = spark.createDataFrame([(1, "a", 0, 1)], cdc_schema)
+    drain.apply_batch(data, 100)
+    assert os.path.exists(os.path.join(root, "applied", "applied_100"))
+    assert {(r["k"], r["v"]) for r in replica.snapshot().collect()} == {(1, "a")}
