@@ -346,11 +346,12 @@ def main() -> None:
     # shows the regime the RP-LSH design targets (planted near-dups,
     # ~91% of random pairs pruned by 8-bit x 24-band banding) instead of
     # letting the borderline number dominate the wall-clock story. The
-    # pinned-config pair is timed at sf0.1; the 100x point uses the
+    # pair was PROMOTED in the r14 rotation with bench=True, so its pinned
+    # config is timed by the headline loop above and republished here next
+    # to the borderline read; this block adds the 100x point via the
     # occupancy-matched auto-resize (the production discipline — a fixed
     # bit width at growing scale measures the configuration, not the
-    # operator). Supplementary: not part of the headline total until the
-    # pair is promoted in the r13 rotation.
+    # operator).
     strict_block: dict[str, float] = {}
     if (
         small_dir != sf_dir
@@ -360,10 +361,7 @@ def main() -> None:
         and time.perf_counter() - t_bench_start <= 420
     ):
         try:
-            from h2outility_spark.workload_next9 import (
-                neardup_strict_auto,
-                q_neardup_embedding_strict,
-            )
+            from h2outility_spark.workload_next9 import neardup_strict_auto
 
             def _time2(build_df) -> float:
                 samples = []
@@ -375,9 +373,8 @@ def main() -> None:
                     samples.append(time.perf_counter() - t0)
                 return round(min(samples), 3)
 
-            strict_block["t_sf0.1_pinned"] = _time2(
-                lambda: q_neardup_embedding_strict(spark, sf_dir)
-            )
+            if timings.get("neardup_embedding_strict") is not None:
+                strict_block["t_sf0.1_pinned"] = timings["neardup_embedding_strict"]
             if timings.get("neardup_embedding_lsh") is not None:
                 strict_block["t_sf0.1_borderline_045"] = timings["neardup_embedding_lsh"]
             sf1_dir2 = _ensure_sf1(sf_dir)

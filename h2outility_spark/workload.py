@@ -465,6 +465,7 @@ from h2outility_spark import workload_next5  # noqa: E402,F401
 from h2outility_spark import workload_next6  # noqa: E402,F401
 from h2outility_spark import workload_next7  # noqa: E402,F401
 from h2outility_spark import workload_next8  # noqa: E402,F401
+from h2outility_spark import workload_next9  # noqa: E402,F401
 
 
 # The driver's correctness gate hashes only the FIRST 50 registered queries.
@@ -483,71 +484,70 @@ from h2outility_spark import workload_next8  # noqa: E402,F401
 # (coverage map in README). Everything outside the window is still
 # oracle-checked every run by tests/test_oracle_parity.py + driver_sim.
 CHECKED_WINDOW = [
-    # -- ROUND-13 ROTATION --------------------------------------------------
-    # CORRECTNESS_r12 went 50/50 green (seventh all-green round). This
-    # window executes the rotation pinned in NOTES_NEXT_ROUND r12 exactly:
-    # the 15 promoted workload_next8 STAGED8 pairs (every one tri-scale
-    # parity-green and plan-audited in rounds 11-12), the TWO stalest
-    # registered queries (tpch_q12_priority_buckets / tpch_q14_promo_share,
-    # deliberately deferred from the r12 window — their newest driver rows
-    # are r8), and 33 of the 50-query r9-latest cohort (the 17 redundant-
-    # coverage picks named in NOTES_NEXT_ROUND defer to r14). After r13, no
-    # registered query's newest driver row predates round 9. Everything
-    # outside the window stays oracle-checked every run by
-    # tests/test_oracle_parity + driver_sim.
-    # -- first-timers: the 15 promoted round-13 staging pairs ---------------
-    "txtable_delete_keys",       # copy-on-write DELETE + pruned merge on the thinned table
-    "txtable_branch_tombstones", # branch deletes tombstone main; updates never do
-    "txtable_cdf_replica",       # replica advanced only by the CDF feed == source
-    "hll_register_rollup",       # daily HLL grids max-merged weekly; merge law + band
-    "bloom_prefilter_join",      # 1024-bit bloom probed broadcast-only; no false negatives
-    "label_prop_nations",        # majority-vote label propagation, seeds clamped
-    "label_prop_weighted",       # weighted votes: integer trade-volume sums
-    "partitioned_sink_prune",    # partitionBy sink + partition-pruned read-back
-    "doc_token_entropy",         # per-doc unigram Shannon entropy quality signal
-    "zipf_slope_fit",            # OLS slope of ln(freq) on ln(rank), top-100/source
-    "stratified_topk_sample",    # RNG-free per-source k-sample by md5 order
-    "mixture_temperature_plan",  # tau=0.7 mixture shares -> planned tokens
-    "pack_conservation_cert",    # packer token conservation + straddle bound
-    "txtable_branch_conflicts",  # keys touched on both branches since the fork
-    "hll_week_overlap",          # retention via inclusion-exclusion on registers
-    # -- the two r8 stragglers: stalest registered queries ------------------
-    "tpch_q12_priority_buckets",  # 2-priority bucket counts by ship mode
-    "tpch_q14_promo_share",       # promo revenue share, one conditional agg
-    # -- sentinels: 33 of the r9-latest cohort ------------------------------
-    "annotated_export_fanout",
-    "asof_join",
-    "audio_vad_segments",
-    "chunk_sliding",
-    "corpus_clean",
-    "dedup_exact_docs",
-    "doc_length_histogram",
-    "embedding_knn",
-    "extract_filtered",
-    "extract_incremental",
-    "grouped_percentiles",
-    "ivf_search",
-    "jdbc_roundtrip",
-    "neardup_embedding_lsh",
-    "neardup_minhash_pairs",
-    "pack_sequences",
-    "qc_interpolate",
-    "quality_gate_docs",
-    "range_join_count",
-    "rest_ingest_roundtrip",
-    "rolling_corr",
-    "salted_agg",
-    "series_catalog",
-    "series_ohlc",
-    "sessionization",
-    "tpch_q9_product_profit",
-    "tpch_q21_waiting_supplier",
-    "txtable_changes",
-    "txtable_incremental_agg",
-    "txtable_restore",
-    "unpivot_part_metrics",
-    "wide_export",
-    "xml_metadata_roundtrip",
+    # -- ROUND-14 ROTATION --------------------------------------------------
+    # CORRECTNESS_r13 went 50/50 green (eighth all-green round). This window
+    # executes the rotation pinned in NOTES_NEXT_ROUND r13 exactly: the 10
+    # promoted workload_next9 STAGED9 pairs (every one tri-scale
+    # parity-green and plan-audited in rounds 12-13), the 17 FORCED r9
+    # picks (their newest driver rows are r9 — outside the 4-round
+    # freshness gate, which tests/test_checked_window.py enforces), and 23
+    # of the 50-query r10-latest cohort (family spread; the other 27 defer
+    # to r15 as its forced cohort). After r14, no registered query's newest
+    # driver row predates round 10. Everything outside the window stays
+    # oracle-checked every run by tests/test_oracle_parity + driver_sim.
+    # -- first-timers: the 10 promoted round-14 staging pairs ---------------
+    "stream_cdc_replica",        # txtable_cdc feed: append/merge/delete as 3 drains, 1 checkpoint
+    "stream_cdc_catchup",        # one drain telescopes 3 missed commits to the net delta
+    "stream_cdc_evolve_replica", # CDC through mid-stream add-column evolution
+    "bloom_prefilter_revenue",   # bloom bit-probe prunes lineitem inside a revenue join
+    "neardup_embedding_strict",  # RP-LSH at cos>=0.85 (planted dups, recall-1.0 law); bench headline
+    "txtable_resolve_ours",      # three-way merge resolution, conflicts keep main
+    "embedding_drift_batches",   # L2 drift between consecutive ingest-batch centroids
+    "semantic_dedup_cells",      # SemDeDup: within-cell near-dup scoping, keep-smallest-id
+    "unigram_logprob_buckets",   # CCNet-style per-source quality terciles
+    "hll_grid_serving",          # one stored register family serves distinct + retention
+    # -- the 17 forced r9 picks (freshness gate) -----------------------------
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "qc_gaps",
+    "qc_drift",
+    "asof_join_nearest",
+    "txtable_incremental_minmax",
+    "percentile_summary",
+    "running_totals",
+    "union_dedup",
+    "series_year_range",
+    "vocab_topk",
+    "winsorize_values",
+    "corpus_language_matrix",
+    "image_dhash",
+    "export_rows_roundtrip",
+    "sql_api_q1",
+    # -- sentinels: 23 of the r10-latest cohort (family spread) -------------
+    "anti_join_customers",
+    "approx_percentile_bounds",
+    "bucketed_join_orders",
+    "dedup_keep_first",
+    "doc_fingerprint",
+    "edit_session_roundtrip",
+    "hybrid_search_knn",
+    "ivf_search_adaptive",
+    "kmeans_centroids",
+    "left_join_qualifiers",
+    "minhash_signatures",
+    "neardup_clusters",
+    "oplist_replay",
+    "pagerank_nation_trade",
+    "pii_redact_docs",
+    "pq_search",
+    "qc_islands",
+    "self_alias_join",
+    "stream_dedup_ingest",
+    "text_langid",
+    "txtable_stream_tail",
+    "txtable_reader_isolation",
+    "txtable_snapshot_as_of",
 ]
 
 

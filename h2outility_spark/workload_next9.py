@@ -1,8 +1,8 @@
-"""Round-14 registry staging area (same lifecycle as ``workload_next`` →
-``workload_next8``): fully-formed (PySpark fn, DuckDB oracle) pairs that
-cannot enter the registry yet — the round-13 rotation will consume the
-``workload_next8`` pairs first. Deliberately NOT decorated with
-``@query``; a future rotation wraps them.
+"""Round-14 registry additions (PROMOTED by the round-14 rotation, the
+same lifecycle as ``workload_next`` → ``workload_next8``): every pair now
+carries ``@query``; the STAGED9 dict remains for the staged parity tests,
+so each pair is checked both as a registry member and on the staging
+harness.
 
 Each pair is parity-tested in ``tests/test_workload_next.py`` (STAGED9)
 under the driver's comparison discipline at sf0.001 AND sf0.01.
@@ -79,7 +79,7 @@ import os
 from pyspark.sql import functions as F
 
 from h2outility_spark.operators import similarity, sketch
-from h2outility_spark.workload import _t, fround, sql_round
+from h2outility_spark.workload import _t, fround, query, sql_round
 from h2outility_spark.workload_lakehouse import scratch_dir
 
 # -- streaming CDC replica ---------------------------------------------------------------
@@ -178,6 +178,11 @@ WHERE o_orderkey % 100 < 4 AND o_orderkey % 7 <> 0
 """
 
 
+@query(
+    "stream_cdc_replica",
+    oracle=STREAM_CDC_ORACLE,
+    description="streaming CDC replica: append/merge/delete arrive as three txtable_cdc micro-batch ranges through one checkpoint",
+)
 def q_stream_cdc_replica(spark, sf_dir):
     """Streaming CDC replication: the source table runs all three verbs
     (append, merge +222 on even keys, delete of the %7 keys); after EACH
@@ -224,6 +229,11 @@ WHERE o_orderkey % 100 >= 96 AND o_orderkey % 5 <> 0
 """
 
 
+@query(
+    "stream_cdc_catchup",
+    oracle=CDC_CATCHUP_ORACLE,
+    description="CDC replica catch-up: one drain telescopes three missed commits to the net delta (cost O(net changes))",
+)
 def q_stream_cdc_catchup(spark, sf_dir):
     """CDC replica CATCH-UP — the failure-recovery scenario: the replica
     bootstraps from the first drain, then MISSES three source commits
@@ -274,6 +284,11 @@ WHERE o_orderkey % 100 < 3 AND o_orderkey % 11 <> 0
 """
 
 
+@query(
+    "stream_cdc_evolve_replica",
+    oracle=STREAM_CDC_EVOLVE_ORACLE,
+    description="CDC replica through a mid-stream add-column schema evolution; replica evolves in lockstep",
+)
 def q_stream_cdc_evolve_replica(spark, sf_dir):
     """CDC replication THROUGH a mid-stream schema evolution — the drift
     case every long-lived replica eventually meets: after the bootstrap
@@ -322,6 +337,11 @@ WHERE NOT (o_orderkey % 3 <> 0 AND o_orderkey % 5 = 0)
 """
 
 
+@query(
+    "txtable_resolve_ours",
+    oracle=RESOLVE_OURS_ORACLE,
+    description="three-way merge resolution: branch's non-conflicting net changes land, conflicts keep main (prefer='main')",
+)
 def q_txtable_resolve_ours(spark, sf_dir):
     """Three-way merge RESOLUTION (the step VERDICT r11 seeded after
     ``branch_conflicts``): main and a named branch BOTH advance after the
@@ -406,6 +426,11 @@ FROM rev, nc, nt
 """
 
 
+@query(
+    "bloom_prefilter_revenue",
+    oracle=BLOOM_REVENUE_ORACLE,
+    description="Bloom prefilter inside a revenue join pipeline: broadcast bit-probe prunes lineitem before the exchange",
+)
 def q_bloom_prefilter_revenue(spark, sf_dir):
     """Per-supplier revenue for a target cohort (s_suppkey % 10 == 0),
     computed THROUGH the Bloom prefilter: the cohort's keys set k=3
@@ -472,6 +497,11 @@ FROM d
 """
 
 
+@query(
+    "embedding_drift_batches",
+    oracle=EMB_DRIFT_ORACLE,
+    description="per-source embedding drift: L2 between consecutive ingest-batch centroids (one posexplode + hash agg)",
+)
 def q_embedding_drift_batches(spark, sf_dir):
     """Per-source embedding DRIFT monitoring (the NOTES r11 §5 seed): the
     alarm a production corpus pipeline watches on its encoder — has a
@@ -532,6 +562,12 @@ WHERE list_inner_product(a.v, b.v)
 """
 
 
+@query(
+    "neardup_embedding_strict",
+    oracle=NEARDUP_STRICT_ORACLE,
+    description="RP-LSH embedding near-dup at the production threshold (cos>=0.85, planted dups, recall-1.0 law)",
+    bench=True,
+)
 def q_neardup_embedding_strict(spark, sf_dir):
     """Embedding near-dup at the threshold the RP-LSH design targets
     (cos ≥ 0.85, θ ≤ 32°): per-band keep for a true pair is ≈ 0.33 with
@@ -631,6 +667,11 @@ FROM a2
 """
 
 
+@query(
+    "semantic_dedup_cells",
+    oracle=SEMANTIC_DEDUP_ORACLE,
+    description="SemDeDup-shaped semantic dedup: within-cell near-dup scoping (sum n_c^2, not n^2), keep-smallest-id",
+)
 def q_semantic_dedup_cells(spark, sf_dir):
     """SemDeDup-shaped semantic dedup (Abbas et al. 2023): cluster the
     corpus (one Lloyd update from first-k seeds — the certified
@@ -744,6 +785,11 @@ JOIN est_u eu ON eu.week = p.week
 """
 
 
+@query(
+    "hll_grid_serving",
+    oracle=_hll_serving_oracle(),
+    description="HLL serving layer: one stored daily register family answers weekly distinct AND retention, rows never rescanned",
+)
 def q_hll_grid_serving(spark, sf_dir):
     """The HLL SERVING-LAYER shape the two sibling certificates build
     toward: ONE stored grid family — per-(week, day) registers, the form
@@ -828,6 +874,11 @@ FROM per
 """.format(b=_ULM_BUCKETS)
 
 
+@query(
+    "unigram_logprob_buckets",
+    oracle=UNIGRAM_LM_ORACLE,
+    description="CCNet-style quality bucketing: per-doc mean unigram log-prob, per-source terciles on the rounded score",
+)
 def q_unigram_logprob_buckets(spark, sf_dir):
     """CCNet-style perplexity bucketing (Wenzek et al. 2020) — the
     standard curation move this engine lacked: score every document by
