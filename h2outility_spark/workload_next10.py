@@ -217,16 +217,18 @@ def q_bigram_logprob_docs(spark, sf_dir):
 _SEMP_K = 16
 
 
-def _sem_parallel_oracle() -> str:
-    """The ``semantic_dedup_cells`` oracle at k=16 — same planted corpus,
-    same 12-dp centroid rounding before the final assignment (see
-    workload_next9), restated here so the k is pinned next to the
-    DataFrame-native implementation it certifies."""
+def _sem_parallel_oracle(k: int = _SEMP_K) -> str:
+    """The ``semantic_dedup_cells`` oracle at parameterized k — same
+    planted corpus, same 12-dp centroid rounding before the final
+    assignment (see workload_next9), restated here so the k is pinned
+    next to the DataFrame-native implementation it certifies (k=16 for
+    the STAGED10 pair; workload_next11's IVF-stored variant reuses it at
+    k=64)."""
     return f"""
 WITH {_SEM_CORPUS_CTE},
 c0 AS (
   SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cluster, v AS cvec
-  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {_SEMP_K})
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k})
 ),
 a1 AS (SELECT vec_id, v, cluster FROM (
   SELECT e.vec_id, e.v, c.cluster, row_number() OVER (PARTITION BY e.vec_id ORDER BY

@@ -42,6 +42,9 @@ BNLJ_ALLOWED = {
     "bigram_logprob_docs",  # 1-row vocabulary-size broadcast (STAGED10)
     "semantic_dedup_parallel",  # vectors x broadcast 16-centroid frame, twice —
     # the canonical IVF/kmeans assignment shape (STAGED10)
+    "bm25_cdc_index",  # 1-row index-stats broadcast (n_docs, avgdl) (STAGED11)
+    "semantic_dedup_ivf",  # vectors x broadcast 64-centroid frame (seed pass
+    # + stored-model pass) — the canonical IVF assignment shape (STAGED11)
 }
 
 
@@ -62,6 +65,7 @@ def test_bnlj_allowlist_is_tight(spark):
     from h2outility_spark.workload_next8 import STAGED8
     from h2outility_spark.workload_next9 import STAGED9
     from h2outility_spark.workload_next10 import STAGED10
+    from h2outility_spark.workload_next11 import STAGED11
 
     reg = workload.registry()
     fns = {
@@ -70,6 +74,7 @@ def test_bnlj_allowlist_is_tight(spark):
         **{n: fn for n, (fn, _o) in STAGED8.items()},
         **{n: fn for n, (fn, _o) in STAGED9.items()},
         **{n: fn for n, (fn, _o) in STAGED10.items()},
+        **{n: fn for n, (fn, _o) in STAGED11.items()},
     }
     stale = [n for n in BNLJ_ALLOWED if n not in fns]
     assert not stale, f"allowlisted queries no longer registered/staged: {stale}"
@@ -93,9 +98,10 @@ def test_staged_pairs_plan_clean(spark):
     from h2outility_spark.workload_next8 import STAGED8
     from h2outility_spark.workload_next9 import STAGED9
     from h2outility_spark.workload_next10 import STAGED10
+    from h2outility_spark.workload_next11 import STAGED11
 
     offenders: dict[str, list[str]] = {}
-    for name, (fn, _oracle) in {**STAGED4, **STAGED5, **STAGED6, **STAGED7, **STAGED8, **STAGED9, **STAGED10}.items():
+    for name, (fn, _oracle) in {**STAGED4, **STAGED5, **STAGED6, **STAGED7, **STAGED8, **STAGED9, **STAGED10, **STAGED11}.items():
         plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
         flags = [b for b in ("CartesianProduct", "BroadcastNestedLoopJoin") if b in plan]
         if "CartesianProduct" in flags or (
