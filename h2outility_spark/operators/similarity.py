@@ -108,11 +108,18 @@ def ivf_search(
     label_col: str = "label",
     n_probe: int = 1,
     spill: bool = False,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: each query probes its ``n_probe`` nearest centroid
     cells (default 1); exact cosine top-k within the probed cells (the
     probed union is exactly re-ranked — there is no approximate scoring
     stage to tune separately).
+
+    ``centroids`` (a packed ``(cell, cvec array<double>)`` frame, e.g. a
+    persisted model loaded from a TxTable snapshot) skips the in-session
+    training pass entirely — the serving path for a STORED coarse
+    quantizer that scheduled jobs advance out of band. Default ``None``
+    trains from ``embeddings``' labels as before.
 
     At scale the candidate table is partitioned by cell, so the in-cell
     join is partition-pruned — the query never scans the full corpus. The
@@ -127,7 +134,10 @@ def ivf_search(
     """
     from pyspark.sql import Window as W
 
-    cents = pack_centroids(centroids_by_label(embeddings, label_col, vec_col))
+    if centroids is not None:
+        cents = centroids.select("cell", "cvec")
+    else:
+        cents = pack_centroids(centroids_by_label(embeddings, label_col, vec_col))
     q = queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv"))
     scored_cells = q.join(F.broadcast(cents)).select(
         "query_id", "qv", "cell", cosine(F.col("qv"), F.col("cvec")).alias("cell_sim")

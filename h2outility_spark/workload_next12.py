@@ -1,0 +1,296 @@
+"""Round-17 registry staging area (STAGED12): fully-formed (PySpark fn,
+DuckDB oracle) pairs from the builder's post-r16 seed list — like
+STAGED11, each composes two already-certified families, and the frozen
+registry-capacity policy applies
+(tests/test_checked_window.py::test_registry_capacity_policy_freeze_at_234):
+these land only as REPLACEMENTS, retiring a dominated registered entry
+in the same commit (retirement candidates pinned in NOTES_NEXT_ROUND).
+
+  * ``pagerank_cdc_edges`` — PageRank whose EDGE TABLE is derived state
+    maintained incrementally through the CDC feed: the trade facts live
+    in a TxTable keyed (o_orderkey, l_suppkey) and the (src, dst, w)
+    edge-weight table is advanced ONLY by ``txtable_cdc`` micro-batches.
+    This is the ADDITIVE-state pattern — unlike ``bm25_cdc_index``'s
+    delete-then-upsert (where a document's postings are wholly derivable
+    from its own row), an edge weight aggregates MANY fact rows, so the
+    handler joins the batch's net (src, dst) deltas against the current
+    edge state (cost O(changed keys), never a rescan of the fact table)
+    and writes back old + delta, deleting keys that reach zero. CDC
+    delete rows carry the full retracted fact (src, dst, cnt), so
+    retraction amounts derive from the feed itself. Serving runs the
+    certified ``pagerank_nation_trade`` loop (damping 0.85, 3
+    iterations, dangling-mass redistribution) from the maintained edge
+    snapshot; the oracle unrolls the SAME iterations (the parameterized
+    ``_pagerank_oracle``) over the final fact set, so hash equality is
+    the incremental-maintenance == batch-rebuild law, and the pinned
+    ``n_edge_batches = 2`` certifies it arrived as bootstrap + one
+    telescoped catch-up (append + delete net into one batch), not a
+    rebuild. Reference frame: the reference's cron jobs rebuild derived
+    tables from scratch each run (src/SilentUpdater.py:10-21); this is
+    that maintenance contract at O(changed edges) cost.
+
+  * ``ann_stored_ivf`` — IVF ANN serving from a STORED coarse
+    quantizer: the trained centroids (element-wise label means, packed
+    and 6-dp rounded — exactly ``ivf_search``'s quantizer) are persisted
+    in a TxTable and the search path loads them back from the table
+    snapshot, so the certified hash covers the model store/load
+    roundtrip; queries probe their 2 nearest stored cells with exact
+    cosine top-3 re-rank of the probed union. Dominates the registered
+    ``ivf_search`` (same training, 1 probe, in-session model): strictly
+    more serving surface (persistent shared model + multi-probe) on the
+    identical quantizer. This is ``semantic_dedup_ivf``'s stored-model
+    discipline composed with ``ivf_search_adaptive``'s probe logic — at
+    100 TB the IVF model is shared distributed state that scheduled
+    Lloyd jobs advance transactionally and every ANN consumer loads by
+    snapshot; candidate cells are partition-pruned, centroids (k rows)
+    broadcast, the corpus never rescanned at train time per query.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from h2outility_spark.workload import _t, fround
+from h2outility_spark.workload_lakehouse import scratch_dir
+from h2outility_spark.workload_next5 import (
+    _PR_DAMP,
+    _PR_ITERS,
+    _pagerank_oracle,
+)
+
+# -- PageRank over a CDC-maintained edge table --------------------------------------------
+
+_PRC_N_BATCHES = 2  # bootstrap drain + one telescoped catch-up drain
+
+_PRC_EDGES_CTE = """facts AS (
+  SELECT o.o_orderkey, l.l_suppkey, c.c_nationkey AS src, s.s_nationkey AS dst,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE o.o_orderkey % 3 IN (1, 2) AND o.o_orderkey % 5 <> 0
+  GROUP BY 1, 2, 3, 4
+),
+edges AS (SELECT src, dst, CAST(sum(cnt) AS DOUBLE) AS w FROM facts GROUP BY 1, 2)"""
+
+#: The final fact set after the three source commits (slice A appended,
+#: slice B appended, the % 5 keys deleted), scored by the SAME unrolled
+#: PageRank text the registered pair certifies — hash equality is the
+#: incremental-maintenance == batch-rebuild law.
+PAGERANK_CDC_ORACLE = _pagerank_oracle(
+    edges_cte=_PRC_EDGES_CTE,
+    final_extra=f", CAST({_PRC_N_BATCHES} AS INT) AS n_edge_batches",
+)
+
+
+def q_pagerank_cdc_edges(spark, sf_dir):
+    """PageRank served from a CDC-maintained edge-weight table — see the
+    module docstring. Maintenance is the additive-state discipline: each
+    micro-batch's net fact changes fold to signed (src, dst) deltas
+    (insert rows +cnt, delete rows −cnt — the tombstone carries the full
+    fact so no source lookup), which join the current edge state by key
+    and write back old + delta; zero-weight keys are deleted. Cost per
+    batch is O(changed keys); the fact table is never rescanned. The
+    serving loop is byte-identical to pagerank_nation_trade's (25-row
+    rank vector broadcast per iteration, bounded dangling-mass scalar
+    collect), reading edges from the state snapshot."""
+    from h2outility_spark.sources.txtable_source import (
+        TxTableCdcDataSource,
+        net_changes,
+    )
+    from h2outility_spark.storage_tx import TxTable
+
+    spark.dataSource.register(TxTableCdcDataSource)
+    root = scratch_dir("h2ou_prcdc_")
+    src_dir, ckpt = root + "/src", root + "/ckpt"
+    applied_dir = root + "/applied"
+    os.makedirs(applied_dir, exist_ok=True)
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    facts = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy(
+            "o_orderkey",
+            "l_suppkey",
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+    src = TxTable(spark, src_dir, key_cols=["o_orderkey", "l_suppkey"])
+    edges_t = TxTable(spark, root + "/edges", key_cols=["src", "dst"])
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        marker = os.path.join(applied_dir, f"applied_{batch_id}")
+        if os.path.exists(marker):
+            return  # replayed batch: already applied
+        if batch_df.isEmpty():
+            return  # no-data heartbeat: no state change, no marker
+        cdf = net_changes(batch_df)
+        sign = F.when(F.col("_change_type") == "insert", F.lit(1.0)).otherwise(
+            F.lit(-1.0)
+        )
+        delta = (
+            cdf.select("src", "dst", (sign * F.col("cnt").cast("double")).alias("d"))
+            .groupBy("src", "dst")
+            .agg(F.sum("d").alias("d"))
+        )
+        if edges_t.latest_version() is not None:
+            cur = edges_t.snapshot().select("src", "dst", F.col("w").alias("w_old"))
+            merged = delta.join(cur, ["src", "dst"], "left").select(
+                "src",
+                "dst",
+                (F.coalesce(F.col("w_old"), F.lit(0.0)) + F.col("d")).alias("w"),
+            )
+            edges_t.delete_keys(
+                merged.filter(F.col("w") <= 0).select("src", "dst")
+            )
+        else:
+            merged = delta.select("src", "dst", F.col("d").alias("w"))
+        edges_t.merge_upsert(merged.filter(F.col("w") > 0))
+        tmp = os.path.join(applied_dir, f".tmp_{batch_id}")
+        with open(tmp, "w") as f:
+            f.write("applied")
+        os.replace(tmp, marker)
+
+    def drain() -> None:
+        q = (
+            spark.readStream.format("txtable_cdc").option("path", src_dir).load()
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    src.append(facts.filter(F.col("o_orderkey") % 3 == 1))
+    drain()  # edge batch 1: the bootstrap slice
+    src.append(facts.filter(F.col("o_orderkey") % 3 == 2))  # missed commit
+    src.delete_keys(  # missed commit: retention erasure of the %5 keys
+        facts.filter(
+            ((F.col("o_orderkey") % 3).isin(1, 2)) & (F.col("o_orderkey") % 5 == 0)
+        ).select("o_orderkey", "l_suppkey")
+    )
+    drain()  # edge batch 2: ONE drain telescopes append+delete to the net
+    n_batches = len(glob.glob(os.path.join(applied_dir, "applied_*")))
+
+    # -- serving: the certified pagerank loop from the maintained state
+    edges = edges_t.snapshot().select("src", "dst", "w").cache()
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow")).cache()
+    nation = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("node"))
+    n_nodes = float(nation.count())
+
+    ranks = nation.withColumn("r", F.lit(1.0 / n_nodes))
+    for _ in range(_PR_ITERS):
+        # dangling mass: a bounded scalar collect per iteration
+        ds = (
+            ranks.join(outw, ranks.node == outw.src, "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("s"))
+            .first()["s"]
+        ) / n_nodes
+        inc = (
+            edges.join(F.broadcast(ranks), edges.src == ranks.node)
+            .join(F.broadcast(outw), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") * F.col("w") / F.col("ow")).alias("s"))
+        )
+        ranks = nation.join(
+            F.broadcast(inc), nation.node == inc.dst, "left"
+        ).select(
+            "node",
+            (
+                F.lit((1.0 - _PR_DAMP) / n_nodes)
+                + F.lit(_PR_DAMP) * (F.coalesce(F.col("s"), F.lit(0.0)) + F.lit(ds))
+            ).alias("r"),
+        )
+    return ranks.select(
+        "node",
+        fround(F.col("r"), 6).alias("rank"),
+        F.lit(n_batches).cast("int").alias("n_edge_batches"),
+    )
+
+
+# -- IVF ANN serving from a stored coarse quantizer ---------------------------------------
+
+ANN_STORED_IVF_ORACLE = """
+WITH cent AS (
+  SELECT label, pos,
+         floor((avg(x)) * 1000000.0 + 0.5) / 1000000.0 AS cv
+  FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings)
+  GROUP BY 1, 2
+),
+centv AS (SELECT label AS cell, list(cv ORDER BY pos) AS cvec FROM cent GROUP BY 1),
+q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 10),
+qcell AS (
+  SELECT query_id, cell FROM (
+    SELECT query_id, cell,
+           row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY list_inner_product(qv, cvec)
+                      / sqrt(list_inner_product(qv, qv) * list_inner_product(cvec, cvec)) DESC,
+                      cell) AS rk
+    FROM q, centv) WHERE rk <= 2
+),
+s AS (
+  SELECT q.query_id, e.vec_id AS cand_id,
+         list_inner_product(q.qv, CAST(e.embedding AS DOUBLE[]))
+           / sqrt(list_inner_product(q.qv, q.qv)
+                  * list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) AS cos_raw
+  FROM q JOIN qcell USING (query_id)
+         JOIN embeddings e ON e.label = qcell.cell AND e.vec_id <> q.query_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, cand_id) AS rk FROM s)
+SELECT query_id, cand_id, floor(cos_raw * 10000.0 + 0.5) / 10000.0 AS cos_sim
+FROM r WHERE rk <= 3
+"""
+
+
+def q_ann_stored_ivf(spark, sf_dir):
+    """IVF ANN served from a TxTable-stored coarse quantizer with 2-cell
+    probing — see the module docstring. Train = ``ivf_search``'s exact
+    quantizer (6-dp-rounded label means, so cell assignment is
+    engine-stable); the model is persisted via merge_upsert and the
+    search path deliberately re-reads it from the snapshot, so the
+    certified hash covers the store/load roundtrip (array<double>
+    centroid vectors roundtrip parquet exactly). Serving is the
+    allowlisted broadcast IVF shape: k-row centroids broadcast to
+    queries, probed cells partition-prune the candidate side, exact
+    cosine top-3 re-rank; with single-assignment cells a candidate
+    enters via exactly one probed cell, so no dedup pass is needed
+    (spill=False)."""
+    from h2outility_spark.operators import similarity
+    from h2outility_spark.storage_tx import TxTable
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.pack_centroids(similarity.centroids_by_label(emb))
+    model = TxTable(
+        spark, scratch_dir("h2ou_annivf_") + "/model", key_cols=["cell"]
+    )
+    model.merge_upsert(cents.select(F.col("cell").cast("int").alias("cell"), "cvec"))
+    stored = model.snapshot().select(F.col("cell").cast("int").alias("cell"), "cvec")
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = similarity.ivf_search(emb, queries, k=3, n_probe=2, centroids=stored)
+    return out.select(
+        "query_id", "cand_id", fround(F.col("cos_sim"), 4).alias("cos_sim")
+    )
+
+
+#: name -> (fn, oracle) for the r17 replacement promotions and the parity test.
+STAGED12 = {
+    "pagerank_cdc_edges": (q_pagerank_cdc_edges, PAGERANK_CDC_ORACLE),
+    "ann_stored_ivf": (q_ann_stored_ivf, ANN_STORED_IVF_ORACLE),
+}

@@ -355,22 +355,38 @@ def q_txtable_incremental_minmax(spark, sf_dir):
 _PR_DAMP, _PR_ITERS = 0.85, 3
 
 
-def _pagerank_oracle(iters: int = _PR_ITERS, damp: float = _PR_DAMP) -> str:
-    """Weighted PageRank unrolled as chained CTEs (the kmeans-oracle
-    pattern): one (dangling-mass, rank-update) pair per iteration,
-    mirroring the Spark loop step for step. Both sides round to 6 dp at
-    the end only; intermediate sums differ at most in the last ulp."""
-    from h2outility_spark.workload import sql_round
-
-    parts = [
-        """WITH edges AS (
+#: The trade-graph edge list the registered pair aggregates on the fly.
+_PR_TRADE_EDGES_CTE = """edges AS (
   SELECT c.c_nationkey AS src, s.s_nationkey AS dst, CAST(count(*) AS DOUBLE) AS w
   FROM lineitem l
   JOIN orders o ON l.l_orderkey = o.o_orderkey
   JOIN customer c ON o.o_custkey = c.c_custkey
   JOIN supplier s ON l.l_suppkey = s.s_suppkey
   GROUP BY 1, 2
-)""",
+)"""
+
+
+def _pagerank_oracle(
+    iters: int = _PR_ITERS,
+    damp: float = _PR_DAMP,
+    edges_cte: str = _PR_TRADE_EDGES_CTE,
+    final_extra: str = "",
+) -> str:
+    """Weighted PageRank unrolled as chained CTEs (the kmeans-oracle
+    pattern): one (dangling-mass, rank-update) pair per iteration,
+    mirroring the Spark loop step for step. Both sides round to 6 dp at
+    the end only; intermediate sums differ at most in the last ulp.
+
+    ``edges_cte`` parameterizes the graph (it must define ``edges AS
+    (... src, dst, w ...)`` — possibly via helper CTEs of its own) so
+    derived-state pairs (workload_next12's CDC-maintained edge table)
+    reuse the identical unrolled iteration text; ``final_extra`` appends
+    certificate columns to the final SELECT. Defaults reproduce the
+    registered ``pagerank_nation_trade`` oracle byte-for-byte."""
+    from h2outility_spark.workload import sql_round
+
+    parts = [
+        "WITH " + edges_cte,
         "outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src)",
         "nodes AS (SELECT n_nationkey AS node FROM nation)",
         "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
@@ -392,7 +408,7 @@ def _pagerank_oracle(iters: int = _PR_ITERS, damp: float = _PR_DAMP) -> str:
         )
         prev = f"r{i}"
     final = (
-        f"SELECT node, {sql_round('r', 6)} AS rank FROM {prev}"
+        f"SELECT node, {sql_round('r', 6)} AS rank{final_extra} FROM {prev}"
     )
     return ",\n".join(parts) + "\n" + final
 

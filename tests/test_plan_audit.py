@@ -45,6 +45,8 @@ BNLJ_ALLOWED = {
     "bm25_cdc_index",  # 1-row index-stats broadcast (n_docs, avgdl) (STAGED11)
     "semantic_dedup_ivf",  # vectors x broadcast 64-centroid frame (seed pass
     # + stored-model pass) — the canonical IVF assignment shape (STAGED11)
+    "ann_stored_ivf",  # queries x broadcast stored-centroid frame — the
+    # canonical IVF assignment shape served from the TxTable model (STAGED12)
 }
 
 
@@ -66,6 +68,7 @@ def test_bnlj_allowlist_is_tight(spark):
     from h2outility_spark.workload_next9 import STAGED9
     from h2outility_spark.workload_next10 import STAGED10
     from h2outility_spark.workload_next11 import STAGED11
+    from h2outility_spark.workload_next12 import STAGED12
 
     reg = workload.registry()
     fns = {
@@ -75,6 +78,7 @@ def test_bnlj_allowlist_is_tight(spark):
         **{n: fn for n, (fn, _o) in STAGED9.items()},
         **{n: fn for n, (fn, _o) in STAGED10.items()},
         **{n: fn for n, (fn, _o) in STAGED11.items()},
+        **{n: fn for n, (fn, _o) in STAGED12.items()},
     }
     stale = [n for n in BNLJ_ALLOWED if n not in fns]
     assert not stale, f"allowlisted queries no longer registered/staged: {stale}"
@@ -99,9 +103,10 @@ def test_staged_pairs_plan_clean(spark):
     from h2outility_spark.workload_next9 import STAGED9
     from h2outility_spark.workload_next10 import STAGED10
     from h2outility_spark.workload_next11 import STAGED11
+    from h2outility_spark.workload_next12 import STAGED12
 
     offenders: dict[str, list[str]] = {}
-    for name, (fn, _oracle) in {**STAGED4, **STAGED5, **STAGED6, **STAGED7, **STAGED8, **STAGED9, **STAGED10, **STAGED11}.items():
+    for name, (fn, _oracle) in {**STAGED4, **STAGED5, **STAGED6, **STAGED7, **STAGED8, **STAGED9, **STAGED10, **STAGED11, **STAGED12}.items():
         plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
         flags = [b for b in ("CartesianProduct", "BroadcastNestedLoopJoin") if b in plan]
         if "CartesianProduct" in flags or (

@@ -24,6 +24,7 @@ from h2outility_spark.workload_next8 import STAGED8
 from h2outility_spark.workload_next9 import STAGED9
 from h2outility_spark.workload_next10 import STAGED10
 from h2outility_spark.workload_next11 import STAGED11
+from h2outility_spark.workload_next12 import STAGED12
 
 from tests.conftest import SF_DIR, SF_DIR_MED
 
@@ -250,6 +251,24 @@ def test_staged10_query_matches_oracle(spark, name, sf_dir):
 @pytest.mark.parametrize("name", sorted(STAGED11))
 def test_staged11_query_matches_oracle(spark, name, sf_dir):
     fn, oracle = STAGED11[name]
+    sdf = fn(spark, sf_dir)
+    s_cols, s_rows = _normalize([tuple(r) for r in sdf.collect()], sdf.columns)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    res = con.sql(oracle)
+    o_cols, o_rows = _normalize(res.fetchall(), [d[0] for d in res.description])
+
+    assert s_cols == o_cols, f"{name}: column mismatch {s_cols} vs {o_cols}"
+    assert len(s_rows) == len(o_rows), f"{name}: row count {len(s_rows)} vs {len(o_rows)}"
+    assert s_rows == o_rows, f"{name}: value mismatch"
+
+
+@pytest.mark.parametrize("sf_dir", [SF_DIR, SF_DIR_MED])
+@pytest.mark.parametrize("name", sorted(STAGED12))
+def test_staged12_query_matches_oracle(spark, name, sf_dir):
+    fn, oracle = STAGED12[name]
     sdf = fn(spark, sf_dir)
     s_cols, s_rows = _normalize([tuple(r) for r in sdf.collect()], sdf.columns)
 
