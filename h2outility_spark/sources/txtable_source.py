@@ -179,12 +179,18 @@ def _added_bytes(table_dir: str, v: int) -> int:
         m = _manifest(table_dir, v)
     except FileNotFoundError:
         return 0
-    if m["op"] == "compact":
-        return 0
+    parent_vacuumed = False
     try:
         prev_m = _manifest(table_dir, v - 1) if v > 0 else None
     except FileNotFoundError:
         prev_m = None  # vacuumed parent → snapshot bootstrap: charge all of v
+        parent_vacuumed = True
+    # The vacuumed-parent check must come FIRST, mirroring _changed_files:
+    # a bootstrap AT a compact version (vacuum retained the compact as the
+    # oldest manifest) emits the full compacted file set, so the byte cap
+    # must charge it — 'compact ⇒ 0' only holds for incremental diffs.
+    if m["op"] == "compact" and not parent_vacuumed:
+        return 0
     by_path = {e["path"]: e.get("bytes", 0) for e in m["_inline_files"]}
     cur_segs = {d["name"] for d in m["segments"]}
     prev_segs = {d["name"] for d in prev_m["segments"]} if prev_m else set()

@@ -55,11 +55,7 @@ from pyspark.sql import functions as F
 
 from h2outility_spark.workload import _t, fround
 from h2outility_spark.workload_lakehouse import scratch_dir
-from h2outility_spark.workload_next5 import (
-    _PR_DAMP,
-    _PR_ITERS,
-    _pagerank_oracle,
-)
+from h2outility_spark.workload_next5 import _pagerank_loop, _pagerank_oracle
 
 # -- PageRank over a CDC-maintained edge table --------------------------------------------
 
@@ -87,21 +83,72 @@ PAGERANK_CDC_ORACLE = _pagerank_oracle(
 )
 
 
+def _apply_edge_batch(edges_t, applied_dir: str, batch_df, batch_id: int) -> None:
+    """One micro-batch of ADDITIVE edge-state maintenance, replay-safe.
+
+    The batch's net fact changes fold to signed (src, dst) deltas (insert
+    rows +cnt, delete rows −cnt — the tombstone carries the full fact so
+    no source lookup), join the current edge state by key, and old +
+    delta is written back in EXACTLY ONE merge_upsert commit (keys that
+    reach zero stay as w = 0 rows; serving filters w > 0). Unlike the
+    delete-then-upsert pattern (bm25_cdc_index), old + delta is NOT
+    idempotent, so the applied_<id> marker alone cannot make replays
+    safe — a crash after the state commit but before the marker would
+    double-apply on restart. The one-commit-per-batch law closes that
+    window: state commits and markers advance in lockstep, so
+    n_commits > n_markers at entry proves the replayed batch's commit
+    already landed — reconcile the marker and return."""
+    from h2outility_spark.sources.txtable_source import net_changes
+
+    marker = os.path.join(applied_dir, f"applied_{batch_id}")
+    if os.path.exists(marker):
+        return  # replayed batch: already applied
+    if batch_df.isEmpty():
+        return  # no-data heartbeat: no state change, no marker
+
+    def _write_marker() -> None:
+        tmp = os.path.join(applied_dir, f".tmp_{batch_id}")
+        with open(tmp, "w") as f:
+            f.write("applied")
+        os.replace(tmp, marker)
+
+    lv = edges_t.latest_version()
+    n_commits = 0 if lv is None else lv + 1
+    n_markers = len(glob.glob(os.path.join(applied_dir, "applied_*")))
+    if n_commits > n_markers:
+        _write_marker()  # crash landed the commit, not the marker
+        return
+
+    cdf = net_changes(batch_df)
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1.0)).otherwise(F.lit(-1.0))
+    delta = (
+        cdf.select("src", "dst", (sign * F.col("cnt").cast("double")).alias("d"))
+        .groupBy("src", "dst")
+        .agg(F.sum("d").alias("d"))
+    )
+    if lv is not None:
+        cur = edges_t.snapshot().select("src", "dst", F.col("w").alias("w_old"))
+        merged = delta.join(cur, ["src", "dst"], "left").select(
+            "src",
+            "dst",
+            (F.coalesce(F.col("w_old"), F.lit(0.0)) + F.col("d")).alias("w"),
+        )
+    else:
+        merged = delta.select("src", "dst", F.col("d").alias("w"))
+    edges_t.merge_upsert(merged)  # the batch's single state commit
+    _write_marker()
+
+
 def q_pagerank_cdc_edges(spark, sf_dir):
     """PageRank served from a CDC-maintained edge-weight table — see the
-    module docstring. Maintenance is the additive-state discipline: each
-    micro-batch's net fact changes fold to signed (src, dst) deltas
-    (insert rows +cnt, delete rows −cnt — the tombstone carries the full
-    fact so no source lookup), which join the current edge state by key
-    and write back old + delta; zero-weight keys are deleted. Cost per
-    batch is O(changed keys); the fact table is never rescanned. The
-    serving loop is byte-identical to pagerank_nation_trade's (25-row
-    rank vector broadcast per iteration, bounded dangling-mass scalar
-    collect), reading edges from the state snapshot."""
-    from h2outility_spark.sources.txtable_source import (
-        TxTableCdcDataSource,
-        net_changes,
-    )
+    module docstring and ``_apply_edge_batch`` (the replay-safe additive
+    maintenance step; cost per batch is O(changed keys), the fact table
+    is never rescanned). The serving loop is the SHARED
+    ``_pagerank_loop`` helper (25-row rank vector broadcast per
+    iteration, bounded dangling-mass scalar collect) — one implementation
+    for both pairs, so the shared unrolled-CTE oracle text certifies
+    both, reading edges from the state snapshot."""
+    from h2outility_spark.sources.txtable_source import TxTableCdcDataSource
     from h2outility_spark.storage_tx import TxTable
 
     spark.dataSource.register(TxTableCdcDataSource)
@@ -125,43 +172,14 @@ def q_pagerank_cdc_edges(spark, sf_dir):
             F.col("s_nationkey").alias("dst"),
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .cache()
     )
 
     src = TxTable(spark, src_dir, key_cols=["o_orderkey", "l_suppkey"])
     edges_t = TxTable(spark, root + "/edges", key_cols=["src", "dst"])
 
     def apply_batch(batch_df, batch_id: int) -> None:
-        marker = os.path.join(applied_dir, f"applied_{batch_id}")
-        if os.path.exists(marker):
-            return  # replayed batch: already applied
-        if batch_df.isEmpty():
-            return  # no-data heartbeat: no state change, no marker
-        cdf = net_changes(batch_df)
-        sign = F.when(F.col("_change_type") == "insert", F.lit(1.0)).otherwise(
-            F.lit(-1.0)
-        )
-        delta = (
-            cdf.select("src", "dst", (sign * F.col("cnt").cast("double")).alias("d"))
-            .groupBy("src", "dst")
-            .agg(F.sum("d").alias("d"))
-        )
-        if edges_t.latest_version() is not None:
-            cur = edges_t.snapshot().select("src", "dst", F.col("w").alias("w_old"))
-            merged = delta.join(cur, ["src", "dst"], "left").select(
-                "src",
-                "dst",
-                (F.coalesce(F.col("w_old"), F.lit(0.0)) + F.col("d")).alias("w"),
-            )
-            edges_t.delete_keys(
-                merged.filter(F.col("w") <= 0).select("src", "dst")
-            )
-        else:
-            merged = delta.select("src", "dst", F.col("d").alias("w"))
-        edges_t.merge_upsert(merged.filter(F.col("w") > 0))
-        tmp = os.path.join(applied_dir, f".tmp_{batch_id}")
-        with open(tmp, "w") as f:
-            f.write("applied")
-        os.replace(tmp, marker)
+        _apply_edge_batch(edges_t, applied_dir, batch_df, batch_id)
 
     def drain() -> None:
         q = (
@@ -184,35 +202,11 @@ def q_pagerank_cdc_edges(spark, sf_dir):
     drain()  # edge batch 2: ONE drain telescopes append+delete to the net
     n_batches = len(glob.glob(os.path.join(applied_dir, "applied_*")))
 
-    # -- serving: the certified pagerank loop from the maintained state
-    edges = edges_t.snapshot().select("src", "dst", "w").cache()
-    outw = edges.groupBy("src").agg(F.sum("w").alias("ow")).cache()
+    # -- serving: the SHARED certified pagerank loop from the maintained
+    # state (w = 0 rows are retired keys kept for the one-commit law)
+    edges = edges_t.snapshot().filter(F.col("w") > 0).select("src", "dst", "w").cache()
     nation = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("node"))
-    n_nodes = float(nation.count())
-
-    ranks = nation.withColumn("r", F.lit(1.0 / n_nodes))
-    for _ in range(_PR_ITERS):
-        # dangling mass: a bounded scalar collect per iteration
-        ds = (
-            ranks.join(outw, ranks.node == outw.src, "left_anti")
-            .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("s"))
-            .first()["s"]
-        ) / n_nodes
-        inc = (
-            edges.join(F.broadcast(ranks), edges.src == ranks.node)
-            .join(F.broadcast(outw), "src")
-            .groupBy("dst")
-            .agg(F.sum(F.col("r") * F.col("w") / F.col("ow")).alias("s"))
-        )
-        ranks = nation.join(
-            F.broadcast(inc), nation.node == inc.dst, "left"
-        ).select(
-            "node",
-            (
-                F.lit((1.0 - _PR_DAMP) / n_nodes)
-                + F.lit(_PR_DAMP) * (F.coalesce(F.col("s"), F.lit(0.0)) + F.lit(ds))
-            ).alias("r"),
-        )
+    ranks = _pagerank_loop(edges, nation, float(nation.count()))
     return ranks.select(
         "node",
         fround(F.col("r"), 6).alias("rank"),

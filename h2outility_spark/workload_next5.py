@@ -416,6 +416,42 @@ def _pagerank_oracle(
 PAGERANK_ORACLE = _pagerank_oracle()
 
 
+def _pagerank_loop(edges, nodes, n_nodes: float, damp: float = _PR_DAMP, iters: int = _PR_ITERS):
+    """The weighted-PageRank iteration both pairs serve: tiny broadcast
+    rank vector per iteration, bounded dangling-mass scalar collect,
+    dangling mass redistributed uniformly. ``edges`` is (src, dst, w) —
+    pre-cache it; ``nodes`` is a single ``node`` column. Kept as ONE
+    shared helper because the unrolled-CTE oracle text
+    (``_pagerank_oracle``) certifies BOTH the registered trade-graph pair
+    and workload_next12's CDC-maintained form — the Spark side must stay
+    op-for-op identical for that shared certificate to hold."""
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow")).cache()
+    ranks = nodes.withColumn("r", F.lit(1.0 / n_nodes))
+    for _ in range(iters):
+        # dangling mass: a bounded scalar collect per iteration
+        ds = (
+            ranks.join(outw, ranks.node == outw.src, "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("s"))
+            .first()["s"]
+        ) / n_nodes
+        inc = (
+            edges.join(F.broadcast(ranks), edges.src == ranks.node)
+            .join(F.broadcast(outw), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") * F.col("w") / F.col("ow")).alias("s"))
+        )
+        ranks = nodes.join(
+            F.broadcast(inc), nodes.node == inc.dst, "left"
+        ).select(
+            "node",
+            (
+                F.lit((1.0 - damp) / n_nodes)
+                + F.lit(damp) * (F.coalesce(F.col("s"), F.lit(0.0)) + F.lit(ds))
+            ).alias("r"),
+        )
+    return ranks
+
+
 @query(
     "pagerank_nation_trade",
     oracle=PAGERANK_ORACLE,
@@ -446,32 +482,7 @@ def q_pagerank_nation_trade(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("double").alias("w"))
         .cache()
     )
-    outw = edges.groupBy("src").agg(F.sum("w").alias("ow")).cache()
-    n_nodes = float(nation.count())
-
-    ranks = nation.withColumn("r", F.lit(1.0 / n_nodes))
-    for _ in range(_PR_ITERS):
-        # dangling mass: a bounded scalar collect per iteration
-        ds = (
-            ranks.join(outw, ranks.node == outw.src, "left_anti")
-            .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("s"))
-            .first()["s"]
-        ) / n_nodes
-        inc = (
-            edges.join(F.broadcast(ranks), edges.src == ranks.node)
-            .join(F.broadcast(outw), "src")
-            .groupBy("dst")
-            .agg(F.sum(F.col("r") * F.col("w") / F.col("ow")).alias("s"))
-        )
-        ranks = nation.join(
-            F.broadcast(inc), nation.node == inc.dst, "left"
-        ).select(
-            "node",
-            (
-                F.lit((1.0 - _PR_DAMP) / n_nodes)
-                + F.lit(_PR_DAMP) * (F.coalesce(F.col("s"), F.lit(0.0)) + F.lit(ds))
-            ).alias("r"),
-        )
+    ranks = _pagerank_loop(edges, nation, float(nation.count()))
     return ranks.select("node", fround(F.col("r"), 6).alias("rank"))
 
 

@@ -488,6 +488,27 @@ def test_added_bytes_skips_compact_and_counts_snapshot(spark, tmp_path):
     assert _added_bytes(tdir, 2) == 0  # compact: no net change, zero budget spend
 
 
+def test_added_bytes_charges_bootstrap_at_compact_version(spark, tmp_path):
+    """A snapshot bootstrap AT a compact version must spend byte budget:
+    once vacuum makes the compact the oldest retained manifest, a fresh
+    reader's _changed_files emits its full compacted file set, so
+    _added_bytes must charge it — the 'compact ⇒ 0' short-circuit only
+    applies to incremental diffs (parent manifest still present)."""
+    from h2outility_spark.sources.txtable_source import _added_bytes, _changed_files
+
+    tdir = str(tmp_path / "bytecompactboot")
+    table = TxTable(spark, tdir, key_cols=["k"])
+    table.append(kv(spark, [(1, "a"), (2, "b")]))  # v0
+    table.append(kv(spark, [(3, "c")]))  # v1
+    table.compact_files(target_rows=1000, small_rows=1_000_000)  # v2: rewrite
+    table.append(kv(spark, [(4, "d")]))  # v3
+    assert _added_bytes(tdir, 2) == 0  # incremental diff: still free
+    table.vacuum(keep_versions=2, retention_seconds=0)  # drops v0, v1
+    emitted = _changed_files(tdir, 2, allow_bootstrap=True)
+    assert emitted and all(sign == 1 for _p, sign in emitted)
+    assert _added_bytes(tdir, 2) > 0  # bootstrap batch is now bounded by the cap
+
+
 def test_cdc_starting_version_changes_only(spark, cdc_registered, tmp_path):
     """startingVersion=N (Delta-CDF semantics): the feed begins at version
     N read as an incremental diff — NO snapshot bootstrap, the
@@ -727,3 +748,52 @@ def test_drain_until_caught_up_under_version_cap(spark, registered, tmp_path):
     # Already caught up: one more loop call runs a single no-op drain.
     assert drain_until_caught_up(start, tdir) == 1
     assert len(rows) == 3
+
+
+def test_apply_edge_batch_replay_safe(spark, tmp_path):
+    """The additive derived-state handler (workload_next12._apply_edge_batch)
+    is replay-safe under the one-commit-per-batch law: a replayed batch
+    whose state commit landed but whose marker did not (crash between the
+    two) must NOT double-apply its deltas; retired keys stay as w = 0
+    rows so commits and markers advance in lockstep."""
+    import os
+
+    from h2outility_spark.workload_next12 import _apply_edge_batch
+
+    applied = str(tmp_path / "applied")
+    os.makedirs(applied)
+    edges_t = TxTable(spark, str(tmp_path / "edges"), key_cols=["src", "dst"])
+
+    def batch(rows):
+        return spark.createDataFrame(
+            [Row(o_orderkey=o, l_suppkey=s, src=a, dst=b, cnt=c,
+                 _commit_version=v, _sign=g) for o, s, a, b, c, v, g in rows],
+            "o_orderkey bigint, l_suppkey bigint, src int, dst int, cnt bigint,"
+            " _commit_version bigint, _sign int",
+        )
+
+    b0 = batch([(1, 1, 1, 2, 2, 0, 1), (2, 1, 1, 2, 3, 0, 1)])
+    _apply_edge_batch(edges_t, applied, b0, 0)
+    assert edges_t.snapshot().collect()[0]["w"] == 5.0
+    v_after = edges_t.latest_version()
+
+    # plain replay: marker present, nothing happens
+    _apply_edge_batch(edges_t, applied, b0, 0)
+    assert edges_t.latest_version() == v_after
+    assert edges_t.snapshot().collect()[0]["w"] == 5.0
+
+    # crash-window replay: commit landed, marker lost — the version/marker
+    # ledger proves the batch applied; deltas must NOT be added again
+    os.remove(os.path.join(applied, "applied_0"))
+    _apply_edge_batch(edges_t, applied, b0, 0)
+    assert edges_t.latest_version() == v_after
+    assert edges_t.snapshot().collect()[0]["w"] == 5.0
+    assert os.path.exists(os.path.join(applied, "applied_0"))  # reconciled
+
+    # retraction batch drives the key to zero: the row stays (w = 0), one
+    # commit per batch, serving filters w > 0
+    b1 = batch([(1, 1, 1, 2, 2, 1, -1), (2, 1, 1, 2, 3, 1, -1)])
+    _apply_edge_batch(edges_t, applied, b1, 1)
+    snap = edges_t.snapshot().collect()
+    assert len(snap) == 1 and snap[0]["w"] == 0.0
+    assert edges_t.latest_version() == v_after + 1
