@@ -1,11 +1,12 @@
 """Staged queries: parity against their DuckDB oracles under the
 driver's comparison discipline, at sf0.001 AND the driver's sf0.01 —
 promotion to the registry is then a decorator change, not new
-verification. STAGED (round-4 pairs, registered in the round-6 rotation)
-STAGED2 (round-6 pairs, registered in the round-7 rotation) and STAGED3
-(round-7 pairs, registered in the round-8 rotation) keep pinning the
-promoted queries' sf0.01 behavior; STAGED4 holds the round-9 candidates,
-which are NOT yet registered."""
+verification. Earlier areas (STAGED..STAGED9, promoted in rounds 6-14)
+keep pinning the promoted queries' sf0.01 behavior; the newest areas
+hold candidates that are NOT yet registered (STAGED10 → r15 promotions,
+STAGED11 → r16 replacements, STAGED12 → r17 replacements). ONE
+parametrized test covers every area so the comparison discipline cannot
+drift between copies (round-14 self-review)."""
 
 from __future__ import annotations
 
@@ -31,47 +32,32 @@ from tests.conftest import SF_DIR, SF_DIR_MED
 
 from h2outility_spark.oracle_compare import normalize_rows as _normalize
 
+_STAGED_AREAS = {
+    "STAGED": STAGED,
+    "STAGED2": STAGED2,
+    "STAGED3": STAGED3,
+    "STAGED4": STAGED4,
+    "STAGED5": STAGED5,
+    "STAGED6": STAGED6,
+    "STAGED7": STAGED7,
+    "STAGED8": STAGED8,
+    "STAGED9": STAGED9,
+    "STAGED10": STAGED10,
+    "STAGED11": STAGED11,
+    "STAGED12": STAGED12,
+}
 
-@pytest.mark.parametrize("sf_dir", [SF_DIR, SF_DIR_MED])
-@pytest.mark.parametrize("name", sorted(STAGED))
-def test_staged_query_matches_oracle(spark, name, sf_dir):
-    fn, oracle = STAGED[name]
-    sdf = fn(spark, sf_dir)
-    s_cols, s_rows = _normalize([tuple(r) for r in sdf.collect()], sdf.columns)
-
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    res = con.sql(oracle)
-    o_cols, o_rows = _normalize(res.fetchall(), [d[0] for d in res.description])
-
-    assert s_cols == o_cols, f"{name}: column mismatch {s_cols} vs {o_cols}"
-    assert len(s_rows) == len(o_rows), f"{name}: row count {len(s_rows)} vs {len(o_rows)}"
-    assert s_rows == o_rows, f"{name}: value mismatch (first diff: "
-
-
-@pytest.mark.parametrize("sf_dir", [SF_DIR, SF_DIR_MED])
-@pytest.mark.parametrize("name", sorted(STAGED2))
-def test_staged2_query_matches_oracle(spark, name, sf_dir):
-    fn, oracle = STAGED2[name]
-    sdf = fn(spark, sf_dir)
-    s_cols, s_rows = _normalize([tuple(r) for r in sdf.collect()], sdf.columns)
-
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    res = con.sql(oracle)
-    o_cols, o_rows = _normalize(res.fetchall(), [d[0] for d in res.description])
-
-    assert s_cols == o_cols, f"{name}: column mismatch {s_cols} vs {o_cols}"
-    assert len(s_rows) == len(o_rows), f"{name}: row count {len(s_rows)} vs {len(o_rows)}"
-    assert s_rows == o_rows, f"{name}: value mismatch"
+_STAGED_CASES = [
+    (area, name) for area, d in _STAGED_AREAS.items() for name in sorted(d)
+]
 
 
 @pytest.mark.parametrize("sf_dir", [SF_DIR, SF_DIR_MED])
-@pytest.mark.parametrize("name", sorted(STAGED3))
-def test_staged3_query_matches_oracle(spark, name, sf_dir):
-    fn, oracle = STAGED3[name]
+@pytest.mark.parametrize(
+    "area,name", _STAGED_CASES, ids=[f"{a}-{n}" for a, n in _STAGED_CASES]
+)
+def test_staged_query_matches_oracle(spark, area, name, sf_dir):
+    fn, oracle = _STAGED_AREAS[area][name]
     sdf = fn(spark, sf_dir)
     s_cols, s_rows = _normalize([tuple(r) for r in sdf.collect()], sdf.columns)
 
@@ -120,164 +106,3 @@ def test_bucketed_join_plans_without_exchange_on_join_inputs(spark):
     assert "SortMergeJoin" in plan, plan[:800]
     n_exchange = plan.count("Exchange")
     assert n_exchange <= 1, f"expected <=1 Exchange (rollup only), got {n_exchange}:\n{plan[:1200]}"
-
-
-@pytest.mark.parametrize("sf_dir", [SF_DIR, SF_DIR_MED])
-@pytest.mark.parametrize("name", sorted(STAGED4))
-def test_staged4_query_matches_oracle(spark, name, sf_dir):
-    fn, oracle = STAGED4[name]
-    sdf = fn(spark, sf_dir)
-    s_cols, s_rows = _normalize([tuple(r) for r in sdf.collect()], sdf.columns)
-
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    res = con.sql(oracle)
-    o_cols, o_rows = _normalize(res.fetchall(), [d[0] for d in res.description])
-
-    assert s_cols == o_cols, f"{name}: column mismatch {s_cols} vs {o_cols}"
-    assert len(s_rows) == len(o_rows), f"{name}: row count {len(s_rows)} vs {len(o_rows)}"
-    assert s_rows == o_rows, f"{name}: value mismatch"
-
-
-@pytest.mark.parametrize("sf_dir", [SF_DIR, SF_DIR_MED])
-@pytest.mark.parametrize("name", sorted(STAGED6))
-def test_staged6_query_matches_oracle(spark, name, sf_dir):
-    fn, oracle = STAGED6[name]
-    sdf = fn(spark, sf_dir)
-    s_cols, s_rows = _normalize([tuple(r) for r in sdf.collect()], sdf.columns)
-
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    res = con.sql(oracle)
-    o_cols, o_rows = _normalize(res.fetchall(), [d[0] for d in res.description])
-
-    assert s_cols == o_cols, f"{name}: column mismatch {s_cols} vs {o_cols}"
-    assert len(s_rows) == len(o_rows), f"{name}: row count {len(s_rows)} vs {len(o_rows)}"
-    assert s_rows == o_rows, f"{name}: value mismatch"
-
-
-@pytest.mark.parametrize("sf_dir", [SF_DIR, SF_DIR_MED])
-@pytest.mark.parametrize("name", sorted(STAGED7))
-def test_staged7_query_matches_oracle(spark, name, sf_dir):
-    fn, oracle = STAGED7[name]
-    sdf = fn(spark, sf_dir)
-    s_cols, s_rows = _normalize([tuple(r) for r in sdf.collect()], sdf.columns)
-
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    res = con.sql(oracle)
-    o_cols, o_rows = _normalize(res.fetchall(), [d[0] for d in res.description])
-
-    assert s_cols == o_cols, f"{name}: column mismatch {s_cols} vs {o_cols}"
-    assert len(s_rows) == len(o_rows), f"{name}: row count {len(s_rows)} vs {len(o_rows)}"
-    assert s_rows == o_rows, f"{name}: value mismatch"
-
-
-@pytest.mark.parametrize("sf_dir", [SF_DIR, SF_DIR_MED])
-@pytest.mark.parametrize("name", sorted(STAGED5))
-def test_staged5_query_matches_oracle(spark, name, sf_dir):
-    fn, oracle = STAGED5[name]
-    sdf = fn(spark, sf_dir)
-    s_cols, s_rows = _normalize([tuple(r) for r in sdf.collect()], sdf.columns)
-
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    res = con.sql(oracle)
-    o_cols, o_rows = _normalize(res.fetchall(), [d[0] for d in res.description])
-
-    assert s_cols == o_cols, f"{name}: column mismatch {s_cols} vs {o_cols}"
-    assert len(s_rows) == len(o_rows), f"{name}: row count {len(s_rows)} vs {len(o_rows)}"
-    assert s_rows == o_rows, f"{name}: value mismatch"
-
-
-@pytest.mark.parametrize("sf_dir", [SF_DIR, SF_DIR_MED])
-@pytest.mark.parametrize("name", sorted(STAGED8))
-def test_staged8_query_matches_oracle(spark, name, sf_dir):
-    fn, oracle = STAGED8[name]
-    sdf = fn(spark, sf_dir)
-    s_cols, s_rows = _normalize([tuple(r) for r in sdf.collect()], sdf.columns)
-
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    res = con.sql(oracle)
-    o_cols, o_rows = _normalize(res.fetchall(), [d[0] for d in res.description])
-
-    assert s_cols == o_cols, f"{name}: column mismatch {s_cols} vs {o_cols}"
-    assert len(s_rows) == len(o_rows), f"{name}: row count {len(s_rows)} vs {len(o_rows)}"
-    assert s_rows == o_rows, f"{name}: value mismatch"
-
-
-@pytest.mark.parametrize("sf_dir", [SF_DIR, SF_DIR_MED])
-@pytest.mark.parametrize("name", sorted(STAGED9))
-def test_staged9_query_matches_oracle(spark, name, sf_dir):
-    fn, oracle = STAGED9[name]
-    sdf = fn(spark, sf_dir)
-    s_cols, s_rows = _normalize([tuple(r) for r in sdf.collect()], sdf.columns)
-
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    res = con.sql(oracle)
-    o_cols, o_rows = _normalize(res.fetchall(), [d[0] for d in res.description])
-
-    assert s_cols == o_cols, f"{name}: column mismatch {s_cols} vs {o_cols}"
-    assert len(s_rows) == len(o_rows), f"{name}: row count {len(s_rows)} vs {len(o_rows)}"
-    assert s_rows == o_rows, f"{name}: value mismatch"
-
-
-@pytest.mark.parametrize("sf_dir", [SF_DIR, SF_DIR_MED])
-@pytest.mark.parametrize("name", sorted(STAGED10))
-def test_staged10_query_matches_oracle(spark, name, sf_dir):
-    fn, oracle = STAGED10[name]
-    sdf = fn(spark, sf_dir)
-    s_cols, s_rows = _normalize([tuple(r) for r in sdf.collect()], sdf.columns)
-
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    res = con.sql(oracle)
-    o_cols, o_rows = _normalize(res.fetchall(), [d[0] for d in res.description])
-
-    assert s_cols == o_cols, f"{name}: column mismatch {s_cols} vs {o_cols}"
-    assert len(s_rows) == len(o_rows), f"{name}: row count {len(s_rows)} vs {len(o_rows)}"
-    assert s_rows == o_rows, f"{name}: value mismatch"
-
-@pytest.mark.parametrize("sf_dir", [SF_DIR, SF_DIR_MED])
-@pytest.mark.parametrize("name", sorted(STAGED11))
-def test_staged11_query_matches_oracle(spark, name, sf_dir):
-    fn, oracle = STAGED11[name]
-    sdf = fn(spark, sf_dir)
-    s_cols, s_rows = _normalize([tuple(r) for r in sdf.collect()], sdf.columns)
-
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    res = con.sql(oracle)
-    o_cols, o_rows = _normalize(res.fetchall(), [d[0] for d in res.description])
-
-    assert s_cols == o_cols, f"{name}: column mismatch {s_cols} vs {o_cols}"
-    assert len(s_rows) == len(o_rows), f"{name}: row count {len(s_rows)} vs {len(o_rows)}"
-    assert s_rows == o_rows, f"{name}: value mismatch"
-
-
-@pytest.mark.parametrize("sf_dir", [SF_DIR, SF_DIR_MED])
-@pytest.mark.parametrize("name", sorted(STAGED12))
-def test_staged12_query_matches_oracle(spark, name, sf_dir):
-    fn, oracle = STAGED12[name]
-    sdf = fn(spark, sf_dir)
-    s_cols, s_rows = _normalize([tuple(r) for r in sdf.collect()], sdf.columns)
-
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    res = con.sql(oracle)
-    o_cols, o_rows = _normalize(res.fetchall(), [d[0] for d in res.description])
-
-    assert s_cols == o_cols, f"{name}: column mismatch {s_cols} vs {o_cols}"
-    assert len(s_rows) == len(o_rows), f"{name}: row count {len(s_rows)} vs {len(o_rows)}"
-    assert s_rows == o_rows, f"{name}: value mismatch"
