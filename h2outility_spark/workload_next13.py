@@ -1,0 +1,183 @@
+"""Round-18 registry staging area (STAGED13): replacement candidates
+under the frozen-at-234 capacity policy
+(tests/test_checked_window.py::test_registry_capacity_policy_freeze_at_234)
+— like STAGED11/STAGED12, each pair composes two already-certified
+families and lands only by retiring a dominated registered entry in the
+same commit.
+
+  * ``dedup_cdc_index`` — the stored MinHash band index ADVANCED BY THE
+    CDC FEED: ``dedup_incremental_lsh``'s own docstring promises that at
+    100 TB "the old side is a STORED band index (signatures are computed
+    once at ingest and kept)"; this pair delivers exactly that store.
+    The (doc_id, mh0..mh7) signature table lives in a TxTable and is
+    advanced ONLY by ``txtable_cdc`` micro-batches of the documents
+    source — delete-then-upsert (a doc's signature derives from its own
+    row, so CDC delete rows carrying the full tombstoned text make
+    retractions feed-derived and replays idempotent, the
+    ``bm25_cdc_index`` discipline). Serving probes the STORED index for
+    banded candidate pairs (never re-signing the corpus) and verifies
+    candidates with exact 3-gram Jaccard >= 0.2 against the source
+    snapshot — index prunes, store verifies. The oracle rebuilds
+    signatures + banding + verification from the FINAL document set, so
+    hash equality certifies incremental index maintenance == batch
+    rebuild; the pinned ``n_index_batches = 2`` certifies it arrived as
+    bootstrap + one telescoped catch-up. Per-batch cost is O(changed
+    docs' shingles) signing + key-pruned MERGEs into the signature
+    table; at 100 TB the same table is bucketed by doc_id so each merge
+    touches only its buckets. Reference frame: the reference's cron jobs
+    rebuild derived tables from scratch each run
+    (src/SilentUpdater.py:10-21); this is that maintenance contract at
+    incremental cost, for the dedup index instead of BM25 postings.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from h2outility_spark.workload import _t, fround
+from h2outility_spark.workload_lakehouse import scratch_dir
+from h2outility_spark.workload_text import MINHASH_K, mh_cte
+
+# -- MinHash band index maintained through the CDC feed -----------------------------------
+
+_DCI_N_BATCHES = 2  # bootstrap drain + one telescoped catch-up drain
+
+#: JACCARD_TAIL with the batch-count certificate column added (the tail's
+#: SELECT is otherwise identical to workload_text.JACCARD_TAIL).
+_DCI_TAIL = f"""
+    dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM dsh GROUP BY 1),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS ni
+      FROM cand c
+      JOIN dsh s1 ON s1.doc_id = c.id_a
+      JOIN dsh s2 ON s2.doc_id = c.id_b AND s2.shingle = s1.shingle
+      GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b,
+           floor((CAST(ni AS DOUBLE) / CAST(sa.sz + sb.sz - ni AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
+             AS jaccard,
+           CAST({_DCI_N_BATCHES} AS INT) AS n_index_batches
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE CAST(ni AS DOUBLE) / CAST(sa.sz + sb.sz - ni AS DOUBLE) >= 0.2
+"""
+
+DEDUP_CDC_ORACLE = (
+    # The final document set after the three source commits (slice A
+    # appended, slice B appended, the % 5 keys deleted), re-signed and
+    # banded from scratch — hash equality is the incremental-maintenance
+    # == batch-rebuild law for the signature store.
+    "WITH fdocs AS (SELECT * FROM documents "
+    "WHERE doc_id % 3 IN (1, 2) AND doc_id % 5 <> 0), "
+    + mh_cte("fdocs")
+    + """,
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM mh a JOIN mh b
+        ON a.doc_id < b.doc_id
+       AND ("""
+    + " OR ".join(f"a.mh{i} = b.mh{i}" for i in range(MINHASH_K))
+    + """)
+    ),
+"""
+    + _DCI_TAIL
+)
+
+
+def _apply_sig_batch(sig_t, applied_dir: str, batch_df, batch_id: int) -> None:
+    """One micro-batch of signature-index maintenance, replay-idempotent
+    by construction: a doc's signature derives from its own row, so the
+    batch telescopes to delete-then-upsert — retract the tombstoned
+    docs' rows by key (the CDC delete row carries the full text, so no
+    source lookup), then upsert the inserted docs' fresh signatures.
+    Replaying the same batch deletes already-absent keys and rewrites
+    identical signature rows, landing in the same state (unlike
+    workload_next12's additive form, which needs the commit/marker
+    ledger)."""
+    from h2outility_spark.operators import dedup
+    from h2outility_spark.sources.txtable_source import net_changes
+
+    marker = os.path.join(applied_dir, f"applied_{batch_id}")
+    if os.path.exists(marker):
+        return  # replayed batch: already applied
+    if batch_df.isEmpty():
+        return  # no-data heartbeat: no state change, no marker
+    cdf = net_changes(batch_df)
+    ins = cdf.filter(F.col("_change_type") == "insert").drop("_change_type")
+    dels = cdf.filter(F.col("_change_type") == "delete").drop("_change_type")
+    if sig_t.latest_version() is not None:
+        sig_t.delete_keys(dels.select("doc_id"))
+    sig_t.merge_upsert(dedup.minhash_signatures(ins, num_hashes=MINHASH_K))
+    tmp = os.path.join(applied_dir, f".tmp_{batch_id}")
+    with open(tmp, "w") as f:
+        f.write("applied")
+    os.replace(tmp, marker)
+
+
+def q_dedup_cdc_index(spark, sf_dir):
+    """Near-dup pairs served from a CDC-maintained MinHash band index —
+    see the module docstring and ``_apply_sig_batch``. Serving never
+    re-signs the corpus: banded candidate pairs come from the STORED
+    signature snapshot (equi-join on (band, band_key) — the certified
+    posexplode banding shape, no giant-bucket risk at this K), and only
+    the candidates are verified with exact 3-gram Jaccard against the
+    source table snapshot."""
+    from h2outility_spark.operators import dedup
+    from h2outility_spark.sources.txtable_source import TxTableCdcDataSource
+    from h2outility_spark.storage_tx import TxTable
+
+    spark.dataSource.register(TxTableCdcDataSource)
+    root = scratch_dir("h2ou_dedupcdc_")
+    src_dir, ckpt = root + "/src", root + "/ckpt"
+    applied_dir = root + "/applied"
+    os.makedirs(applied_dir, exist_ok=True)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    src = TxTable(spark, src_dir, key_cols=["doc_id"])
+    sig_t = TxTable(spark, root + "/sig", key_cols=["doc_id"])
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        _apply_sig_batch(sig_t, applied_dir, batch_df, batch_id)
+
+    def drain() -> None:
+        q = (
+            spark.readStream.format("txtable_cdc").option("path", src_dir).load()
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    src.append(docs.filter(F.col("doc_id") % 3 == 1))
+    drain()  # index batch 1: the bootstrap slice
+    src.append(docs.filter(F.col("doc_id") % 3 == 2))  # missed commit
+    src.delete_keys(  # missed commit: retention erasure of the %5 keys
+        docs.filter(
+            ((F.col("doc_id") % 3).isin(1, 2)) & (F.col("doc_id") % 5 == 0)
+        ).select("doc_id")
+    )
+    drain()  # index batch 2: ONE drain telescopes append+delete to the net
+    n_batches = len(glob.glob(os.path.join(applied_dir, "applied_*")))
+
+    # -- serving: candidates from the stored index, verification from the store
+    sigs = sig_t.snapshot()
+    pairs = dedup.lsh_candidate_pairs(sigs, bands=[[i] for i in range(MINHASH_K)])
+    jac = dedup.jaccard_for_pairs(pairs, src.snapshot())
+    return jac.filter(F.col("jaccard") >= 0.2).select(
+        "id_a",
+        "id_b",
+        fround(F.col("jaccard"), 4).alias("jaccard"),
+        F.lit(n_batches).cast("int").alias("n_index_batches"),
+    )
+
+
+#: name -> (fn, oracle) for the r18 replacement promotions and the parity test.
+STAGED13 = {
+    "dedup_cdc_index": (q_dedup_cdc_index, DEDUP_CDC_ORACLE),
+}

@@ -48,7 +48,7 @@ def main() -> int:
 
     # staged-but-unregistered pairs resolve too (tri-scale staging checks)
     staged: dict = {}
-    for mod in ("workload_next4", "workload_next5", "workload_next6", "workload_next7", "workload_next8", "workload_next9", "workload_next10", "workload_next11", "workload_next12"):
+    for mod in ("workload_next4", "workload_next5", "workload_next6", "workload_next7", "workload_next8", "workload_next9", "workload_next10", "workload_next11", "workload_next12", "workload_next13"):
         try:
             m = __import__(f"h2outility_spark.{mod}", fromlist=[mod])
         except ImportError:

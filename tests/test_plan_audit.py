@@ -69,6 +69,7 @@ def test_bnlj_allowlist_is_tight(spark):
     from h2outility_spark.workload_next10 import STAGED10
     from h2outility_spark.workload_next11 import STAGED11
     from h2outility_spark.workload_next12 import STAGED12
+    from h2outility_spark.workload_next13 import STAGED13
 
     reg = workload.registry()
     fns = {
@@ -79,6 +80,7 @@ def test_bnlj_allowlist_is_tight(spark):
         **{n: fn for n, (fn, _o) in STAGED10.items()},
         **{n: fn for n, (fn, _o) in STAGED11.items()},
         **{n: fn for n, (fn, _o) in STAGED12.items()},
+        **{n: fn for n, (fn, _o) in STAGED13.items()},
     }
     stale = [n for n in BNLJ_ALLOWED if n not in fns]
     assert not stale, f"allowlisted queries no longer registered/staged: {stale}"
@@ -104,9 +106,10 @@ def test_staged_pairs_plan_clean(spark):
     from h2outility_spark.workload_next10 import STAGED10
     from h2outility_spark.workload_next11 import STAGED11
     from h2outility_spark.workload_next12 import STAGED12
+    from h2outility_spark.workload_next13 import STAGED13
 
     offenders: dict[str, list[str]] = {}
-    for name, (fn, _oracle) in {**STAGED4, **STAGED5, **STAGED6, **STAGED7, **STAGED8, **STAGED9, **STAGED10, **STAGED11, **STAGED12}.items():
+    for name, (fn, _oracle) in {**STAGED4, **STAGED5, **STAGED6, **STAGED7, **STAGED8, **STAGED9, **STAGED10, **STAGED11, **STAGED12, **STAGED13}.items():
         plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
         flags = [b for b in ("CartesianProduct", "BroadcastNestedLoopJoin") if b in plan]
         if "CartesianProduct" in flags or (

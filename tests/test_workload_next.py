@@ -26,6 +26,7 @@ from h2outility_spark.workload_next9 import STAGED9
 from h2outility_spark.workload_next10 import STAGED10
 from h2outility_spark.workload_next11 import STAGED11
 from h2outility_spark.workload_next12 import STAGED12
+from h2outility_spark.workload_next13 import STAGED13
 
 from tests.conftest import SF_DIR, SF_DIR_MED
 
@@ -45,6 +46,7 @@ _STAGED_AREAS = {
     "STAGED10": STAGED10,
     "STAGED11": STAGED11,
     "STAGED12": STAGED12,
+    "STAGED13": STAGED13,
 }
 
 _STAGED_CASES = [
