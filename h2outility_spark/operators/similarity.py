@@ -32,7 +32,18 @@ def as_double(vec: Column) -> Column:
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Sequential-fold dot product (left-to-right, like the oracle's)."""
+    """Sequential-fold dot product (left-to-right, like the oracle's).
+
+    Deliberately NOT unrolled into ``a[0]*b[0] + a[1]*b[1] + ...`` when the
+    dim is statically known: that was tried (r14 optimization round) and
+    measured a 3x REGRESSION on the candidate-pair verify stages (LSH
+    verify 4.5 s → 15 s at sf0.1, in-process A/B) — three ~190-node
+    expression trees per row (sim + its filter/null-check copies) blow the
+    codegen budget and fall back to per-node interpreted evaluation with
+    boxing, which is far slower than one interpreted fold over a primitive
+    array. Dense-matrix work that genuinely needs vectorization goes
+    through the Arrow kernel (:func:`rp_sig_udf`) instead (guide §4.2).
+    """
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
@@ -49,16 +60,25 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k of every query against all candidates (self-match
     excluded). Queries are broadcast; ranking is a window top-k partitioned
-    by query id with a deterministic tie-break on candidate id."""
+    by query id with a deterministic tie-break on candidate id. The
+    per-side self-dots are precomputed once per row instead of once per
+    pair (n folds, not n·k)."""
     from pyspark.sql import Window as W
 
     q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+        F.col(id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("qv"),
+        dot(as_double(F.col(vec_col)), as_double(F.col(vec_col))).alias("__nq"),
     )
-    c = candidates.select(F.col(id_col).alias("cand_id"), as_double(F.col(vec_col)).alias("cv"))
+    c = candidates.select(
+        F.col(id_col).alias("cand_id"),
+        as_double(F.col(vec_col)).alias("cv"),
+        dot(as_double(F.col(vec_col)), as_double(F.col(vec_col))).alias("__nc"),
+    )
+    sim = dot(F.col("qv"), F.col("cv")) / F.sqrt(F.col("__nq") * F.col("__nc"))
     scored = (
         c.join(F.broadcast(q), F.col("cand_id") != F.col("query_id"))
-        .select("query_id", "cand_id", cosine(F.col("qv"), F.col("cv")).alias("cos_sim"))
+        .select("query_id", "cand_id", sim.alias("cos_sim"))
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).drop("rk")
@@ -254,10 +274,14 @@ def cosine_neardup_pairs(
     run globally — candidates come from an LSH/IVF prefilter
     (rp_lsh_signatures / ivf cells) and this join verifies within buckets,
     exactly like the minhash→jaccard two-stage in dedup.py."""
-    a = embeddings.select(F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("va"))
-    b = embeddings.select(F.col(id_col).alias("id_b"), as_double(F.col(vec_col)).alias("vb"))
+    v = as_double(F.col(vec_col))
+    a = embeddings.select(F.col(id_col).alias("id_a"), v.alias("va"), dot(v, v).alias("__na"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), v.alias("vb"), dot(v, v).alias("__nb"))
     pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-    return pairs.select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim")).filter(
+    # dot(a,b)/sqrt(na*nb) is the same IEEE arithmetic as cosine(a,b) with
+    # the self-dots precomputed per SIDE (n of them) instead of per PAIR (n²)
+    sim = dot(F.col("va"), F.col("vb")) / F.sqrt(F.col("__na") * F.col("__nb"))
+    return pairs.select("id_a", "id_b", sim.alias("cos_sim")).filter(
         F.col("cos_sim") >= threshold
     )
 
@@ -288,14 +312,21 @@ def rp_lsh_signatures(
     """Random-hyperplane (SimHash-for-vectors) LSH signature: one bit per
     hyperplane = sign of the dot product. Vectors with high cosine land in
     the same bucket with probability 1 − θ/π per bit — the bucket-join
-    prefilter for cosine near-dup at corpus scale. Narrow map, no shuffle."""
+    prefilter for cosine near-dup at corpus scale. Narrow map, no shuffle.
+
+    Computed through the SAME Arrow-batched matmul kernel as the banded
+    candidate path (:func:`rp_sig_udf`): one numpy matmul per batch. The
+    old per-plane expression form built n_planes × dim literal trees —
+    the optimizer+codegen cost grew superlinearly with plane count (the
+    auto-sized 128-plane signature spent ~10 s per run just planning) and
+    the fold itself was interpreted per element. Sign decisions sit far
+    from zero (plane components are O(100) half-integers, data O(1)), so
+    BLAS accumulation order cannot flip a bit vs. the sequential fold —
+    the per-query DuckDB oracle (exact fold arithmetic) pins this.
+    """
     planes = random_hyperplanes(n_planes, dim)
-    v = as_double(F.col(vec_col))
-    bits = []
-    for row in planes:
-        plane = F.array(*[F.lit(x) for x in row])
-        bits.append(F.when(dot(v, plane) > 0, F.lit("1")).otherwise(F.lit("0")))
-    return embeddings.select(F.col(id_col), F.concat(*bits).alias("rp_sig"))
+    sig = rp_sig_udf(planes)
+    return embeddings.select(F.col(id_col), sig(F.col(vec_col)).alias("rp_sig"))
 
 
 def rp_sig_udf(planes):

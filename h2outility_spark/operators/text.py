@@ -780,21 +780,42 @@ def chunk_sliding(
     stride = int(stride)
     if size < 1 or stride < 1:
         raise ValueError(f"chunk_sliding requires size >= 1 and stride >= 1, got size={size} stride={stride}")
-    toks = f"split(trim(regexp_replace({text_col}, '{WS_CLASS_EXPR}+', ' ')), ' ')"
-    n = (
-        f"CASE WHEN length(trim(regexp_replace({text_col}, '{WS_CLASS_EXPR}+', ' '))) = 0 "
-        f"THEN 0 ELSE size({toks}) END"
-    )
-    starts = (
-        f"CASE WHEN {n} = 0 THEN array() "
-        f"ELSE filter(sequence(0, {n} - 1, {stride}), s -> s = 0 OR s - {stride} + {size} < {n}) END"
-    )
-    base = docs.select(
+    # STAGED selects: the tokenizer (regexp_replace + split) and the token
+    # count become real attributes BEFORE the generator references them.
+    # Inlining them (the old one-select form) re-evaluated the regexp ~5x
+    # per document inside the non-codegen Generate node — and once more per
+    # SEQUENCE ELEMENT inside the filter lambda — plus twice per chunk in
+    # the downstream projection. CollapseProject keeps the stages apart
+    # because each alias is referenced more than once by non-cheap
+    # expressions (SPARK-36718); now the regexp and split run once per doc.
+    cleaned = docs.select(F.col(id_col), normalize_ws(F.col(text_col)).alias("__clean"))
+    toked = cleaned.select(F.col(id_col), F.split(F.col("__clean"), " ").alias("__toks"), F.col("__clean"))
+    counted = toked.select(
         F.col(id_col),
-        F.expr(toks).alias("__toks"),
-        F.expr(n).alias("__n"),
-        F.posexplode(F.expr(starts)).alias("chunk_idx", "start_tok"),
+        F.col("__toks"),
+        F.when(F.length("__clean") == 0, F.lit(0)).otherwise(F.size("__toks")).alias("__n"),
     )
+    started = counted.select(
+        F.col(id_col),
+        F.col("__toks"),
+        F.col("__n"),
+        F.expr(
+            f"CASE WHEN __n = 0 THEN array() "
+            f"ELSE filter(sequence(0, __n - 1, {stride}), s -> s = 0 OR s - {stride} + {size} < __n) END"
+        ).alias("__starts"),
+    )
+    # posexplode_outer + explicit null filter, NOT posexplode: for a plain
+    # generate, InferFiltersFromGenerate synthesizes size(__starts) > 0 and
+    # predicate pushdown re-inlines the whole staged pipeline (tokenizer
+    # per lambda element) into a Filter below the projects — the exact
+    # O(tokens²) hazard the staging exists to avoid. The rule skips outer
+    # generates; the null filter references generator output so it stays put.
+    base = started.select(
+        F.col(id_col),
+        F.col("__toks"),
+        F.col("__n"),
+        F.posexplode_outer(F.col("__starts")).alias("chunk_idx", "start_tok"),
+    ).filter(F.col("start_tok").isNotNull())
     return base.select(
         id_col,
         F.col("chunk_idx").cast("long").alias("chunk_idx"),
