@@ -3,10 +3,15 @@
 Usage:
     python scripts/capture_plans.py before [name ...]
     python scripts/capture_plans.py after  [name ...]
+    python scripts/capture_plans.py <suffix> --executed [name ...]
 
 With no names, captures every bench=True query. Plans are built against
-$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) — plan-only, nothing is
-executed, so this is safe to run next to other jobs.
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1). Default mode is
+plan-only (nothing executes — safe next to other jobs) and shows the
+INITIAL adaptive plan; --executed runs each query through the noop sink
+first and captures the FINAL AQE plan (isFinalPlan=true), which is where
+runtime join-strategy changes (SMJ -> SHJ/BHJ re-planning on real sizes)
+become visible.
 """
 
 from __future__ import annotations
@@ -22,7 +27,8 @@ from h2outility_spark.session import get_spark  # noqa: E402
 
 def main() -> None:
     suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
-    names = sys.argv[2:]
+    executed = "--executed" in sys.argv[2:]
+    names = [a for a in sys.argv[2:] if a != "--executed"]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "plans", "r14")
     os.makedirs(out_dir, exist_ok=True)
@@ -36,7 +42,10 @@ def main() -> None:
             print(f"SKIP unknown query {name}")
             continue
         try:
+            spark.catalog.clearCache()
             df = spec.fn(spark, sf_dir)
+            if executed:
+                df.write.format("noop").mode("overwrite").save()
             plan = df._jdf.queryExecution().explainString(
                 spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
             )

@@ -144,6 +144,41 @@ def test_rp_lsh_bucket_cap(spark):
     assert other_un == other_cap
 
 
+def test_rp_band_keys_match_string_signature(spark):
+    """The folded int64 band keys (r14 optimization: one long per band,
+    band index in the high bits) must encode EXACTLY the same buckets as
+    the string signature sliced per band — the equivalence the candidate
+    self-join's result-identity rests on."""
+    import numpy as np
+
+    from h2outility_spark.operators.similarity import (
+        random_hyperplanes,
+        rp_band_udf,
+        rp_sig_udf,
+    )
+
+    n_bits, n_bands, dim = 4, 8, 64
+    rng = np.random.default_rng(11)
+    rows = [(i, rng.normal(size=dim).tolist()) for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    planes = random_hyperplanes(n_bits * n_bands, dim)
+    sig = rp_sig_udf(planes)
+    bu = rp_band_udf(planes, n_bits, n_bands)
+    both = emb.select(
+        "vec_id", sig(F.col("embedding")).alias("s"), bu(F.col("embedding")).alias("k")
+    ).collect()
+    for r in both:
+        for j in range(n_bands):
+            block = r["s"][j * n_bits : (j + 1) * n_bits]
+            assert r["k"][j] == int(block, 2) + (j << n_bits), (r["vec_id"], j)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="overflow"):
+        rp_band_udf(planes, 60, 32)
+
+
 def test_approx_percentile_accuracy_vs_exact(spark):
     """The 100 TB twin of the staged grouped_percentiles query:
     approx_percentile (mergeable sketch, one pass, no per-group sort) must
