@@ -22,9 +22,76 @@ string.
 
 from __future__ import annotations
 
+import contextlib
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from h2outility_spark.operators.mutation import drop_logical_duplicates
+
+
+def bounded_batch_shuffle_partitions(spark: SparkSession) -> int | None:
+    """Reduce-partition count for the INTERNAL jobs of an admission-bounded
+    micro-batch (foreachBatch handlers, the TxTable apply path).
+
+    A micro-batch under admission control (``maxVersionsPerBatch`` /
+    ``maxBytesPerBatch``) carries a bounded number of bytes no matter how
+    large the table grows, so the reduce side of its internal shuffles
+    should be sized to the batch — one wave over the available cores — not
+    inherit the session's corpus-scale ``spark.sql.shuffle.partitions``.
+    AQE cannot fix this (adaptive execution is disabled inside streaming
+    micro-batch plans), so without the pin a 200-partition session default
+    costs hundreds of near-empty tasks per shuffle per batch (measured
+    2.6x end-to-end on the CDC replica drains under a driver-shaped
+    session; see OPTIMIZATION_r14.md #6).
+
+    Scale-parameterised, not a local constant: defaults to
+    ``defaultParallelism`` (total cores — grows with the cluster), and
+    ``SPARK_GRAFT_BATCH_SHUFFLE_PARTITIONS`` overrides it for deployments
+    whose byte cap warrants more (0/empty disables the pin entirely).
+    """
+    env = os.environ.get("SPARK_GRAFT_BATCH_SHUFFLE_PARTITIONS")
+    if env is not None and env.strip() != "":
+        n = int(env)
+        return n if n > 0 else None
+    return spark.sparkContext.defaultParallelism
+
+
+@contextlib.contextmanager
+def micro_batch_shuffle(spark: SparkSession):
+    """Pin ``spark.sql.shuffle.partitions`` to the bounded-batch size for
+    the duration of a streaming drain, restoring the session value after.
+    Results are partitioning-independent; only task granularity changes."""
+    n = bounded_batch_shuffle_partitions(spark)
+    if n is None:
+        yield
+        return
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def drain_available_now(spark: SparkSession, writer, await_secs: int = 30) -> None:
+    """Start a (typically ``availableNow``) streaming writer and drain it
+    to completion under the bounded-batch shuffle pin.
+
+    One definition of the start/processAllAvailable/stop/awaitTermination
+    drain so every micro-batch in the workload runs its internal shuffles,
+    state-store instances and sink files at :func:`bounded_batch_shuffle_partitions`
+    granularity instead of the session's corpus-scale setting (AQE cannot
+    coalesce streaming plans; measured 3-10x end-to-end on the stateful
+    streaming queries under a 200-partition driver-shaped session —
+    OPTIMIZATION_r14.md #6). processAllAvailable + stop rather than a bare
+    awaitTermination: stateful operators with processing-time timeouts keep
+    an AvailableNow query alive after the data is drained."""
+    with micro_batch_shuffle(spark):
+        q = writer.start()
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(await_secs)
 
 
 def incremental_extract(dv: DataFrame, watermark, ts_col: str = "LocalDateTime") -> DataFrame:

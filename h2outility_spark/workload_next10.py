@@ -528,16 +528,15 @@ def q_stream_dedup_watermark(spark, sf_dir):
         .withWatermark("ts", "3650 days")
         .dropDuplicatesWithinWatermark(["event_id"])
     )
-    q = (
+    from h2outility_spark.streaming.incremental import drain_available_now
+
+    drain_available_now(
+        spark,
         stream.writeStream.format("parquet")
         .option("path", out_dir)
         .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
     )
-    q.processAllAvailable()
-    q.stop()
-    q.awaitTermination(30)
     return spark.read.parquet(out_dir).select(
         "event_id", "ts", "user_id", "event_type", "value"
     )

@@ -150,30 +150,41 @@ def q_bm25_cdc_index(spark, sf_dir):
             return  # replayed batch: already applied
         if batch_df.isEmpty():
             return  # no-data heartbeat: no state change, no marker
-        cdf = net_changes(batch_df)
-        ins = cdf.filter(F.col("_change_type") == "insert").drop("_change_type")
-        dels = cdf.filter(F.col("_change_type") == "delete").drop("_change_type")
-        # Delete-then-upsert: a replaced document's old terms retract
-        # first, then its new frequencies land — terms present in both
-        # versions end at the new tf. Retraction keys come from the
-        # tombstoned TEXT itself (the feed carries full rows).
-        if post.latest_version() is not None:
-            post.delete_keys(postings_of(dels).select("w", "doc_id"))
-        post.merge_upsert(postings_of(ins))
+        # Persist the bounded net CDF once: delete_keys/merge_upsert each
+        # action their input several times (bounds, anti-join, staged
+        # write) and would otherwise re-run the batch-source read + the
+        # net_changes aggregate per action (same fix as _cdc_replica_runner).
+        cdf = net_changes(batch_df).persist()
+        try:
+            ins = cdf.filter(F.col("_change_type") == "insert").drop("_change_type")
+            dels = cdf.filter(F.col("_change_type") == "delete").drop("_change_type")
+            # Delete-then-upsert: a replaced document's old terms retract
+            # first, then its new frequencies land — terms present in both
+            # versions end at the new tf. Retraction keys come from the
+            # tombstoned TEXT itself (the feed carries full rows).
+            if post.latest_version() is not None:
+                post.delete_keys(postings_of(dels).select("w", "doc_id"))
+            post.merge_upsert(postings_of(ins))
+        finally:
+            cdf.unpersist()
         tmp = os.path.join(applied_dir, f".tmp_{batch_id}")
         with open(tmp, "w") as f:
             f.write("applied")
         os.replace(tmp, marker)
 
     def drain() -> None:
-        q = (
-            spark.readStream.format("txtable_cdc").option("path", src_dir).load()
-            .writeStream.foreachBatch(apply_batch)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        from h2outility_spark.streaming.incremental import micro_batch_shuffle
+
+        # bounded-batch shuffle pin: AQE cannot coalesce micro-batch plans
+        with micro_batch_shuffle(spark):
+            q = (
+                spark.readStream.format("txtable_cdc").option("path", src_dir).load()
+                .writeStream.foreachBatch(apply_batch)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
 
     src.append(docs.filter(F.col("doc_id") % 3 == 1))
     drain()  # index batch 1: the bootstrap slice

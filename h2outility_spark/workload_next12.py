@@ -121,21 +121,28 @@ def _apply_edge_batch(edges_t, applied_dir: str, batch_df, batch_id: int) -> Non
 
     cdf = net_changes(batch_df)
     sign = F.when(F.col("_change_type") == "insert", F.lit(1.0)).otherwise(F.lit(-1.0))
+    # Persist the bounded signed-delta state once — merge_upsert actions
+    # its input several times (bounds collect, anti-join, staged write),
+    # and each action would otherwise re-run the batch-source read + both
+    # aggregates (same fix as _cdc_replica_runner).
     delta = (
         cdf.select("src", "dst", (sign * F.col("cnt").cast("double")).alias("d"))
         .groupBy("src", "dst")
         .agg(F.sum("d").alias("d"))
-    )
-    if lv is not None:
-        cur = edges_t.snapshot().select("src", "dst", F.col("w").alias("w_old"))
-        merged = delta.join(cur, ["src", "dst"], "left").select(
-            "src",
-            "dst",
-            (F.coalesce(F.col("w_old"), F.lit(0.0)) + F.col("d")).alias("w"),
-        )
-    else:
-        merged = delta.select("src", "dst", F.col("d").alias("w"))
-    edges_t.merge_upsert(merged)  # the batch's single state commit
+    ).persist()
+    try:
+        if lv is not None:
+            cur = edges_t.snapshot().select("src", "dst", F.col("w").alias("w_old"))
+            merged = delta.join(cur, ["src", "dst"], "left").select(
+                "src",
+                "dst",
+                (F.coalesce(F.col("w_old"), F.lit(0.0)) + F.col("d")).alias("w"),
+            )
+        else:
+            merged = delta.select("src", "dst", F.col("d").alias("w"))
+        edges_t.merge_upsert(merged)  # the batch's single state commit
+    finally:
+        delta.unpersist()
     _write_marker()
 
 
@@ -182,14 +189,18 @@ def q_pagerank_cdc_edges(spark, sf_dir):
         _apply_edge_batch(edges_t, applied_dir, batch_df, batch_id)
 
     def drain() -> None:
-        q = (
-            spark.readStream.format("txtable_cdc").option("path", src_dir).load()
-            .writeStream.foreachBatch(apply_batch)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        from h2outility_spark.streaming.incremental import micro_batch_shuffle
+
+        # bounded-batch shuffle pin: AQE cannot coalesce micro-batch plans
+        with micro_batch_shuffle(spark):
+            q = (
+                spark.readStream.format("txtable_cdc").option("path", src_dir).load()
+                .writeStream.foreachBatch(apply_batch)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
 
     src.append(facts.filter(F.col("o_orderkey") % 3 == 1))
     drain()  # edge batch 1: the bootstrap slice

@@ -107,12 +107,17 @@ def _apply_sig_batch(sig_t, applied_dir: str, batch_df, batch_id: int) -> None:
         return  # replayed batch: already applied
     if batch_df.isEmpty():
         return  # no-data heartbeat: no state change, no marker
-    cdf = net_changes(batch_df)
-    ins = cdf.filter(F.col("_change_type") == "insert").drop("_change_type")
-    dels = cdf.filter(F.col("_change_type") == "delete").drop("_change_type")
-    if sig_t.latest_version() is not None:
-        sig_t.delete_keys(dels.select("doc_id"))
-    sig_t.merge_upsert(dedup.minhash_signatures(ins, num_hashes=MINHASH_K))
+    # Persist the bounded net CDF once — delete_keys/merge_upsert action
+    # their inputs several times (same fix as _cdc_replica_runner).
+    cdf = net_changes(batch_df).persist()
+    try:
+        ins = cdf.filter(F.col("_change_type") == "insert").drop("_change_type")
+        dels = cdf.filter(F.col("_change_type") == "delete").drop("_change_type")
+        if sig_t.latest_version() is not None:
+            sig_t.delete_keys(dels.select("doc_id"))
+        sig_t.merge_upsert(dedup.minhash_signatures(ins, num_hashes=MINHASH_K))
+    finally:
+        cdf.unpersist()
     tmp = os.path.join(applied_dir, f".tmp_{batch_id}")
     with open(tmp, "w") as f:
         f.write("applied")
@@ -145,14 +150,18 @@ def q_dedup_cdc_index(spark, sf_dir):
         _apply_sig_batch(sig_t, applied_dir, batch_df, batch_id)
 
     def drain() -> None:
-        q = (
-            spark.readStream.format("txtable_cdc").option("path", src_dir).load()
-            .writeStream.foreachBatch(apply_batch)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        from h2outility_spark.streaming.incremental import micro_batch_shuffle
+
+        # bounded-batch shuffle pin: AQE cannot coalesce micro-batch plans
+        with micro_batch_shuffle(spark):
+            q = (
+                spark.readStream.format("txtable_cdc").option("path", src_dir).load()
+                .writeStream.foreachBatch(apply_batch)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
 
     src.append(docs.filter(F.col("doc_id") % 3 == 1))
     drain()  # index batch 1: the bootstrap slice

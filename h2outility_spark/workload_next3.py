@@ -58,6 +58,7 @@ from pyspark.sql import Window as W, functions as F
 
 from h2outility_spark.operators import asof, dedup
 from h2outility_spark.storage_tx import TxTable
+from h2outility_spark.streaming.incremental import drain_available_now
 from h2outility_spark.workload import _t, query
 from h2outility_spark.workload_lakehouse import scratch_dir
 from h2outility_spark.workload_text import (
@@ -177,18 +178,15 @@ def q_stream_watermark_windows(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("cnt"))
             .select(F.col("win.start").alias("hour_start"), "event_type", "cnt")
         )
-        q = (
+        drain_available_now(
+            spark,
             agg.writeStream.format("parquet")
             .option("path", out)
             .option("checkpointLocation", ckpt)
             .outputMode("append")
             .queryName(name)
-            .trigger(availableNow=True)
-            .start()
+            .trigger(availableNow=True),
         )
-        q.processAllAvailable()
-        q.stop()
-        q.awaitTermination(30)
 
     # coalesce(1): one file per drain -> one micro-batch per drain
     ev.filter(F.col("ts") < cut).coalesce(1).write.mode("append").parquet(src)
@@ -266,18 +264,15 @@ def q_stream_session_windows(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_events"))
             .select("user_id", F.col("sw.start").alias("session_start"), "n_events")
         )
-        q = (
+        drain_available_now(
+            spark,
             agg.writeStream.format("parquet")
             .option("path", out)
             .option("checkpointLocation", ckpt)
             .outputMode("append")
             .queryName(name)
-            .trigger(availableNow=True)
-            .start()
+            .trigger(availableNow=True),
         )
-        q.processAllAvailable()
-        q.stop()
-        q.awaitTermination(30)
 
     ev.filter(F.col("ts") < cut).coalesce(1).write.mode("append").parquet(src)
     drain("ssw-1")
@@ -352,18 +347,15 @@ def q_stream_session_paths(spark, sf_dir):
         paths = stream_session_paths(
             spark.readStream.schema(schema).format("parquet").load(src)
         )
-        q = (
+        drain_available_now(
+            spark,
             paths.writeStream.format("parquet")
             .option("path", out)
             .option("checkpointLocation", ckpt)
             .outputMode("append")
             .queryName(name)
-            .trigger(availableNow=True)
-            .start()
+            .trigger(availableNow=True),
         )
-        q.processAllAvailable()
-        q.stop()
-        q.awaitTermination(30)
 
     ev.filter(F.col("ts") < cut).coalesce(1).write.mode("append").parquet(src)
     drain("ssp-1")
@@ -910,18 +902,15 @@ def q_stream_static_enrich(spark, sf_dir):
             .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
             .select("o_orderkey", "o_custkey", "c_nationkey", "o_totalprice")
         )
-        q = (
+        drain_available_now(
+            spark,
             enriched.writeStream.format("parquet")
             .option("path", out)
             .option("checkpointLocation", ckpt)
             .outputMode("append")
             .queryName(name)
-            .trigger(availableNow=True)
-            .start()
+            .trigger(availableNow=True),
         )
-        q.processAllAvailable()
-        q.stop()
-        q.awaitTermination(30)
 
     slice_mod(0, 2).coalesce(1).write.mode("append").parquet(src)
     drain("sse-1")

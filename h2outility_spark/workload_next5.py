@@ -31,6 +31,7 @@ import os
 from pyspark.sql import functions as F
 
 from h2outility_spark.plans import oplist
+from h2outility_spark.streaming.incremental import drain_available_now
 from h2outility_spark.workload import DV_CTE, _dv, _t, fround, query
 from h2outility_spark.workload_lakehouse import scratch_dir
 
@@ -176,18 +177,15 @@ def q_stream_ohlc(spark, sf_dir):
             )
             .select(F.col("win.start").alias("hour_start"), "event_type", "open", "high", "low", "close", "n_obs")
         )
-        q = (
+        drain_available_now(
+            spark,
             agg.writeStream.format("parquet")
             .option("path", out)
             .option("checkpointLocation", ckpt)
             .outputMode("append")
             .queryName(name)
-            .trigger(availableNow=True)
-            .start()
+            .trigger(availableNow=True),
         )
-        q.processAllAvailable()
-        q.stop()
-        q.awaitTermination(30)
 
     # coalesce(1): one file per drain -> one micro-batch per drain
     ev.filter(F.col("ts") < cut).coalesce(1).write.mode("append").parquet(src)
@@ -906,18 +904,15 @@ def q_stream_ivm_agg(spark, sf_dir):
         view.merge_upsert(new_view.join(touched, ["cust_bucket"], "left_semi"))
 
     def drain() -> None:
-        q = (
+        drain_available_now(
+            spark,
             spark.readStream.schema(sel.schema)
             .format("parquet")
             .load(src)
             .writeStream.foreachBatch(handle)
             .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
+            .trigger(availableNow=True),
         )
-        q.processAllAvailable()
-        q.stop()
-        q.awaitTermination(30)
 
     sel.filter(F.col("o_orderkey") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
     drain()
@@ -962,17 +957,14 @@ def q_stream_chunk_flow(spark, sf_dir):
             size=_CHUNK_SIZE,
             stride=_CHUNK_STRIDE,
         )
-        q = (
+        drain_available_now(
+            spark,
             chunks.writeStream.format("parquet")
             .option("path", out)
             .option("checkpointLocation", ckpt)
             .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
+            .trigger(availableNow=True),
         )
-        q.processAllAvailable()
-        q.stop()
-        q.awaitTermination(30)
 
     docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
     drain()
@@ -1133,18 +1125,15 @@ def q_stream_minmax_ivm(spark, sf_dir):
         ctl["n_batches"] += 1
 
     def drain() -> None:
-        q = (
+        drain_available_now(
+            spark,
             spark.readStream.schema(base.schema)
             .format("parquet")
             .load(src)
             .writeStream.foreachBatch(handle)
             .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
+            .trigger(availableNow=True),
         )
-        q.processAllAvailable()
-        q.stop()
-        q.awaitTermination(30)
 
     base.coalesce(1).write.mode("append").parquet(src)
     drain()

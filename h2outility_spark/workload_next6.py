@@ -391,16 +391,15 @@ def q_stream_mixture_plan(spark, sf_dir):
         batch_df.write.mode("overwrite").parquet(state_path)
 
     def drain() -> None:
-        q = (
+        from h2outility_spark.streaming.incremental import drain_available_now
+
+        drain_available_now(
+            spark,
             agg.writeStream.outputMode("complete")
             .foreachBatch(handle)
             .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
+            .trigger(availableNow=True),
         )
-        q.processAllAvailable()
-        q.stop()
-        q.awaitTermination(30)
 
     b1.coalesce(1).write.mode("append").parquet(src)
     drain()

@@ -75,6 +75,7 @@ import os
 
 from pyspark.sql import functions as F
 
+from h2outility_spark.streaming.incremental import drain_available_now
 from h2outility_spark.workload import DV_CTE, _dv, _t, fround, query, sql_round
 from h2outility_spark.workload_lakehouse import scratch_dir
 from h2outility_spark.workload_next6 import _CMS_D, _CMS_W, HEAVY_HITTERS_ORACLE
@@ -196,18 +197,15 @@ def q_stream_heavy_hitters(spark, sf_dir):
     handle = make_cms_handler(spark, state_dir, ctl, key_col="user_id")
 
     def drain() -> None:
-        q = (
+        drain_available_now(
+            spark,
             spark.readStream.schema(ev.schema)
             .format("parquet")
             .load(src)
             .writeStream.foreachBatch(handle)
             .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
+            .trigger(availableNow=True),
         )
-        q.processAllAvailable()
-        q.stop()
-        q.awaitTermination(30)
 
     b1.coalesce(1).write.mode("append").parquet(src)
     drain()
@@ -450,18 +448,15 @@ def q_late_data_quarantine(spark, sf_dir):
     handle = make_quarantine_handler(main_dir, quar_dir, meta_dir, ctl)
 
     def drain() -> None:
-        q = (
+        drain_available_now(
+            spark,
             spark.readStream.schema(ev.schema)
             .format("parquet")
             .load(src)
             .writeStream.foreachBatch(handle)
             .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
+            .trigger(availableNow=True),
         )
-        q.processAllAvailable()
-        q.stop()
-        q.awaitTermination(30)
 
     b1.coalesce(1).write.mode("append").parquet(src)
     drain()
@@ -775,16 +770,13 @@ def q_stream_jsonl_ingest(spark, sf_dir):
         batch_df.write.mode("overwrite").parquet(state_path)
 
     def drain() -> None:
-        q = (
+        drain_available_now(
+            spark,
             agg.writeStream.outputMode("complete")
             .foreachBatch(handle)
             .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
+            .trigger(availableNow=True),
         )
-        q.processAllAvailable()
-        q.stop()
-        q.awaitTermination(30)
 
     (
         b1.coalesce(1)
@@ -989,16 +981,13 @@ def q_stream_stratified_ingest(spark, sf_dir):
         batch_df.write.mode("overwrite").parquet(state_path)
 
     def drain() -> None:
-        q = (
+        drain_available_now(
+            spark,
             agg.writeStream.outputMode("complete")
             .foreachBatch(handle)
             .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
+            .trigger(availableNow=True),
         )
-        q.processAllAvailable()
-        q.stop()
-        q.awaitTermination(30)
 
     b1.coalesce(1).write.mode("append").parquet(src)
     drain()

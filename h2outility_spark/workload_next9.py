@@ -126,17 +126,29 @@ def _cdc_replica_runner(
             # count certifies the number of DATA batches applied, so it
             # must stay robust to spurious empty batches.
             return
-        cdf = net_changes(batch_df)
-        inserts = cdf.filter(F.col("_change_type") == "insert").drop("_change_type")
-        tombstones = (
-            cdf.filter(F.col("_change_type") == "delete")
-            .select(key_col)
-            .join(inserts.select(key_col).distinct(), key_col, "left_anti")
-            .distinct()
-        )
-        if replica.latest_version() is not None:
-            replica.delete_keys(tombstones)
-        replica.merge_upsert(inserts, evolve_schema=evolve_schema)
+        # Materialize the net CDF ONCE per batch: delete_keys and
+        # merge_upsert each action their input 2-3x (bounds collect,
+        # anti-join, staged write), and without the persist every action
+        # re-runs the whole batch pipeline — Python-source read +
+        # net_changes aggregate — from scratch (measured ~6 re-executions
+        # per drain, 2x the drain wall; OPTIMIZATION_r14.md #7). The CDF
+        # is admission-bounded (O(batch), never O(table)), so the persist
+        # is bounded memory by construction; same discipline as
+        # stream_dedup_ingest's novel.cache().
+        cdf = net_changes(batch_df).persist()
+        try:
+            inserts = cdf.filter(F.col("_change_type") == "insert").drop("_change_type")
+            tombstones = (
+                cdf.filter(F.col("_change_type") == "delete")
+                .select(key_col)
+                .join(inserts.select(key_col).distinct(), key_col, "left_anti")
+                .distinct()
+            )
+            if replica.latest_version() is not None:
+                replica.delete_keys(tombstones)
+            replica.merge_upsert(inserts, evolve_schema=evolve_schema)
+        finally:
+            cdf.unpersist()
         tmp = os.path.join(applied_dir, f".tmp_{batch_id}")
         with open(tmp, "w") as f:
             f.write("applied")
@@ -159,10 +171,17 @@ def _cdc_replica_runner(
         )
         if use_available_now:
             writer = writer.trigger(availableNow=True)
-        q = writer.start()
-        q.processAllAvailable()
-        q.stop()
-        q.awaitTermination(30)
+        # Admission control bounds each batch, so the batch's internal
+        # shuffles (net_changes agg, tombstone anti-join, MERGE) are sized
+        # to the batch, not to the session's corpus-scale partition count
+        # (AQE is off inside micro-batch plans — see micro_batch_shuffle).
+        from h2outility_spark.streaming.incremental import micro_batch_shuffle
+
+        with micro_batch_shuffle(spark):
+            q = writer.start()
+            q.processAllAvailable()
+            q.stop()
+            q.awaitTermination(30)
 
     drain.apply_batch = apply_batch  # exposed for the empty-batch unit test
     return src, replica, drain

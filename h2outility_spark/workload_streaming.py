@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from h2outility_spark.sources.parquet import load_table
 from h2outility_spark.storage_tx import TxTable
+from h2outility_spark.streaming.incremental import drain_available_now
 from h2outility_spark.workload import _t, query
 from h2outility_spark.workload_lakehouse import scratch_dir
 from h2outility_spark.workload_text import JPAIRS_CTE, MINHASH_K, mh_cte
@@ -113,11 +114,14 @@ def q_stream_dedup_ingest(spark, sf_dir):
     batch = docs.filter(F.col("doc_id") % 5 == 0)
 
     def drain(name: str) -> None:
-        stream = spark.readStream.schema(docs.schema).format("parquet").load(src)
-        q = stream_dedup_ingest(stream, tbl, ckpt, query_name=name)
-        q.processAllAvailable()
-        q.stop()
-        q.awaitTermination(30)
+        from h2outility_spark.streaming.incremental import micro_batch_shuffle
+
+        with micro_batch_shuffle(spark):
+            stream = spark.readStream.schema(docs.schema).format("parquet").load(src)
+            q = stream_dedup_ingest(stream, tbl, ckpt, query_name=name)
+            q.processAllAvailable()
+            q.stop()
+            q.awaitTermination(30)
 
     # coalesce(1): exactly one new file per drain -> exactly one micro-batch
     # per drain regardless of file-source batching defaults.
@@ -165,17 +169,14 @@ def q_txtable_stream_tail(spark, sf_dir):
 
     def drain(name: str) -> None:
         stream = spark.readStream.format("txtable_stream").option("path", tdir).load()
-        q = (
+        drain_available_now(
+            spark,
             stream.writeStream.format("parquet")
             .option("path", out)
             .option("checkpointLocation", ckpt)
             .queryName(name)
-            .trigger(availableNow=True)
-            .start()
+            .trigger(availableNow=True),
         )
-        q.processAllAvailable()
-        q.stop()
-        q.awaitTermination(30)
 
     drain("txtail-first")  # emits v1 + v2
     t.append(slice_mod(4, 5))
