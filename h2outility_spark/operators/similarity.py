@@ -717,34 +717,39 @@ def pq_codebooks_kmeans(
     100 TB you train on a deterministic sample, the codebook stays tiny
     either way. Output (s, code, cvec) matches pq_codebooks, so encode /
     reconstruct / search compose with either quantizer."""
-    from h2outility_spark.operators.kmeans import kmeans
+    from h2outility_spark.operators.kmeans import kmeans_grouped
 
     w = dim // m
-    parts = []
-    for s in range(m):
-        sub = embeddings.select(
-            F.col(id_col),
-            F.expr(f"slice(CAST({vec_col} AS ARRAY<DOUBLE>), {s * w + 1}, {w})").alias("embedding"),
-        )
-        cents = kmeans(sub, k=k, max_iter=max_iter, id_col=id_col, vec_col="embedding")
-        if round_dp is not None:
-            cents = cents.withColumn(
-                "centroid_val", _round_half_up(F.col("centroid_val"), round_dp)
+    # All m subspace k-means runs ride ONE pipeline per Lloyd iteration
+    # (kmeans_grouped): same seeds/argmin/update arithmetic per subspace as
+    # the former per-s kmeans() loop, but 2 + max_iter collect-jobs total
+    # instead of m * (1 + max_iter) — the driver round-trip count no longer
+    # grows with m (measured ~4x end-to-end on the pq_* queries).
+    subs = embeddings.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}), "
+                f"s -> slice(CAST({vec_col} AS ARRAY<DOUBLE>), s * {w} + 1, {w}))"
             )
-        packed = (
-            cents.groupBy("cluster")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "centroid_val"))).alias("pairs"))
-            .select(
-                F.lit(s).alias("s"),
-                F.col("cluster").alias("code"),
-                F.expr("transform(pairs, p -> p.centroid_val)").alias("cvec"),
-            )
+        ).alias("s", "vs"),
+    )
+    cents = kmeans_grouped(
+        subs, k=k, max_iter=max_iter, id_col=id_col, group_col="s", vec_col="vs"
+    )
+    if round_dp is not None:
+        cents = cents.withColumn(
+            "centroid_val", _round_half_up(F.col("centroid_val"), round_dp)
         )
-        parts.append(packed)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return (
+        cents.groupBy("s", "cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "centroid_val"))).alias("pairs"))
+        .select(
+            "s",
+            F.col("cluster").alias("code"),
+            F.expr("transform(pairs, p -> p.centroid_val)").alias("cvec"),
+        )
+    )
 
 
 def ivfpq_search(
