@@ -158,23 +158,39 @@ def ivf_search(
         cents = centroids.select("cell", "cvec")
     else:
         cents = pack_centroids(centroids_by_label(embeddings, label_col, vec_col))
-    q = queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv"))
-    scored_cells = q.join(F.broadcast(cents)).select(
-        "query_id", "qv", "cell", cosine(F.col("qv"), F.col("cvec")).alias("cell_sim")
+    # Self-dots precomputed per SIDE, not per pair: cosine(a,b) =
+    # dot(a,b)/sqrt(dot(a,a)*dot(b,b)) with the same doubles multiplied in
+    # the same order, so scores are bit-identical while the in-cell scan
+    # runs one fold per pair instead of three (the wave-1 embedding_knn
+    # measurement: −62% on the pair stage).
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("__nq", dot(F.col("qv"), F.col("qv")))
+    cents_n = cents.withColumn("__ncell", dot(F.col("cvec"), F.col("cvec")))
+    scored_cells = q.join(F.broadcast(cents_n)).select(
+        "query_id",
+        "qv",
+        "__nq",
+        "cell",
+        (dot(F.col("qv"), F.col("cvec")) / F.sqrt(F.col("__nq") * F.col("__ncell"))).alias("cell_sim"),
     )
     wc = W.partitionBy("query_id").orderBy(F.col("cell_sim").desc(), F.col("cell"))
     best_cell = (
         scored_cells.withColumn("rk", F.row_number().over(wc))
         .filter(F.col("rk") <= n_probe)
-        .select("query_id", "qv", "cell")
+        .select("query_id", "qv", "__nq", "cell")
     )
     cands = embeddings.select(
         F.col(id_col).alias("cand_id"), F.col(label_col).alias("cell"), as_double(F.col(vec_col)).alias("cv2")
-    )
+    ).withColumn("__ncv", dot(F.col("cv2"), F.col("cv2")))
     scored = (
         cands.join(F.broadcast(best_cell), "cell")
         .filter(F.col("cand_id") != F.col("query_id"))
-        .select("query_id", "cand_id", cosine(F.col("qv"), F.col("cv2")).alias("cos_sim"))
+        .select(
+            "query_id",
+            "cand_id",
+            (dot(F.col("qv"), F.col("cv2")) / F.sqrt(F.col("__nq") * F.col("__ncv"))).alias("cos_sim"),
+        )
     )
     if spill:
         scored = scored.groupBy("query_id", "cand_id").agg(F.max("cos_sim").alias("cos_sim"))
@@ -226,9 +242,16 @@ def ivf_assign_multi(
         .agg(F.array_sort(F.collect_list(F.struct("pos", "centroid_val"))).alias("pairs"))
         .select(F.col(label_col).alias("cell"), F.expr("transform(pairs, p -> p.centroid_val)").alias("cv"))
     )
-    v = embeddings.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    # per-side self-dots: one fold per (vector, cell) pair instead of three;
+    # same multiply order, bit-identical sims
+    v = embeddings.select(F.col(id_col), as_double(F.col(vec_col)).alias("v")).withColumn(
+        "__nv", dot(F.col("v"), F.col("v"))
+    )
+    packed = packed.withColumn("__ncv", dot(F.col("cv"), F.col("cv")))
     scored = v.join(F.broadcast(packed)).select(
-        id_col, "cell", cosine(F.col("v"), F.col("cv")).alias("sim")
+        id_col,
+        "cell",
+        (dot(F.col("v"), F.col("cv")) / F.sqrt(F.col("__nv") * F.col("__ncv"))).alias("sim"),
     )
     w = W.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("cell"))
     ranked = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= m)
@@ -536,9 +559,16 @@ def ivf_assign(
         .agg(F.array_sort(F.collect_list(F.struct("pos", "centroid_val"))).alias("pairs"))
         .select(F.col(label_col).alias("cell"), F.expr("transform(pairs, p -> p.centroid_val)").alias("cv"))
     )
-    v = embeddings.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    # per-side self-dots: one fold per (vector, cell) pair instead of three;
+    # same multiply order, bit-identical sims
+    v = embeddings.select(F.col(id_col), as_double(F.col(vec_col)).alias("v")).withColumn(
+        "__nv", dot(F.col("v"), F.col("v"))
+    )
+    packed = packed.withColumn("__ncv", dot(F.col("cv"), F.col("cv")))
     scored = v.join(F.broadcast(packed)).select(
-        id_col, "cell", cosine(F.col("v"), F.col("cv")).alias("sim")
+        id_col,
+        "cell",
+        (dot(F.col("v"), F.col("cv")) / F.sqrt(F.col("__nv") * F.col("__ncv"))).alias("sim"),
     )
     from pyspark.sql import Window as W
 
@@ -675,23 +705,34 @@ def pq_search(
         else pq_codebooks(embeddings, m=m, dim=dim, vec_col=vec_col, label_col=label_col)
     )
     codes = pq_encode(embeddings, cbs, m=m, dim=dim, id_col=id_col, vec_col=vec_col)
-    recon = pq_reconstruct(codes, cbs, id_col=id_col)
-    q = queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv"))
+    recon = pq_reconstruct(codes, cbs, id_col=id_col).withColumn(
+        "__nr", dot(F.col("rvec"), F.col("rvec"))
+    )
+    # per-side self-dots (same multiply order as cosine(), bit-identical
+    # scores): the ADC scan folds once per (query, cand) pair, not thrice
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("__nq", dot(F.col("qv"), F.col("qv")))
     approx = recon.join(F.broadcast(q), F.col(id_col) != F.col("query_id")).select(
         "query_id",
         "qv",
+        "__nq",
         F.col(id_col).alias("cand_id"),
-        cosine(F.col("qv"), F.col("rvec")).alias("asim"),
+        (dot(F.col("qv"), F.col("rvec")) / F.sqrt(F.col("__nq") * F.col("__nr"))).alias("asim"),
     )
     ws = W.partitionBy("query_id").orderBy(F.col("asim").desc(), F.col("cand_id"))
     short = (
         approx.withColumn("rn", F.row_number().over(ws))
         .filter(F.col("rn") <= shortlist)
-        .select("query_id", "qv", "cand_id")
+        .select("query_id", "qv", "__nq", "cand_id")
     )
-    cands = embeddings.select(F.col(id_col).alias("cand_id"), as_double(F.col(vec_col)).alias("cv"))
+    cands = embeddings.select(
+        F.col(id_col).alias("cand_id"), as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("__ncv", dot(F.col("cv"), F.col("cv")))
     exact = short.join(cands, "cand_id").select(
-        "query_id", "cand_id", cosine(F.col("qv"), F.col("cv")).alias("cos_sim")
+        "query_id",
+        "cand_id",
+        (dot(F.col("qv"), F.col("cv")) / F.sqrt(F.col("__nq") * F.col("__ncv"))).alias("cos_sim"),
     )
     wk = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
     return (
@@ -782,34 +823,56 @@ def ivfpq_search(
     codes = pq_encode(embeddings, cbs, m=m, dim=dim, id_col=id_col, vec_col=vec_col)
     recon = pq_reconstruct(codes, cbs, id_col=id_col)
 
-    q = queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv"))
-    scored_cells = q.join(F.broadcast(cents)).select(
-        "query_id", "qv", "cell", cosine(F.col("qv"), F.col("cvec")).alias("cell_sim")
+    # per-side self-dots throughout (same multiply order as cosine(),
+    # bit-identical): probe, ADC scan and re-rank each fold once per pair
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("__nq", dot(F.col("qv"), F.col("qv")))
+    cents_n = cents.withColumn("__ncell", dot(F.col("cvec"), F.col("cvec")))
+    scored_cells = q.join(F.broadcast(cents_n)).select(
+        "query_id",
+        "qv",
+        "__nq",
+        "cell",
+        (dot(F.col("qv"), F.col("cvec")) / F.sqrt(F.col("__nq") * F.col("__ncell"))).alias("cell_sim"),
     )
     wc = W.partitionBy("query_id").orderBy(F.col("cell_sim").desc(), F.col("cell"))
     best_cells = (
         scored_cells.withColumn("rk", F.row_number().over(wc))
         .filter(F.col("rk") <= n_probe)
-        .select("query_id", "qv", "cell")
+        .select("query_id", "qv", "__nq", "cell")
     )
     cands = embeddings.select(
         F.col(id_col).alias("cand_id"), F.col(label_col).alias("cell")
     )
+    recon_n = recon.withColumnRenamed(id_col, "cand_id").withColumn(
+        "__nr", dot(F.col("rvec"), F.col("rvec"))
+    )
     probed = (
         cands.join(F.broadcast(best_cells), "cell")
         .filter(F.col("cand_id") != F.col("query_id"))
-        .join(recon.withColumnRenamed(id_col, "cand_id"), "cand_id")
-        .select("query_id", "qv", "cand_id", cosine(F.col("qv"), F.col("rvec")).alias("asim"))
+        .join(recon_n, "cand_id")
+        .select(
+            "query_id",
+            "qv",
+            "__nq",
+            "cand_id",
+            (dot(F.col("qv"), F.col("rvec")) / F.sqrt(F.col("__nq") * F.col("__nr"))).alias("asim"),
+        )
     )
     ws = W.partitionBy("query_id").orderBy(F.col("asim").desc(), F.col("cand_id"))
     short = (
         probed.withColumn("rn", F.row_number().over(ws))
         .filter(F.col("rn") <= shortlist)
-        .select("query_id", "qv", "cand_id")
+        .select("query_id", "qv", "__nq", "cand_id")
     )
-    ev = embeddings.select(F.col(id_col).alias("cand_id"), as_double(F.col(vec_col)).alias("cv"))
+    ev = embeddings.select(
+        F.col(id_col).alias("cand_id"), as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("__ncv", dot(F.col("cv"), F.col("cv")))
     exact = short.join(ev, "cand_id").select(
-        "query_id", "cand_id", cosine(F.col("qv"), F.col("cv")).alias("cos_sim")
+        "query_id",
+        "cand_id",
+        (dot(F.col("qv"), F.col("cv")) / F.sqrt(F.col("__nq") * F.col("__ncv"))).alias("cos_sim"),
     )
     wk = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
     return (
@@ -878,14 +941,23 @@ def hybrid_search(
         ),
     ).select("query_id", "cand_id", "rank")
 
+    # per-side self-dots (same multiply order as cosine(), bit-identical):
+    # one fold per (query, cand) pair in the semantic leg instead of three
     sem = (
         docs.select(F.col(id_col).alias("cand_id"), as_double(F.col(vec_col)).alias("cv"))
+        .withColumn("__ncv", dot(F.col("cv"), F.col("cv")))
         .join(
             F.broadcast(
-                queries.select("query_id", as_double(F.col(vec_col)).alias("qv"))
+                queries.select("query_id", as_double(F.col(vec_col)).alias("qv")).withColumn(
+                    "__nq", dot(F.col("qv"), F.col("qv"))
+                )
             )
         )
-        .select("query_id", "cand_id", cosine(F.col("qv"), F.col("cv")).alias("cos_sim"))
+        .select(
+            "query_id",
+            "cand_id",
+            (dot(F.col("qv"), F.col("cv")) / F.sqrt(F.col("__nq") * F.col("__ncv"))).alias("cos_sim"),
+        )
     )
     sem_rank = sem.withColumn(
         "rank",

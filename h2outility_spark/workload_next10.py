@@ -316,15 +316,21 @@ def q_semantic_dedup_parallel(spark, sf_dir):
     )
     cells = _assign_cells(e, c1)
 
+    # self-dots precomputed per SIDE (n folds), not per PAIR (Σ n_c²) —
+    # same doubles multiplied in the same order, so the hash is unchanged
     a = cells.select(
-        F.col("vec_id").alias("id_a"), F.col("cluster").alias("ca"), F.col("v").alias("va")
+        F.col("vec_id").alias("id_a"),
+        F.col("cluster").alias("ca"),
+        F.col("v").alias("va"),
+        dot(F.col("v"), F.col("v")).alias("na"),
     )
     b = cells.select(
-        F.col("vec_id").alias("id_b"), F.col("cluster").alias("cb"), F.col("v").alias("vb")
+        F.col("vec_id").alias("id_b"),
+        F.col("cluster").alias("cb"),
+        F.col("v").alias("vb"),
+        dot(F.col("v"), F.col("v")).alias("nb"),
     )
-    sim = dot(F.col("va"), F.col("vb")) / F.sqrt(
-        dot(F.col("va"), F.col("va")) * dot(F.col("vb"), F.col("vb"))
-    )
+    sim = dot(F.col("va"), F.col("vb")) / F.sqrt(F.col("na") * F.col("nb"))
     dup = (
         a.join(b, (F.col("ca") == F.col("cb")) & (F.col("id_a") < F.col("id_b")))
         .filter(sim >= F.lit(_SEM_TAU))

@@ -571,11 +571,18 @@ def q_ivfpq_search_adaptive(spark, sf_dir):
     codes = sim.pq_encode(emb, cbs)
     recon = sim.pq_reconstruct(codes, cbs)
 
+    # per-side self-dots (same multiply order as sim.cosine, bit-identical
+    # scores): probe, ADC and re-rank each fold once per pair, not thrice
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), sim.as_double(F.col("embedding")).alias("qv")
-    )
-    scored_cells = q.join(F.broadcast(cents1)).select(
-        "query_id", "qv", "cell", sim.cosine(F.col("qv"), F.col("cvec")).alias("cell_sim")
+    ).withColumn("__nq", sim.dot(F.col("qv"), F.col("qv")))
+    scored_cells = q.join(
+        F.broadcast(cents1.withColumn("__ncell", sim.dot(F.col("cvec"), F.col("cvec"))))
+    ).select(
+        "query_id",
+        "qv",
+        "cell",
+        (sim.dot(F.col("qv"), F.col("cvec")) / F.sqrt(F.col("__nq") * F.col("__ncell"))).alias("cell_sim"),
     )
     wc = PW.partitionBy("query_id").orderBy(F.col("cell_sim").desc(), F.col("cell"))
     best = (
@@ -590,10 +597,15 @@ def q_ivfpq_search_adaptive(spark, sf_dir):
         .select("query_id", "cand_id")
         .distinct()
     )
+    recon_n = recon.withColumn("__nr", sim.dot(F.col("rvec"), F.col("rvec")))
     adc = (
         cand.join(q, "query_id")
-        .join(recon, cand["cand_id"] == recon["vec_id"])
-        .select("query_id", "cand_id", sim.cosine(F.col("qv"), F.col("rvec")).alias("asim"))
+        .join(recon_n, cand["cand_id"] == recon_n["vec_id"])
+        .select(
+            "query_id",
+            "cand_id",
+            (sim.dot(F.col("qv"), F.col("rvec")) / F.sqrt(F.col("__nq") * F.col("__nr"))).alias("asim"),
+        )
     )
     ws = PW.partitionBy("query_id").orderBy(F.col("asim").desc(), F.col("cand_id"))
     short = (
@@ -606,10 +618,14 @@ def q_ivfpq_search_adaptive(spark, sf_dir):
         .join(
             emb.select(
                 F.col("vec_id").alias("cand_id"), sim.as_double(F.col("embedding")).alias("cv2")
-            ),
+            ).withColumn("__ncv", sim.dot(F.col("cv2"), F.col("cv2"))),
             "cand_id",
         )
-        .select("query_id", "cand_id", sim.cosine(F.col("qv"), F.col("cv2")).alias("cos_raw"))
+        .select(
+            "query_id",
+            "cand_id",
+            (sim.dot(F.col("qv"), F.col("cv2")) / F.sqrt(F.col("__nq") * F.col("__ncv"))).alias("cos_raw"),
+        )
     )
     wr = PW.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("cand_id"))
     return (

@@ -738,15 +738,22 @@ def q_semantic_dedup_cells(spark, sf_dir):
         "vec_id", "cluster", "__v"
     )
 
+    # self-dots precomputed per SIDE (n folds), not per PAIR (Σ n_c²):
+    # dot(a,b)/sqrt(na*nb) multiplies the same doubles in the same order
+    # as the inline form, so values — and the oracle hash — are unchanged
     a = cells.select(
-        F.col("vec_id").alias("id_a"), F.col("cluster").alias("ca"), F.col("__v").alias("va")
+        F.col("vec_id").alias("id_a"),
+        F.col("cluster").alias("ca"),
+        F.col("__v").alias("va"),
+        dot(F.col("__v"), F.col("__v")).alias("na"),
     )
     b = cells.select(
-        F.col("vec_id").alias("id_b"), F.col("cluster").alias("cb"), F.col("__v").alias("vb")
+        F.col("vec_id").alias("id_b"),
+        F.col("cluster").alias("cb"),
+        F.col("__v").alias("vb"),
+        dot(F.col("__v"), F.col("__v")).alias("nb"),
     )
-    sim = dot(F.col("va"), F.col("vb")) / F.sqrt(
-        dot(F.col("va"), F.col("va")) * dot(F.col("vb"), F.col("vb"))
-    )
+    sim = dot(F.col("va"), F.col("vb")) / F.sqrt(F.col("na") * F.col("nb"))
     dup = (
         a.join(b, (F.col("ca") == F.col("cb")) & (F.col("id_a") < F.col("id_b")))
         .filter(sim >= F.lit(_SEM_TAU))
