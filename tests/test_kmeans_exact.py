@@ -83,3 +83,44 @@ def test_kmeans_seed_centroids_survive_empty_cluster(spark):
     for c, cvec in enumerate(want):
         got_vec = [got_map[c][p] for p in sorted(got_map[c])]
         assert got_vec == cvec
+
+
+def test_kmeans_grouped_matches_per_group_kmeans_exactly(spark):
+    # kmeans_grouped must be the per-group restriction of kmeans: running
+    # every group in one pipeline may not change a single centroid
+    # component vs looping kmeans() over the groups (integer-valued data
+    # keeps all arithmetic exact in float64, so this is equality, not
+    # approximation — the contract the grouped PQ trainer relies on)
+    from h2outility_spark.operators.kmeans import kmeans_grouped
+
+    raw = {
+        0: [0.0, 0.0, 1.0, 0.0],
+        1: [1.0, 0.0, 0.0, 1.0],
+        2: [9.0, 8.0, 9.0, 9.0],
+        3: [8.0, 9.0, 9.0, 8.0],
+        4: [20.0, 21.0, 20.0, 20.0],
+        5: [21.0, 20.0, 20.0, 21.0],
+        6: [0.0, 1.0, 0.0, 1.0],
+        7: [8.0, 8.0, 9.0, 9.0],
+    }
+    # two groups: group 0 = first half of each vector, group 1 = second half
+    full = spark.createDataFrame(
+        [(i, v) for i, v in raw.items()], "vec_id int, embedding array<double>"
+    )
+    subs = spark.createDataFrame(
+        [(i, s, v[s * 2 : s * 2 + 2]) for i, v in raw.items() for s in (0, 1)],
+        "vec_id int, s int, vs array<double>",
+    )
+    got = kmeans_grouped(subs, k=2, max_iter=3, id_col="vec_id", group_col="s", vec_col="vs")
+    got_map: dict[tuple[int, int], dict[int, float]] = {}
+    for r in got.collect():
+        got_map.setdefault((r["s"], r["cluster"]), {})[r["pos"]] = r["centroid_val"]
+
+    for s in (0, 1):
+        sub = full.selectExpr("vec_id", f"slice(embedding, {s * 2 + 1}, 2) AS embedding")
+        want = kmeans(sub, k=2, max_iter=3, id_col="vec_id", vec_col="embedding")
+        want_map: dict[int, dict[int, float]] = {}
+        for r in want.collect():
+            want_map.setdefault(r["cluster"], {})[r["pos"]] = r["centroid_val"]
+        for c, cvec in want_map.items():
+            assert got_map[(s, c)] == cvec, f"group {s} cluster {c}"

@@ -268,3 +268,38 @@ def test_stream_dedup_ingest_redelivery_and_null_text(spark, tmp_path):
     rows = table.snapshot().collect()
     assert {r["doc_id"] for r in rows} == {1, 3}
     assert len(rows) == 2  # doc 1 exactly once despite the redelivery
+
+
+def test_micro_batch_shuffle_pins_and_restores(spark, monkeypatch):
+    # the drain-scope pin must set the bounded-batch partition count inside
+    # the context and restore the session value after, including on error;
+    # the env override (and its 0 = disabled form) must be honored
+    from h2outility_spark.streaming.incremental import (
+        bounded_batch_shuffle_partitions,
+        micro_batch_shuffle,
+    )
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "200")
+    try:
+        with micro_batch_shuffle(spark):
+            pinned = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            assert pinned == spark.sparkContext.defaultParallelism
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "200"
+
+        # restore-on-error
+        try:
+            with micro_batch_shuffle(spark):
+                raise RuntimeError("boom")
+        except RuntimeError:
+            pass
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "200"
+
+        monkeypatch.setenv("SPARK_GRAFT_BATCH_SHUFFLE_PARTITIONS", "7")
+        assert bounded_batch_shuffle_partitions(spark) == 7
+        monkeypatch.setenv("SPARK_GRAFT_BATCH_SHUFFLE_PARTITIONS", "0")
+        assert bounded_batch_shuffle_partitions(spark) is None
+        with micro_batch_shuffle(spark):  # disabled: leaves the conf alone
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "200"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
