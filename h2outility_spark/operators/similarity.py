@@ -427,6 +427,13 @@ def auto_n_bits(n_rows: int, target_bucket: int = 32) -> int:
     return max(1, math.ceil(math.log2(max(2.0, n_rows / target_bucket))))
 
 
+#: Banded frames persisted by previous rp_lsh_candidate_pairs calls, still
+#: registered with the session's CacheManager. Each new call evicts them
+#: (see the lifetime note inside the function), bounding a long session's
+#: cached-LSH footprint to the one query in flight.
+_LIVE_BANDED: list[DataFrame] = []
+
+
 def rp_lsh_candidate_pairs(
     embeddings: DataFrame,
     n_bits: int | None = 4,
@@ -475,7 +482,23 @@ def rp_lsh_candidate_pairs(
     # materialization for a second full signature pass (measured -13% on
     # both registered LSH queries, non-overlapping ABBA samples on the
     # strict pair; r14 #9).
+    #
+    # Lifetime (ADVICE r14): the persist cannot be released inside this
+    # function — the returned frame is lazy, and unpersisting before the
+    # caller materializes it would drop the cache entry the plan is built
+    # to reuse (while an EAGER materialize-here would move candidate work
+    # outside the caller's timed/actioned region, which the bench contract
+    # forbids). Instead each call EVICTS the previous call's banded frame,
+    # so a long-lived session running many LSH queries holds at most ONE
+    # live banded cache entry instead of accumulating them for the session
+    # lifetime. Assumes LSH queries are built-then-executed one at a time
+    # per session (true of the driver, bench, and every registered caller;
+    # same single-threaded-session assumption as
+    # streaming.incremental.micro_batch_shuffle).
+    while _LIVE_BANDED:
+        _LIVE_BANDED.pop().unpersist(False)
     banded = banded.persist()
+    _LIVE_BANDED.append(banded)
     if max_bucket is not None:
         giants = (
             banded.groupBy("bkey")

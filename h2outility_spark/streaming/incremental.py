@@ -52,7 +52,19 @@ def bounded_batch_shuffle_partitions(spark: SparkSession) -> int | None:
     """
     env = os.environ.get("SPARK_GRAFT_BATCH_SHUFFLE_PARTITIONS")
     if env is not None and env.strip() != "":
-        n = int(env)
+        try:
+            n = int(env)
+        except ValueError:
+            # A malformed override must degrade to the default, not crash
+            # every drain (ADVICE r14).
+            import warnings
+
+            warnings.warn(
+                f"SPARK_GRAFT_BATCH_SHUFFLE_PARTITIONS={env!r} is not an "
+                "integer; falling back to defaultParallelism",
+                stacklevel=2,
+            )
+            return spark.sparkContext.defaultParallelism
         return n if n > 0 else None
     return spark.sparkContext.defaultParallelism
 
@@ -61,7 +73,17 @@ def bounded_batch_shuffle_partitions(spark: SparkSession) -> int | None:
 def micro_batch_shuffle(spark: SparkSession):
     """Pin ``spark.sql.shuffle.partitions`` to the bounded-batch size for
     the duration of a streaming drain, restoring the session value after.
-    Results are partitioning-independent; only task granularity changes."""
+    Results are partitioning-independent; only task granularity changes.
+
+    SINGLE-THREADED-SESSION ASSUMPTION (ADVICE r14): the pin mutates the
+    session-global conf, so a batch query planned on the SAME SparkSession
+    concurrently with a drain would silently inherit the pinned value
+    (its results are unaffected — only its reduce-task granularity). Every
+    caller in this engine drains synchronously on a single driver thread
+    (driver contract, bench, tests). A deployment that interleaves batch
+    queries with drains on one session should either pin via a cloned
+    session (``spark.newSession()`` shares the cache but not the conf) or
+    disable the pin with SPARK_GRAFT_BATCH_SHUFFLE_PARTITIONS=0."""
     n = bounded_batch_shuffle_partitions(spark)
     if n is None:
         yield

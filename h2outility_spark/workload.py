@@ -484,70 +484,79 @@ from h2outility_spark import workload_next9  # noqa: E402,F401
 # (coverage map in README). Everything outside the window is still
 # oracle-checked every run by tests/test_oracle_parity.py + driver_sim.
 CHECKED_WINDOW = [
-    # -- ROUND-14 ROTATION --------------------------------------------------
-    # CORRECTNESS_r13 went 50/50 green (eighth all-green round). This window
-    # executes the rotation pinned in NOTES_NEXT_ROUND r13 exactly: the 10
-    # promoted workload_next9 STAGED9 pairs (every one tri-scale
-    # parity-green and plan-audited in rounds 12-13), the 17 FORCED r9
-    # picks (their newest driver rows are r9 — outside the 4-round
-    # freshness gate, which tests/test_checked_window.py enforces), and 23
-    # of the 50-query r10-latest cohort (family spread; the other 27 defer
-    # to r15 as its forced cohort). After r14, no registered query's newest
-    # driver row predates round 10. Everything outside the window stays
-    # oracle-checked every run by tests/test_oracle_parity + driver_sim.
-    # -- first-timers: the 10 promoted round-14 staging pairs ---------------
-    "stream_cdc_replica",        # txtable_cdc feed: append/merge/delete as 3 drains, 1 checkpoint
-    "stream_cdc_catchup",        # one drain telescopes 3 missed commits to the net delta
-    "stream_cdc_evolve_replica", # CDC through mid-stream add-column evolution
-    "bloom_prefilter_revenue",   # bloom bit-probe prunes lineitem inside a revenue join
-    "neardup_embedding_strict",  # RP-LSH at cos>=0.85 (planted dups, recall-1.0 law); bench headline
-    "txtable_resolve_ours",      # three-way merge resolution, conflicts keep main
-    "embedding_drift_batches",   # L2 drift between consecutive ingest-batch centroids
-    "semantic_dedup_cells",      # SemDeDup: within-cell near-dup scoping, keep-smallest-id
-    "unigram_logprob_buckets",   # CCNet-style per-source quality terciles
-    "hll_grid_serving",          # one stored register family serves distinct + retention
-    # -- the 17 forced r9 picks (freshness gate) -----------------------------
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q5",
-    "qc_gaps",
-    "qc_drift",
-    "asof_join_nearest",
-    "txtable_incremental_minmax",
-    "percentile_summary",
-    "running_totals",
-    "union_dedup",
-    "series_year_range",
-    "vocab_topk",
-    "winsorize_values",
-    "corpus_language_matrix",
-    "image_dhash",
-    "export_rows_roundtrip",
-    "sql_api_q1",
-    # -- sentinels: 23 of the r10-latest cohort (family spread) -------------
-    "anti_join_customers",
-    "approx_percentile_bounds",
-    "bucketed_join_orders",
-    "dedup_keep_first",
-    "doc_fingerprint",
-    "edit_session_roundtrip",
-    "hybrid_search_knn",
-    "ivf_search_adaptive",
-    "kmeans_centroids",
-    "left_join_qualifiers",
-    "minhash_signatures",
-    "neardup_clusters",
-    "oplist_replay",
-    "pagerank_nation_trade",
-    "pii_redact_docs",
-    "pq_search",
-    "qc_islands",
-    "self_alias_join",
-    "stream_dedup_ingest",
-    "text_langid",
-    "txtable_stream_tail",
-    "txtable_reader_isolation",
-    "txtable_snapshot_as_of",
+    # -- ROUND-15 ROTATION (optimization round 2) ----------------------------
+    # CORRECTNESS_r14 went 50/50 green (ninth all-green round). This is an
+    # OPTIMIZATION round, so the window executes the optimization judge's
+    # directive (VERDICT r14 "Next round" #1) rather than the build-phase
+    # staging plan: the five queries REWRITTEN by the r14 optimization waves
+    # whose post-rewrite code has no driver CORRECTNESS row yet lead the
+    # window (tpch_q21's stacked-aggregate form, chunk_sliding's staged
+    # tokenizer, embedding_knn's per-side norms, neardup_embedding_lsh's
+    # int64 band keys + banded persist, rp_lsh_signatures' Arrow matmul
+    # kernel), followed by the 27 FORCED r10-latest picks (the 4-round
+    # freshness gate in tests/test_checked_window.py — rp_lsh_autosig and
+    # stream_chunk_flow among them are ALSO rewritten-path riders), and 18
+    # free picks from the r11-latest cohort, two of them chosen because
+    # they ride r14 rewrites too (rag_prep_pipeline: staged tokenizer;
+    # pq_codes_kmeans: grouped k-means trainer). NO new queries are
+    # promoted this round (feature work is out of scope for an
+    # optimization round; the STAGED10-13 promotion plan in
+    # NOTES_NEXT_ROUND stands for the next build round). Everything
+    # outside the window stays oracle-checked every run by
+    # tests/test_oracle_parity + driver_sim.
+    # -- the r14-rewritten queries (driver witnesses for the new code) ------
+    "tpch_q21_waiting_supplier", # single-scan stacked-aggregate form (r14 #3)
+    "chunk_sliding",             # staged tokenizer before the Generate (r14 #1)
+    "embedding_knn",             # per-side norm precompute (r14 #4)
+    "neardup_embedding_lsh",     # int64 band keys + banded persist (r14 #5/#10)
+    "rp_lsh_signatures",         # Arrow matmul signature kernel (r14 #2)
+    # -- the 27 forced r10-latest picks (freshness gate) ---------------------
+    "approx_distinct_bounds",
+    "approx_distinct_parts",
+    "audio_window_features",
+    "bigram_condprob",
+    "dedup_incremental",
+    "doc_lm_score",
+    "embedding_centroids",
+    "federated_union",
+    "image_features_jpeg",
+    "image_neardup",
+    "ivfpq_search",
+    "neardup_simhash_pairs",
+    "neardup_winnow_pairs",
+    "ngram_jaccard_blocked",
+    "prefix_dup_rate",
+    "qc_value_change",
+    "rp_lsh_autosig",            # rewritten-path rider: Arrow sig kernel (r14 #2)
+    "series_trend_fit",
+    "stream_chunk_flow",         # rewritten-path rider: staged tokenizer (r14 #1)
+    "stream_ivm_agg",
+    "stream_minmax_ivm",
+    "stream_ohlc",
+    "text_stats",
+    "txtable_compact_snapshot",
+    "txtable_evolve_schema",
+    "txtable_vacuum_retention",
+    "txtable_zorder",
+    # -- 18 free picks from the r11-latest cohort (family spread) -----------
+    "tpch_q6",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q18_large_orders",
+    "qc_change_value",
+    "qc_rolling_zscore",
+    "qc_resample_ffill",
+    "txtable_vacuum",
+    "txtable_concurrent_merge",
+    "txtable_clone",
+    "stream_watermark_windows",  # rides the bounded-batch shuffle pin (r14 #6)
+    "dedup_incremental_lsh",
+    "neardup_ensemble_agree",
+    "simhash_signatures",
+    "bpe_token_hist",
+    "decontaminate_spans",
+    "rag_prep_pipeline",         # rewritten-path rider: staged tokenizer (r14 #1)
+    "pq_codes_kmeans",           # rewritten-path rider: grouped k-means trainer (r14 #8)
 ]
 
 

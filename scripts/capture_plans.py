@@ -1,4 +1,5 @@
-"""Capture .explain("formatted") for benched queries into plans/r14/.
+"""Capture .explain("formatted") for benched queries into plans/<round>/
+(round via $PLANS_ROUND, default r15).
 
 Usage:
     python scripts/capture_plans.py before [name ...]
@@ -30,7 +31,12 @@ def main() -> None:
     executed = "--executed" in sys.argv[2:]
     names = [a for a in sys.argv[2:] if a != "--executed"]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "plans", "r14")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "..",
+        "plans",
+        os.environ.get("PLANS_ROUND", "r15"),
+    )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("h2outility-plans")
     reg = workload.registry()

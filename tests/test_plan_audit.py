@@ -117,3 +117,92 @@ def test_staged_pairs_plan_clean(spark):
         ):
             offenders[name] = flags
     assert not offenders, f"staged queries with nested-loop/cartesian plans: {offenders}"
+
+
+# -- InferFiltersFromGenerate hazard (VERDICT r14 #4) ------------------------
+#
+# The r14 optimization round hit the same optimizer pathology twice: for a
+# plain (non-outer) Generate, InferFiltersFromGenerate synthesizes a
+# `size(gen_input) > 0` predicate, and predicate pushdown then substitutes
+# the ENTIRE staged expression pipeline — tokenizer included — into a Filter
+# below the staging projects, re-evaluating the regexp per sequence element
+# (O(tokens^2) per doc; measured 21 s / 42 s on the shingle rewrites, R1).
+# The shipped trees dodge it with posexplode_outer + an explicit null filter
+# on generator OUTPUT (which cannot sink). These tests mechanize the rule so
+# a future edit cannot silently reintroduce the hazard.
+
+TOKENIZED_GENERATE_QUERIES = [
+    # every registered query whose plan stages a regexp tokenizer below a
+    # Generate (the chunking + shingle families and their riders)
+    "chunk_sliding",
+    "stream_chunk_flow",
+    "rag_prep_pipeline",
+    "rag_prep_sharded",
+    "minhash_signatures",
+    "neardup_minhash_pairs",
+]
+
+
+def _tokenizer_filter_lines(plan: str) -> list[str]:
+    """Lines of an optimized-plan tree where a Filter CONDITION evaluates
+    the tokenizer — the signature of the re-inlining hazard. regexp_replace
+    in a Project is the staged (healthy) shape; in a Filter it means
+    predicate pushdown substituted the pipeline below the staging."""
+    return [
+        ln
+        for ln in plan.splitlines()
+        if "Filter" in ln.split("(", 1)[0] and "regexp_replace" in ln
+    ]
+
+
+def test_no_tokenizer_reinlined_into_filters(spark):
+    offenders = {}
+    for name in TOKENIZED_GENERATE_QUERIES:
+        df = workload.registry()[name].fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        bad = _tokenizer_filter_lines(plan)
+        if bad:
+            offenders[name] = bad[0][:200]
+    assert not offenders, f"tokenizer re-inlined into a Filter: {offenders}"
+
+
+def test_hazard_rule_catches_the_plain_generate_form(spark):
+    """Self-check that the rule above has teeth: the plain-posexplode form
+    of chunk_sliding (no outer generate, no null filter) must TRIP the
+    detector on this Spark version — if it ever stops tripping, the
+    optimizer changed and the posexplode_outer staging deserves a re-measure
+    (it exists purely to dodge this rule's hazard)."""
+    from pyspark.sql import functions as F
+
+    from h2outility_spark.operators.text import normalize_ws
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    size, stride = 64, 48
+    cleaned = docs.select(F.col("doc_id"), normalize_ws(F.col("text")).alias("__clean"))
+    toked = cleaned.select(F.col("doc_id"), F.split(F.col("__clean"), " ").alias("__toks"), F.col("__clean"))
+    counted = toked.select(
+        F.col("doc_id"),
+        F.col("__toks"),
+        F.when(F.length("__clean") == 0, F.lit(0)).otherwise(F.size("__toks")).alias("__n"),
+    )
+    started = counted.select(
+        F.col("doc_id"),
+        F.col("__toks"),
+        F.col("__n"),
+        F.expr(
+            f"CASE WHEN __n = 0 THEN array() "
+            f"ELSE filter(sequence(0, __n - 1, {stride}), s -> s = 0 OR s - {stride} + {size} < __n) END"
+        ).alias("__starts"),
+    )
+    hazard = started.select(
+        F.col("doc_id"),
+        F.col("__toks"),
+        F.col("__n"),
+        F.posexplode(F.col("__starts")).alias("chunk_idx", "start_tok"),  # plain generate: hazard
+    )
+    plan = hazard._jdf.queryExecution().optimizedPlan().toString()
+    assert _tokenizer_filter_lines(plan), (
+        "plain posexplode no longer re-inlines the tokenizer into a Filter on "
+        "this Spark version — re-measure whether the posexplode_outer staging "
+        "in operators/text.py::chunk_sliding is still needed"
+    )

@@ -299,6 +299,19 @@ def test_micro_batch_shuffle_pins_and_restores(spark, monkeypatch):
         assert bounded_batch_shuffle_partitions(spark) == 7
         monkeypatch.setenv("SPARK_GRAFT_BATCH_SHUFFLE_PARTITIONS", "0")
         assert bounded_batch_shuffle_partitions(spark) is None
+        # malformed override degrades to the default with a warning, never
+        # crashes the drain (ADVICE r14)
+        import warnings as _warnings
+
+        monkeypatch.setenv("SPARK_GRAFT_BATCH_SHUFFLE_PARTITIONS", "not-a-number")
+        with _warnings.catch_warnings(record=True) as caught:
+            _warnings.simplefilter("always")
+            assert (
+                bounded_batch_shuffle_partitions(spark)
+                == spark.sparkContext.defaultParallelism
+            )
+        assert any("not-a-number" in str(w.message) for w in caught)
+        monkeypatch.setenv("SPARK_GRAFT_BATCH_SHUFFLE_PARTITIONS", "0")
         with micro_batch_shuffle(spark):  # disabled: leaves the conf alone
             assert spark.conf.get("spark.sql.shuffle.partitions") == "200"
     finally:
