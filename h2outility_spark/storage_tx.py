@@ -906,11 +906,27 @@ class TxTable:
             .join(net.select(*self.key_cols).distinct(), self.key_cols, "semi")
             .persist()
         )
+        # The DERIVED frames are also persisted: delete_keys and
+        # merge_upsert each consume their input several times (conform
+        # select + bounds collect + anti-join + staged write), and without
+        # a persist every consumption re-runs the anti-joins over the
+        # cached net/conflicts (profiled: the delete_keys call here cost
+        # 26 jobs / 4.0 s vs 6 jobs / 0.5 s standalone; persisting the
+        # derived key frames measured −13% min / −10% median on
+        # txtable_resolve_ours, ABBA, results identical). The frames are
+        # tiny (key columns of changed rows only), so the materialization
+        # is bounded; both verbs complete synchronously before the
+        # finally releases them. merge_from_branch deliberately does NOT
+        # get the same treatment: its derived tombstones are one anti-join
+        # off the already-persisted net, and the A/B there was a tie
+        # (scripts/ab_branch_persist.py).
+        derived: list[DataFrame] = []
         try:
             all_inserts = net.filter(F.col("_change_type") == "insert").drop(
                 "_change_type"
             )
-            inserts = all_inserts.join(conflicts, self.key_cols, "left_anti")
+            inserts = all_inserts.join(conflicts, self.key_cols, "left_anti").persist()
+            derived.append(inserts)
             if propagate_deletes:
                 tombstones = (
                     net.filter(F.col("_change_type") == "delete")
@@ -922,12 +938,16 @@ class TxTable:
                     )
                     .join(conflicts, self.key_cols, "left_anti")
                     .distinct()
+                    .persist()
                 )
+                derived.append(tombstones)
                 self.delete_keys(tombstones)
             return self.merge_upsert(inserts)
         finally:
             net.unpersist()
             conflicts.unpersist()
+            for f in derived:
+                f.unpersist()
 
     def branch_conflicts(
         self, a: "TxTable", b: "TxTable", since_a: int = 0, since_b: int = 0

@@ -46,7 +46,8 @@ def _counting_read_segment(self, name):
 
 def n_jobs(spark) -> int:
     # DAGScheduler's nextJobId counter = total jobs submitted so far
-    return spark._jsc.sc().dagScheduler().nextJobId().get()
+    # (py4j auto-unwraps the AtomicInteger to an int)
+    return int(spark._jsc.sc().dagScheduler().nextJobId())
 
 
 def main() -> None:
