@@ -3,6 +3,8 @@ sentinel drop, unpivot, catalog enrichment, series_exists, k-means."""
 
 from __future__ import annotations
 
+import pytest
+
 from datetime import datetime
 
 from pyspark.sql import Row, functions as F
@@ -33,6 +35,7 @@ def test_drop_no_data(spark):
     assert [r["DataValue"] for r in out.collect()] == [1.0]
 
 
+@pytest.mark.slow
 def test_pivot_width_cap_fails_fast(spark):
     """SURVEY §7.4-1 cap-and-warn: an unfiltered catalog must not silently
     generate a 10k-column plan — it fails before any Spark job runs."""

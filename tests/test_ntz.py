@@ -71,6 +71,7 @@ def test_load_table_casts_even_when_session_infers_ntz(spark, tmp_path):
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
 
+@pytest.mark.slow
 def test_every_registered_query_analyzes(spark):
     """Cheap analysis-only sweep over the full registry: .schema forces
     analysis (where the r02 NTZ failures surfaced) without executing."""

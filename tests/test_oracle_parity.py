@@ -62,6 +62,7 @@ def test_query_matches_oracle(spark, name):
     _assert_parity(spark, name, SF_DIR)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name", OUT_OF_WINDOW)
 def test_out_of_window_query_matches_oracle_at_driver_sf(spark, name):
     """Out-of-window queries earn their parity evidence at the driver's own

@@ -8,6 +8,8 @@ caught at test time."""
 
 from __future__ import annotations
 
+import pytest
+
 from h2outility_spark import workload
 from tests.conftest import SF_DIR
 
@@ -50,6 +52,7 @@ BNLJ_ALLOWED = {
 }
 
 
+@pytest.mark.slow
 def test_no_unplanned_nested_loop_joins(spark):
     offenders: dict[str, list[str]] = {}
     for name, spec in workload.registry().items():
@@ -60,6 +63,7 @@ def test_no_unplanned_nested_loop_joins(spark):
     assert not offenders, f"unplanned nested-loop/cartesian plans: {offenders}"
 
 
+@pytest.mark.slow
 def test_bnlj_allowlist_is_tight(spark):
     """Every allowlisted name must still exist (registered or staged) and
     still plan a BNLJ — stale entries would quietly widen the allowlist."""
@@ -92,6 +96,7 @@ def test_bnlj_allowlist_is_tight(spark):
     assert not no_longer, f"remove from allowlist (no BNLJ anymore): {no_longer}"
 
 
+@pytest.mark.slow
 def test_staged_pairs_plan_clean(spark):
     """The staging area gets the same nested-loop audit as the registry,
     BEFORE promotion: a staged query that plans a CartesianProduct or an

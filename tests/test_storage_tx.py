@@ -49,6 +49,7 @@ def test_merge_upsert_replaces_keeps_inserts(spark, table):
     assert rows_of(t2.snapshot()) == [(7, "x")]
 
 
+@pytest.mark.slow
 def test_merge_prunes_disjoint_files(spark, table):
     """Files whose key range cannot overlap the updates must be carried
     over BY REFERENCE (same path in the new manifest), not rewritten."""
@@ -195,6 +196,7 @@ def test_restore_writes_only_a_manifest(spark, table):
     assert rows_of(table.snapshot()) == [(1, "a")]
 
 
+@pytest.mark.slow
 def test_merge_carries_disjoint_segments_by_name(spark, table):
     """Segment-level pruning: a merge touching one segment's key range must
     reference the other segment unchanged (same seg-* name), reading and
@@ -208,6 +210,7 @@ def test_merge_carries_disjoint_segments_by_name(spark, table):
     assert low_seg in {d["name"] for d in table.manifest()["segments"]}
 
 
+@pytest.mark.slow
 def test_many_small_appends_compact_segments(spark, table):
     """Tiny-commit storms must not grow the manifest unboundedly: small
     segments get repacked once _COMPACT_TRIGGER of them accumulate."""
@@ -331,6 +334,7 @@ def test_compact_files_noop_when_healthy(spark, table):
     assert table.latest_version() == v
 
 
+@pytest.mark.slow
 def test_compact_files_respects_target_size_and_clusters_by_key(spark, table):
     """300 rows of small files at target 100 -> 3 output files with tight,
     non-overlapping key ranges (repartitionByRange clustering)."""
@@ -437,6 +441,7 @@ def test_merge_strict_mode_drops_unknown_and_requires_known(spark, table):
         table.merge_upsert(spark.createDataFrame([Row(k=5)], "k int"))
 
 
+@pytest.mark.slow
 def test_merge_schema_evolution_spares_pruned_files(spark, table):
     """Evolution must stay metadata-only for pruned files: a disjoint file
     is carried by reference (not rewritten) and still reads with the new
@@ -454,6 +459,7 @@ def test_merge_schema_evolution_spares_pruned_files(spark, table):
                    150: ("X", 1.5), 200: ("y", None)}
 
 
+@pytest.mark.slow
 def test_compact_zorder_clusters_all_key_axes(spark, tmp_path):
     """OPTIMIZE ZORDER: a two-key table fragmented into row-major small
     files is rewritten on the Morton code, so every output file covers a
@@ -577,6 +583,7 @@ def test_changes_feed_with_schema_evolution(spark, table):
     assert feed == {(1, "a", None, "delete"), (1, "A2", 0.5, "insert")}
 
 
+@pytest.mark.slow
 def test_merge_multi_axis_pruning_after_zorder(spark, tmp_path):
     """After a z-order compaction of a two-key table into quadrant files,
     a merge touching one quadrant must rewrite ONLY that quadrant's file —
@@ -605,6 +612,7 @@ def test_merge_multi_axis_pruning_after_zorder(spark, tmp_path):
     assert got == expected
 
 
+@pytest.mark.slow
 def test_scan_prunes_files_from_manifest(spark, table):
     """Manifest-pruned range scan: only overlapping files are opened
     (inputFiles proves it), results equal the filtered snapshot, and
@@ -629,6 +637,7 @@ def test_scan_prunes_files_from_manifest(spark, table):
     assert rows_of(table.scan("k", 40, 70, version=0)) == []
 
 
+@pytest.mark.slow
 def test_compact_target_bytes_sizes_from_observed_density(spark, table):
     """target_bytes translates through the table's own observed bytes/row:
     the output file count matches ceil(total_rows / (target_bytes /
@@ -648,6 +657,7 @@ def test_compact_target_bytes_sizes_from_observed_density(spark, table):
     assert sum(e["rows"] for e in table.files()) == 200
 
 
+@pytest.mark.slow
 def test_describe_health_snapshot(spark, table):
     for i in range(4):
         table.append(kv(spark, [(i * 10 + j, "x") for j in range(10)]).coalesce(1))
@@ -963,6 +973,7 @@ def test_delete_keys_removes_and_feeds_cdf(spark, table):
     assert cdf.filter(F.col("_change_type") == "insert").count() == 0
 
 
+@pytest.mark.slow
 def test_delete_keys_prunes_disjoint_files(spark, table):
     """Files whose key range misses the delete keys carry over BY
     REFERENCE; a file fully emptied by the delete disappears."""

@@ -5,6 +5,8 @@ and every historical version must stay readable (snapshot isolation)."""
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import Row
 
@@ -88,6 +90,7 @@ def test_txtable_matches_model(spark, tmp_path_factory, ops):
 KEYS4 = st.integers(min_value=0, max_value=3)
 
 
+@pytest.mark.slow
 @settings(max_examples=8, deadline=None)
 @given(st.data())
 def test_ivm_minmax_matches_recompute_on_random_batches(spark, data):

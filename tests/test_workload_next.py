@@ -10,8 +10,13 @@ drift between copies (round-14 self-review)."""
 
 from __future__ import annotations
 
-import duckdb
 import pytest
+
+# Staged-pair parity scenarios: heavyweight multi-drain/commit runs, in the
+# full lane only (pytest.ini tiering).
+pytestmark = pytest.mark.slow
+
+import duckdb
 
 from h2outility_spark.sources.parquet import TABLES
 from h2outility_spark.workload_next import STAGED
